@@ -15,4 +15,14 @@ Everything here derives only from public knowledge: the Apache Spark /
 PySpark API and the reference repo's observable behavior.
 """
 
+import os as _os
+
+# Pin BLAS pools to one thread per process BEFORE NumPy loads OpenBLAS.
+# Spark parallelism comes from tasks (one Python worker per core); a 32-way
+# BLAS pool inside each of 32 workers oversubscribes the box ~26x on the
+# small GEMMs this engine runs (measured: 15 ms → 0.6 ms per call).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"

@@ -99,6 +99,16 @@ def decode_tpage(buf: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+def pages_to_parquet(df: pd.DataFrame, path: str) -> None:
+    """Write a pages table to parquet with µs timestamps (pandas defaults
+    to ns, which Spark's parquet reader rejects: PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa_
+    tbl = pa_.Table.from_pandas(df, preserve_index=False)
+    pq.write_table(tbl, path, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+
+
 def _make_url(rng: np.random.Generator, i: int) -> str:
     # Zipf-ish host distribution so url-hash salting is exercised
     host = min(int(rng.zipf(2.0)), 40)

@@ -27,21 +27,43 @@ CANVAS_SIZE = 1024  # tuatara.cpp:352
 MAG_RATIO = 1.0     # tuatara.cpp:353
 
 
-def detect_page(image_rgb: np.ndarray, params: dict):
-    """Detection half of the pipeline: RGB page → (boxes, swapped_image).
+def detect_pages(images: list[np.ndarray], params: dict):
+    """Detection half of the pipeline for a batch of RGB pages; returns a
+    list of (boxes, swapped_image) in input order.
 
     boxes: list of (4,2) float32 corners in source-image pixel space, in
     component-label order. swapped_image: the channel-swapped page the
     reference crops from (tuatara.cpp:349 mutates in place; 416 crops it).
+
+    Pages are grouped by shape and pushed through the detection forward
+    pass as one stacked tensor per group — strictly more vectorized than
+    the reference's one-image-per-call loop, and bit-identical per page
+    (the conv/pool path has no cross-page reductions).
     """
-    img = rz.swap_channels(image_rgb)                      # S2 (cpp:349)
-    resized, ratio, _ = rz.resize_aspect_ratio(img, CANVAS_SIZE, MAG_RATIO)
-    ratio_h = ratio_w = 1.0 / ratio                        # cpp:360-361
-    tensor = rz.to_tensor(resized)[None]                   # S4 (cpp:363-370)
-    maps = md.detect_forward(params, tensor)[0]            # S5; single batch (cpp:389-390)
-    det, _labels = dt.get_detected_boxes(maps[..., 0], maps[..., 1])
-    boxes = g.adjust_result_coordinates(det, ratio_w, ratio_h)  # S17 (cpp:406)
-    return boxes, img
+    n = len(images)
+    results: list = [None] * n
+    by_shape: dict[tuple, list[int]] = {}
+    for i, img in enumerate(images):
+        by_shape.setdefault(img.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        swapped = [rz.swap_channels(images[i]) for i in idxs]   # S2 (cpp:349)
+        proc = [rz.resize_aspect_ratio(im, CANVAS_SIZE, MAG_RATIO)
+                for im in swapped]
+        ratio = proc[0][1]
+        ratio_h = ratio_w = 1.0 / ratio                         # cpp:360-361
+        tensors = np.stack([rz.to_tensor(p[0]) for p in proc])  # S4
+        maps = md.detect_forward(params, tensors)               # S5, batched
+        for j, i in enumerate(idxs):
+            det, _labels = dt.get_detected_boxes(maps[j, ..., 0], maps[j, ..., 1])
+            boxes = g.adjust_result_coordinates(det, ratio_w, ratio_h)  # S17
+            results[i] = (boxes, swapped[j])
+    return results
+
+
+def detect_page(image_rgb: np.ndarray, params: dict):
+    """Single-page detection (the reference's one-image-per-call shape,
+    tuatara.cpp:389-390); thin wrapper over detect_pages."""
+    return detect_pages([image_rgb], params)[0]
 
 
 def crop_regions(swapped_image: np.ndarray, boxes) -> list[np.ndarray]:

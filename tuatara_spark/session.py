@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One 256² TPAGE row ≈ 196 KB → 64 rows ≈ 12 MB per Arrow batch; bounds
+# Python-worker memory while keeping detection/recognition batches wide.
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(app: str = "tuatara-spark", cores: int | str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """local[N] session with AQE, Arrow, and batch-size settings applied.
+
+    cores defaults to $SPARK_GRAFT_CPUS or '*'. On a real cluster the same
+    settings apply except master comes from spark-submit.
+    """
+    # Make this package importable in executor Python workers regardless of
+    # the driver's cwd (local-mode stand-in for spark-submit --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pkg_root + os.pathsep + pp) if pp else pkg_root
+
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_for_shuffle = 32 if cores == "*" else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * n_for_shuffle, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_BATCH_ROWS))
+        # pages are fat rows: cap scan partition size so a partition's
+        # pages fit executor memory at any SF
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
