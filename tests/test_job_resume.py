@@ -1,0 +1,97 @@
+"""Partitioning, lineage, and resume-from-snapshot tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuatara_spark import fixtures as fx
+from tuatara_spark import job, partitioning as pt
+from tuatara_spark.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    fx.pages_to_parquet(fx.make_pages(60, seed=21, n_large=2), str(p))
+    return str(p)
+
+
+def test_bucket_stability_and_range(spark, pages_path):
+    df = pt.with_bucket(spark.read.parquet(pages_path), 16)
+    rows = df.select("url", "part_id").collect()
+    assert all(0 <= r.part_id < 16 for r in rows)
+    again = {r.url: r.part_id
+             for r in pt.with_bucket(spark.read.parquet(pages_path), 16)
+             .select("url", "part_id").collect()}
+    assert all(again[r.url] == r.part_id for r in rows)
+
+
+def test_salt_only_on_heavy_pages(spark, pages_path):
+    df = pt.with_salt(pt.with_bucket(spark.read.parquet(pages_path), 16),
+                      heavy_bytes=1 << 20, salt_buckets=8)
+    rows = df.select("salt", F.length("html").alias("b")).collect()
+    for r in rows:
+        if r.b <= 1 << 20:
+            assert r.salt == 0
+        else:
+            assert 0 <= r.salt < 8
+    assert any(r.b > 1 << 20 for r in rows)  # skew pages present
+
+
+def test_full_job_then_resume_noop(spark, pages_path, tmp_path):
+    out = str(tmp_path / "table")
+    s1 = job.run_extract(spark, pages_path, out, num_buckets=8, groups=2)
+    assert s1["groups_run"] == 2 and not s1["resumed"]
+    cat = Catalog(out)
+    assert cat.committed_buckets() == set(range(8))
+    assert s1["totals"]["pages"] == 62
+    assert s1["totals"]["failures"] == 0
+    # resume with nothing left: no-op
+    s2 = job.run_extract(spark, pages_path, out, num_buckets=8, groups=2)
+    assert s2["groups_run"] == 0 and s2["resumed"]
+    # manifests exist per bucket, counters add up
+    man = [m for sid in (1, 2) for m in cat.manifests_for(sid)]
+    assert sum(m["counters"]["pages"] for m in man) == 62
+    # table reads back complete and correct
+    table = cat.read_table(spark)
+    assert table.count() == 62
+    truth = {r.url: r.text for r in
+             spark.read.parquet(pages_path).select("url", "text").collect()}
+    got = {r.url: r.text for r in table.select("url", "text").collect()}
+    assert got == truth  # byte-identical extracted text per url
+
+
+def test_crash_and_resume_equals_single_shot(spark, pages_path, tmp_path):
+    out_a = str(tmp_path / "crashy")
+    with pytest.raises(job.InjectedFailure):
+        job.run_extract(spark, pages_path, out_a, num_buckets=8, groups=4,
+                        fail_after_groups=2)
+    cat = Catalog(out_a)
+    half = cat.committed_buckets()
+    assert 0 < len(half) < 8
+    s = job.run_extract(spark, pages_path, out_a, num_buckets=8, groups=4)
+    assert s["resumed"] and cat.committed_buckets() == set(range(8))
+
+    out_b = str(tmp_path / "oneshot")
+    job.run_extract(spark, pages_path, out_b, num_buckets=8, groups=1)
+    a = {(r.url, r.text, r.n_regions)
+         for r in cat.read_table(spark).collect()}
+    b = {(r.url, r.text, r.n_regions)
+         for r in Catalog(out_b).read_table(spark).collect()}
+    assert a == b
+
+
+def test_gc_uncommitted(spark, pages_path, tmp_path):
+    out = str(tmp_path / "gc")
+    with pytest.raises(job.InjectedFailure):
+        job.run_extract(spark, pages_path, out, num_buckets=4, groups=4,
+                        fail_after_groups=1)
+    cat = Catalog(out)
+    # simulate a crashed run: orphan dir not referenced by any snapshot
+    orphan = os.path.join(cat.data_dir, "run_000099")
+    os.makedirs(orphan)
+    removed = cat.gc_uncommitted()
+    assert removed == ["run_000099"]
+    assert cat.committed_buckets()  # committed data untouched
+    assert cat.read_table(spark).count() > 0

@@ -1,0 +1,152 @@
+"""Snapshot/manifest lineage catalog with resume — Iceberg-style semantics
+over Parquet.
+
+north_rule requires: per-partition lineage manifests + counters written with
+the output, and resume from the last committed snapshot. Production target
+is an Iceberg table (the sandbox PySpark has no Iceberg runtime jar —
+SURVEY.md §0.3), so this thin catalog implements the REQUIRED semantics
+behind a small interface that an Iceberg-backed implementation can replace:
+
+  output_root/
+    data/run_<snapshot_id>/part_id=<b>/*.parquet   (columnar data, hive-part)
+    _manifests/<snapshot_id>/part-<b>.json          (per-bucket lineage)
+    _snapshots/snap-<id>.json                       (snapshot metadata)
+    _snapshots/CURRENT                              (atomic pointer)
+
+Commit protocol: data + manifests are written first, then the snapshot file,
+then CURRENT is updated via write-temp + os.rename (atomic on POSIX). A
+crash before the snapshot write leaves an orphaned run dir that no snapshot
+references — readers never see it, and gc_uncommitted() reclaims it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        self.snapshot_dir = os.path.join(root, "_snapshots")
+        for d in (self.data_dir, self.manifest_dir, self.snapshot_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- snapshot chain -----------------------------------------------------
+
+    def current_snapshot_id(self) -> int | None:
+        p = os.path.join(self.snapshot_dir, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _snapshot_path(self, sid: int) -> str:
+        return os.path.join(self.snapshot_dir, f"snap-{sid}.json")
+
+    def read_snapshot(self, sid: int) -> dict:
+        with open(self._snapshot_path(sid)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot chain from oldest to current."""
+        out: list[dict] = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            snap = self.read_snapshot(sid)
+            out.append(snap)
+            sid = snap.get("parent_id")
+        return list(reversed(out))
+
+    # -- reads --------------------------------------------------------------
+
+    def committed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        for snap in self.snapshots():
+            done.update(snap["buckets"])
+        return done
+
+    def committed_run_dirs(self) -> list[str]:
+        return [os.path.join(self.data_dir, s["run"]) for s in self.snapshots()]
+
+    def read_table(self, spark):
+        """Union of all committed run dirs (part_id recovered via hive
+        partition discovery within each run dir; run dirs are separate
+        roots, so they are read separately and unioned). Returns None if
+        nothing is committed."""
+        dirs = self.committed_run_dirs()
+        if not dirs:
+            return None
+        df = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            df = df.unionByName(spark.read.parquet(d))
+        return df
+
+    def totals(self) -> dict:
+        agg: dict[str, int] = {}
+        for snap in self.snapshots():
+            for k, v in snap["totals"].items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
+
+    # -- writes -------------------------------------------------------------
+
+    def new_run(self) -> tuple[int, str]:
+        """(snapshot_id, run data dir) for the next commit."""
+        cur = self.current_snapshot_id()
+        sid = (cur + 1) if cur is not None else 1
+        run = f"run_{sid:06d}"
+        return sid, os.path.join(self.data_dir, run)
+
+    def commit(self, sid: int, buckets: list[int],
+               manifests: dict[int, dict], totals: dict) -> None:
+        """Commit a run: per-bucket manifests, then snapshot, then CURRENT
+        (atomic rename). ``manifests[b]`` = counters dict for bucket b."""
+        mdir = os.path.join(self.manifest_dir, str(sid))
+        os.makedirs(mdir, exist_ok=True)
+        run = f"run_{sid:06d}"
+        for b in buckets:
+            m = {"snapshot_id": sid, "bucket": int(b), "run": run,
+                 "counters": manifests.get(int(b),
+                                           {"pages": 0, "regions": 0,
+                                            "chars": 0, "failures": 0})}
+            with open(os.path.join(mdir, f"part-{int(b):05d}.json"), "w") as f:
+                json.dump(m, f)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": self.current_snapshot_id(),
+            "run": run,
+            "buckets": sorted(int(b) for b in buckets),
+            "totals": totals,
+            "committed_at_unix": int(time.time()),
+        }
+        tmp = self._snapshot_path(sid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.rename(tmp, self._snapshot_path(sid))
+        cur_tmp = os.path.join(self.snapshot_dir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.rename(cur_tmp, os.path.join(self.snapshot_dir, "CURRENT"))
+
+    def manifests_for(self, sid: int) -> list[dict]:
+        mdir = os.path.join(self.manifest_dir, str(sid))
+        out = []
+        for name in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        return out
+
+    def gc_uncommitted(self) -> list[str]:
+        """Delete orphaned run dirs (crashed runs that never committed)."""
+        keep = {f"run_{s['snapshot_id']:06d}" for s in self.snapshots()}
+        removed = []
+        for name in os.listdir(self.data_dir):
+            if name.startswith("run_") and name not in keep:
+                shutil.rmtree(os.path.join(self.data_dir, name))
+                removed.append(name)
+        return removed

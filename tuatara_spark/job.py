@@ -1,0 +1,130 @@
+"""The extraction job: spark-submit entry point with resume + lineage.
+
+Flow (one run):
+  read pages → url-hash bucket + skew salt → drop already-committed buckets
+  (resume from last snapshot) → explicit (bucket, salt) shuffle → Arrow-UDF
+  extraction → write parquet hive-partitioned by bucket → aggregate
+  per-bucket counters → commit snapshot + manifests.
+
+Buckets are processed in ``groups`` micro-batches, one snapshot each, so a
+mid-job failure loses at most one group and the next invocation resumes
+from the last committed snapshot (north_rule). ``fail_after_groups`` is a
+test hook that simulates the crash.
+
+Usage:
+  spark-submit --py-files tuatara_spark.zip -m tuatara_spark.job \
+      --input pages.parquet --output /table/root
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tuatara_spark import engine, partitioning as pt
+from tuatara_spark import weights as wt
+from tuatara_spark.catalog import Catalog
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the fail_after_groups test hook."""
+
+
+def _bucket_counters(out_df: DataFrame) -> dict[int, dict]:
+    rows = (out_df.groupBy("part_id")
+            .agg(F.count("*").alias("pages"),
+                 F.sum("n_regions").alias("regions"),
+                 F.sum("n_chars").alias("chars"),
+                 F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                 .alias("failures"))
+            .collect())
+    return {int(r.part_id): {"pages": int(r.pages),
+                             "regions": int(r.regions or 0),
+                             "chars": int(r.chars or 0),
+                             "failures": int(r.failures or 0)}
+            for r in rows}
+
+
+def run_extract(spark: SparkSession, input_path: str, output_root: str,
+                num_buckets: int = pt.DEFAULT_NUM_BUCKETS,
+                groups: int = 1,
+                num_tasks: int | None = None,
+                heavy_bytes: int = pt.DEFAULT_HEAVY_BYTES,
+                weights_seed: int = 42,
+                fail_after_groups: int | None = None) -> dict:
+    """Run (or resume) the extraction job. Returns a summary dict."""
+    cat = Catalog(output_root)
+    done = cat.committed_buckets()
+    if num_tasks is None:
+        num_tasks = spark.sparkContext.defaultParallelism * 2
+
+    pages = spark.read.parquet(input_path)
+    pages = pt.with_bucket(pages, num_buckets)
+    remaining = sorted(set(range(num_buckets)) - done)
+    if not remaining:
+        return {"resumed": True, "groups_run": 0, "buckets": [],
+                "totals": cat.totals()}
+
+    w = wt.build_weights(weights_seed)
+    group_size = max(1, -(-len(remaining) // groups))
+    chunks = [remaining[i:i + group_size]
+              for i in range(0, len(remaining), group_size)]
+
+    groups_run = 0
+    all_buckets: list[int] = []
+    for chunk in chunks:
+        sid, run_dir = cat.new_run()
+        sub = pages.filter(F.col("part_id").isin([int(b) for b in chunk]))
+        sub = pt.with_salt(sub, heavy_bytes=heavy_bytes)
+        sub = pt.distribute(sub, num_tasks)
+        out = engine.extract_df(sub.drop("salt"), weights=w)
+        (out.write.mode("overwrite").partitionBy("part_id").parquet(run_dir))
+        # counters from the data just written (no recompute of the UDF);
+        # a group whose buckets held no rows writes no parquet files
+        has_files = bool(glob.glob(os.path.join(run_dir, "**", "*.parquet"),
+                                   recursive=True))
+        if has_files:
+            written = spark.read.parquet(run_dir)
+            counters = _bucket_counters(written)
+        else:
+            counters = {}
+        totals = {
+            "pages": sum(c["pages"] for c in counters.values()),
+            "regions": sum(c["regions"] for c in counters.values()),
+            "chars": sum(c["chars"] for c in counters.values()),
+            "failures": sum(c["failures"] for c in counters.values()),
+        }
+        # buckets with zero rows still count as committed (processed-empty)
+        cat.commit(sid, [int(b) for b in chunk], counters, totals)
+        groups_run += 1
+        all_buckets.extend(chunk)
+        if fail_after_groups is not None and groups_run >= fail_after_groups:
+            raise InjectedFailure(f"injected failure after {groups_run} groups")
+    return {"resumed": bool(done), "groups_run": groups_run,
+            "buckets": all_buckets, "totals": cat.totals()}
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="tuatara_spark extraction job")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-buckets", type=int, default=pt.DEFAULT_NUM_BUCKETS)
+    p.add_argument("--groups", type=int, default=4)
+    p.add_argument("--num-tasks", type=int, default=None)
+    p.add_argument("--heavy-bytes", type=int, default=pt.DEFAULT_HEAVY_BYTES)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    spark = SparkSession.builder.appName("tuatara-extract").getOrCreate()
+    summary = run_extract(spark, args.input, args.output,
+                          num_buckets=args.num_buckets, groups=args.groups,
+                          num_tasks=args.num_tasks,
+                          heavy_bytes=args.heavy_bytes,
+                          weights_seed=args.seed)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()
