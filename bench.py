@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline workload mirrors the engine's production shape:
+  * ocr_extract_pages — the full extraction job over a synthesized TPAGE
+    pages table (size scales with sf; includes 2048² skew pages) with
+    url-hash bucketing + salting, measured end-to-end;
+  * minhash_lsh_pairs / simhash_pairs — near-dup dedup over documents;
+  * ann_cosine_topk — brute-force cosine top-k over embeddings;
+  * dedup_exact_groups, quality_score, reading_order — relational ops.
+
+Pages are synthesized once per (sf, size) and cached under .bench_cache/
+(gitignored) so repeated runs measure Spark, not the fixture generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from tuatara_spark import engine, fixtures as fx, partitioning as pt  # noqa: E402
+from tuatara_spark import queries as Q  # noqa: E402
+from tuatara_spark import weights as wt  # noqa: E402
+from tuatara_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_pages_path(sf: float) -> tuple[str, int]:
+    """Synthesize (once) the TPAGE pages table for this sf."""
+    n_small = max(64, int(40960 * sf))
+    n_large = max(1, int(40 * sf))
+    cache = os.path.join(REPO_ROOT, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_sf{sf}.parquet")
+    if not os.path.exists(path):
+        df = fx.make_pages(n_small, seed=42, n_large=n_large)
+        fx.pages_to_parquet(df, path)
+    return path, n_small + n_large
+
+
+def run(spark, sf_dir: str) -> tuple[dict, dict]:
+    sf = sf_of(sf_dir)
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    # -- extraction end-to-end (the headline) --
+    pages_path, n_pages = bench_pages_path(sf)
+    w = wt.build_weights(42)
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path)
+    pages = pt.with_salt(pt.with_bucket(pages, 64))
+    pages = pt.distribute(pages, spark.sparkContext.defaultParallelism * 2)
+    out = engine.extract_df(pages.drop("salt"), weights=w)
+    n_rows, n_chars = out.selectExpr(
+        "count(*) AS n", "sum(n_chars) AS c").collect()[0]
+    dt = time.time() - t0
+    timings["ocr_extract_pages"] = round(dt, 3)
+    extra["pages"] = int(n_rows)
+    extra["pages_per_sec"] = round(n_rows / dt, 2)
+    extra["extracted_chars"] = int(n_chars)
+
+    # -- relational / dedup / similarity ops --
+    plan = [
+        ("minhash_lsh_pairs", Q.q_minhash_lsh_pairs),
+        ("simhash_pairs", Q.q_simhash_pairs),
+        ("ann_cosine_topk", Q.q_ann_cosine_topk),
+        ("dedup_exact_groups", Q.q_dedup_exact_groups),
+        ("quality_score_documents", Q.q_quality_score_documents),
+        ("reading_order_events", Q.q_reading_order_events),
+        ("ocr_extract_docs", Q.q_ocr_extract_docs),
+    ]
+    for name, fn in plan:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings, extra
+
+
+def main() -> None:
+    spark = get_spark("tuatara-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, extra = run(spark, SF_DIR)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "cpus": CPUS,
+        **extra,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All shingling/hashing/banding is native Catalyst expressions
+(``transform``/``aggregate``/``xxhash64``/``zip_with`` — JVM-side,
+whole-stage-codegen; no Python UDFs). Candidate generation uses band-bucket
+self-joins (the standard LSH trick) so the shuffle is on band keys, never a
+quadratic cross join; verification joins back the shingle sets.
+
+Scale notes (100 TB): the band join shuffles (band_idx, band_hash) pairs —
+cardinality ≈ rows × bands, small fixed fan-out; skewed buckets (boilerplate
+near-identical docs) are bounded by per-bucket pair caps in the caller or a
+salted groupBy count pre-filter. Signatures are fixed-width arrays, so the
+shuffle rows are narrow even for huge documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# ---------------------------------------------------------------- exact ----
+
+def exact_groups(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the kept
+    (minimum) id and the duplicate count."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def keep_first(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the first id per text (window row_number)."""
+    wnd = Window.partitionBy(text_col).orderBy(id_col)
+    return (df.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+# ------------------------------------------------------------- shingles ----
+
+def shingle_expr(text_col: str, k: int = 5):
+    """Array of lowercase character k-grams — pure Catalyst."""
+    lc = f"lower({text_col})"
+    return F.expr(
+        f"CASE WHEN length({lc}) < {k} THEN array(lower({text_col})) "
+        f"ELSE array_distinct(transform(sequence(1, length({lc}) - {k} + 1), "
+        f"i -> substring({lc}, i, {k}))) END")
+
+
+# ----------------------------------------------------------- MinHash-LSH ---
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_perm: int = 32, k: int = 5) -> DataFrame:
+    """Add ``shingles`` and a ``sig`` array of num_perm minhash values:
+    sig[j] = min over shingles of xxhash64(shingle, j)."""
+    out = df.withColumn("shingles", shingle_expr(text_col, k))
+    mins = [F.array_min(F.expr(
+        f"transform(shingles, s -> xxhash64(s, {j}))")).alias(f"_m{j}")
+        for j in range(num_perm)]
+    out = out.select("*", F.array(*mins).alias("sig"))
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 32,
+                      bands: int = 8, k: int = 5,
+                      threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate pairs by MinHash banding + exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(df, text_col, num_perm, k) \
+        .select(F.col(id_col).alias("_id"), "shingles", "sig")
+    band_cols = F.array(*[
+        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                   F.lit(b)).alias(f"b{b}")
+        for b in range(bands)])
+    banded = sig.select(
+        "_id", "shingles",
+        F.posexplode(band_cols).alias("band_idx", "band_hash"))
+    left = banded.select(F.col("_id").alias("id_a"),
+                         F.col("shingles").alias("sh_a"),
+                         "band_idx", "band_hash")
+    right = banded.select(F.col("_id").alias("id_b"),
+                          F.col("shingles").alias("sh_b"),
+                          "band_idx", "band_hash")
+    cand = (left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_dedup_keep_first(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop near-duplicates: keep the smallest id of each near-dup pair
+    cluster (single-link via pair anti-join — a doc is dropped if it is the
+    larger side of any qualifying pair)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+# --------------------------------------------------------------- SimHash ---
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a 64-bit SimHash over whitespace tokens — one Catalyst
+    ``aggregate`` over the token array (no explode, no shuffle)."""
+    expr = f"""
+      aggregate(
+        split(lower(trim({text_col})), '\\\\s+'),
+        array_repeat(0L, 64),
+        (acc, t) -> zip_with(acc,
+            transform(sequence(0, 63),
+                      i -> CASE WHEN (shiftright(xxhash64(t), i) & 1L) = 1L
+                           THEN 1L ELSE -1L END),
+            (a, b) -> a + b))
+    """
+    bits = f"""
+      aggregate(
+        transform(sequence(0, 63),
+                  i -> CASE WHEN element_at(_sh_acc, i + 1) > 0
+                       THEN shiftleft(1L, i) ELSE 0L END),
+        0L, (a, b) -> a | b)
+    """
+    return (df.withColumn("_sh_acc", F.expr(expr))
+            .withColumn("simhash", F.expr(bits))
+            .drop("_sh_acc"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
+    generation: 4× 16-bit chunk banding (a pair within Hamming 3 must agree
+    on at least one chunk); verification: bit_count(xor)."""
+    sh = simhash64(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    chunks = F.array(*[
+        ((F.shiftright("simhash", 16 * c)).bitwiseAND(F.lit(0xFFFF)))
+        .alias(f"c{c}") for c in range(4)])
+    banded = sh.select("_id", "simhash",
+                       F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    left = banded.select(F.col("_id").alias("id_a"),
+                         F.col("simhash").alias("sh_a"),
+                         "chunk_idx", "chunk_val")
+    right = banded.select(F.col("_id").alias("id_b"),
+                          F.col("simhash").alias("sh_b"),
+                          "chunk_idx", "chunk_val")
+    cand = (left.join(right, ["chunk_idx", "chunk_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------- n-gram Jaccard ----
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, LSH-blocked: reuses the MinHash
+    band join for candidates (never quadratic) but reports the exact k-gram
+    Jaccard with its own (k, threshold)."""
+    return minhash_lsh_pairs(df, text_col, id_col, num_perm=16, bands=8,
+                             k=k, threshold=threshold)

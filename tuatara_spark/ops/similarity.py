@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path (bucket the corpus once, probe only
+matching/adjacent buckets). All vector math is Catalyst ``zip_with`` +
+``aggregate`` — JVM-side, no Python UDFs, columnar-friendly.
+
+Scale notes (100 TB): brute force is a full scan per query — fine for
+offline joins, wrong for online probes; the LSH variant turns a probe into
+a bucket-pruned scan (the bucket column is a cheap persisted/partition
+column). For batched query sets, broadcast the (small) query table and let
+the bucket equi-join prune.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _lit_vec(vec) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot_expr(col: str, other) -> "F.Column":
+    """Sequential-fold dot product in double precision (deterministic
+    accumulation order; per-element double products so float32 inputs
+    match an ANSI-SQL ::DOUBLE oracle exactly)."""
+    prods = F.zip_with(F.col(col), other,
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(col: str) -> "F.Column":
+    return F.sqrt(F.aggregate(
+        F.col(col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k against a constant query vector.
+    Returns the raw double cosine — callers round/scale for presentation."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    cos = dot_expr(vec_col, _lit_vec(q)) / (norm_expr(vec_col) * F.lit(qn))
+    return (df.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Add a sign-LSH ``bucket`` (one bit per hyperplane). At scale this is
+    computed once and persisted / used as a partition column."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        bit = F.when(dot_expr(vec_col, _lit_vec(p)) > 0, F.lit(1 << i)) \
+            .otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
+             seed: int = 7, vec_col: str = "embedding",
+             id_col: str = "vec_id", probe_hamming: int = 1) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose LSH bucket is
+    within ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(len(q), n_planes, seed)
+    qbits = sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0)
+    probe = [qbits]
+    if probe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    bucketed = with_lsh_bucket(df, planes, vec_col)
+    pruned = bucketed.filter(F.col("bucket").isin(probe))
+    return cosine_topk(pruned, q, k, vec_col, id_col)
+
+
+def norm_stats(df: DataFrame, vec_col: str = "embedding",
+               label_col: str = "label") -> DataFrame:
+    """Per-label embedding norm statistics (sanity/quality op)."""
+    return (df.select(label_col, norm_expr(vec_col).alias("nrm"))
+            .groupBy(label_col)
+            .agg(F.count("*").alias("n_vecs"),
+                 F.avg("nrm").alias("avg_norm"),
+                 F.max("nrm").alias("max_norm"))
+            .orderBy(label_col))

@@ -1,0 +1,87 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID
+heuristics, document fingerprinting. Pure Catalyst expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "es": [" el ", " la "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+}
+
+
+def _count_occurrences(text_col: str, needle: str) -> "F.Column":
+    """Occurrences of a literal substring (length-delta trick — identical
+    semantics in ANSI SQL for the DuckDB oracle)."""
+    n = len(needle)
+    return ((F.length(text_col)
+             - F.length(F.replace(F.col(text_col), F.lit(needle), F.lit(""))))
+            / F.lit(n)).cast("int")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a word-ish regex token count (BPE-ish
+    pre-tokenization: runs of alphanumerics or single punctuation)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    wordish = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    return df.select(id_col, ws.alias("ws_tokens"),
+                     wordish.alias("regex_tokens"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / alpha-ratio / stopword-ratio quality features + a composite
+    score — the standard cheap web-text quality gates."""
+    total = F.length(text_col)
+    alpha = F.length(F.regexp_replace(text_col, "[^a-z]", ""))
+    spaces = F.length(text_col) - F.length(F.replace(F.col(text_col),
+                                                     F.lit(" "), F.lit("")))
+    the_cnt = _count_occurrences(text_col, " the ")
+    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # raw doubles — callers floor-scale for presentation/oracle comparison
+    return df.select(id_col, total.alias("n_bytes"),
+                     ws_tokens.alias("ws_tokens"),
+                     (alpha / total).alias("alpha_ratio"),
+                     (spaces / total).alias("space_ratio"),
+                     (the_cnt / ws_tokens).alias("stop_ratio"),
+                     (alpha / total * F.lit(0.7)
+                      + the_cnt / ws_tokens * F.lit(0.3)).alias("quality"))
+
+
+def lang_markers(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: stopword-marker counts per language and the
+    argmax prediction (n-gram/stopword heuristic; deterministic)."""
+    cols = {lang: sum(_count_occurrences(text_col, m) for m in markers)
+            for lang, markers in LANG_MARKERS.items()}
+    pred = F.lit("unk")
+    best = F.lit(0)
+    for lang in sorted(cols):  # deterministic tie-break: first alphabetical
+        c = cols[lang]
+        pred = F.when(c > best, F.lit(lang)).otherwise(pred)
+        best = F.when(c > best, c).otherwise(best)
+    sel = [F.col(id_col)] + \
+        [cols[lang].alias(f"{lang}_markers") for lang in sorted(cols)] + \
+        [pred.alias("pred_lang")]
+    return df.select(*sel)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Document fingerprints: a whole-text hash and a winnowing-style
+    min-k-gram fingerprint (min md5 over character k-grams — stable across
+    whitespace-preserving edits elsewhere in the doc)."""
+    lc = f"lower({text_col})"
+    grams = (f"CASE WHEN length({lc}) < {k} THEN array(lower({text_col})) "
+             f"ELSE transform(sequence(1, length({lc}) - {k} + 1), "
+             f"i -> substring({lc}, i, {k})) END")
+    return df.select(
+        id_col,
+        F.md5(text_col).alias("text_md5"),
+        F.expr(f"array_min(transform({grams}, g -> md5(g)))")
+        .alias("min_kgram_md5"))

@@ -1,0 +1,489 @@
+"""Driver-contract query catalog (__spark_entry__.py delegates here).
+
+Each entry is a named (spark, sf_dir) -> DataFrame callable, most with an
+ANSI-SQL DuckDB oracle over the same parquet tables. Conventions that keep
+the cross-engine value-hash comparison exact:
+
+* numeric outputs derived from floats are floor-scaled ints
+  (``floor(x*10^k + 0.5)``) — IEEE double ops are deterministic in both
+  engines, while round() tie rules differ;
+* every computed column is aliased identically in Spark and SQL;
+* xxhash64-based operators (minhash/simhash/LSH) have no DuckDB
+  equivalent → registered without an oracle (driver records a rows-only
+  check); their semantics are pinned by pytest instead.
+
+The flagship ``ocr_extract_docs`` renders TPAGE pages from documents.text
+and runs the REAL extraction engine; its oracle is a pure string transform
+— the extractor must reproduce the cleaned text exactly (the sandbox
+restatement of "byte-identical extracted text per url").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tuatara_spark import fixtures as fx
+from tuatara_spark import weights as wt
+from tuatara_spark.ops import dedup, multimodal, similarity, textstats
+from tuatara_spark.ref import pipeline as pl
+
+# --- shared cleaning expression (Spark 3-arg / DuckDB needs the 'g' flag) --
+_CLEAN_RE = r"[^!-~]|\]"
+CLEAN_SPARK = f"substring(regexp_replace(text, '{_CLEAN_RE}', ''), 1, 12)"
+CLEAN_DUCK = f"substr(regexp_replace(text, '{_CLEAN_RE}', '', 'g'), 1, 12)"
+
+_N_OCR_DOCS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: render pages from documents.text → real extraction engine
+# ---------------------------------------------------------------------------
+
+def _render_extract_fn(weights_bc):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = weights_bc.value if hasattr(weights_bc, "value") else weights_bc
+        font = None
+        for pdf in batches:
+            texts = []
+            for t in pdf["t"]:
+                img, _ = fx.render_page(t or "", 256, 256, 4, font=font)
+                texts.append(pl.extract_page(img, params)["text"])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": texts})
+    return fn
+
+
+def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → cleaned/truncated → rendered TPAGE page → full
+    detection+recognition+decode pipeline → extracted text per doc."""
+    docs = (_docs(spark, sf_dir)
+            .orderBy("doc_id").limit(_N_OCR_DOCS)
+            .selectExpr("doc_id", f"{CLEAN_SPARK} AS t"))
+    bc = spark.sparkContext.broadcast(wt.build_weights(42))
+    schema = "doc_id long, text string"
+    return docs.mapInPandas(_render_extract_fn(bc), schema)
+
+
+# Oracle: render wraps lines at 4 glyphs (256² page, s=4) → the extracted
+# reading-order text is the cleaned string re-wrapped with newlines.
+_OCR_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT {_N_OCR_DOCS}
+)
+SELECT doc_id,
+       concat_ws(chr(10),
+                 nullif(substr(t, 1, 4), ''),
+                 nullif(substr(t, 5, 4), ''),
+                 nullif(substr(t, 9, 4), '')) AS text
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-mirror relational queries (reference stage → SQL semantics)
+# ---------------------------------------------------------------------------
+
+def q_reading_order_events(spark, sf_dir):
+    """S28 reading-order sort as a window: rank events per user by time."""
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (_events(spark, sf_dir)
+            .select("event_id", "user_id",
+                    F.row_number().over(wnd).alias("rn")))
+
+
+_READING_ORDER_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+def q_minmax_normalize_events(spark, sf_dir):
+    """S6 min-max normalization per group (tuatara.cpp:120-121), with the
+    constant-map guard; floor-scaled to e6 ints."""
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("event_type")
+    mn, mx = F.min("value").over(wnd), F.max("value").over(wnd)
+    norm = F.when(mx > mn, (F.col("value") - mn) / (mx - mn)).otherwise(F.lit(0.0))
+    return (_events(spark, sf_dir)
+            .select("event_id",
+                    F.floor(norm * 1e6 + F.lit(0.5)).cast("long")
+                    .alias("norm_e6")))
+
+
+_MINMAX_SQL = """
+SELECT event_id,
+       CAST(floor(CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END
+                  * 1000000 + 0.5) AS BIGINT) AS norm_e6
+FROM (SELECT event_id, value,
+             min(value) OVER (PARTITION BY event_type) AS mn,
+             max(value) OVER (PARTITION BY event_type) AS mx
+      FROM events)
+"""
+
+
+def q_threshold_combine_lineitem(spark, sf_dir):
+    """S7+S8: two binary thresholds combined and clipped (strict >)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = (F.col("l_quantity") > 25).cast("int")
+    b = (F.col("l_discount") > 0.04).cast("int")
+    comb = F.least(F.lit(1), a + b)
+    return (li.select(comb.alias("combined"))
+            .groupBy("combined").agg(F.count("*").alias("n"))
+            .orderBy("combined"))
+
+
+_THRESHOLD_SQL = """
+SELECT least(1, CAST(l_quantity > 25 AS INT) + CAST(l_discount > 0.04 AS INT))
+         AS combined,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_component_filter_events(spark, sf_dir):
+    """S10+S11: drop groups below an area threshold or whose peak misses
+    text_threshold×global max (tuatara.cpp:146-154)."""
+    ev = _events(spark, sf_dir)
+    gmax = ev.agg(F.max("value")).collect()[0][0]
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.floor(F.max("value") * 1e4 + F.lit(0.5)).cast("long")
+                 .alias("peak_e4"))
+            .filter((F.col("n_events") >= 10)
+                    & (F.col("peak_e4") >= F.lit(int(gmax * 1e4 + 0.5) * 0.7)))
+            .orderBy("user_id"))
+
+
+_COMPONENT_SQL = """
+WITH g AS (SELECT max(value) AS gmax FROM events)
+SELECT user_id, count(*) AS n_events,
+       CAST(floor(max(value) * 10000 + 0.5) AS BIGINT) AS peak_e4
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 10
+   AND CAST(floor(max(value) * 10000 + 0.5) AS BIGINT)
+       >= (SELECT CAST(floor(gmax * 10000 + 0.5) AS BIGINT) * 0.7 FROM g)
+ORDER BY user_id
+"""
+
+
+def q_round_half_away_events(spark, sf_dir):
+    """Quirk Q7: std::round = half away from zero — floor(x+0.5) for the
+    non-negative coords the pipeline produces (tuatara.cpp:267-270)."""
+    return (_events(spark, sf_dir)
+            .select("event_id",
+                    F.floor(F.col("value") + F.lit(0.5)).cast("long")
+                    .alias("rounded")))
+
+
+_ROUND_SQL = """
+SELECT event_id, CAST(floor(value + 0.5) AS BIGINT) AS rounded FROM events
+"""
+
+
+def q_eos_truncate_documents(spark, sf_dir):
+    """S25 EOS truncation semantics: cut at the first delimiter
+    (tuatara.cpp:495-505; delimiter ' ' since the charset has no space)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.substring_index("text", " ", 1).alias("first_token")))
+
+
+_EOS_SQL = """
+SELECT doc_id, split_part(text, ' ', 1) AS first_token FROM documents
+"""
+
+
+def q_counters_by_lang(spark, sf_dir):
+    """Lineage-manifest-style counters (S29): pages/chars per lang."""
+    return (_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count("*").alias("pages"),
+                 F.sum("n_chars").alias("chars"),
+                 F.floor(F.avg("n_chars") * 1e4 + F.lit(0.5)).cast("long")
+                 .alias("avg_chars_e4"))
+            .orderBy("lang"))
+
+
+_COUNTERS_SQL = """
+SELECT lang, count(*) AS pages, sum(n_chars) AS chars,
+       CAST(floor(avg(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars_e4
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_salted_histogram_documents(spark, sf_dir):
+    """Partitioning diagnostics: bucket histogram under an
+    overflow-safe arithmetic hash (portable across engines)."""
+    bucket = ((F.col("doc_id") % 97) * 31 + F.col("n_chars") % 89) % 16
+    return (_docs(spark, sf_dir)
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("bucket"))
+
+
+_SALTED_SQL = """
+SELECT ((doc_id % 97) * 31 + n_chars % 89) % 16 AS bucket,
+       count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_skew_cost_buckets(spark, sf_dir):
+    """Cost-bucket classification feeding the skew salting policy."""
+    cost = (F.when(F.col("n_chars") >= 400, F.lit("heavy"))
+            .when(F.col("n_chars") >= 150, F.lit("mid"))
+            .otherwise(F.lit("light")))
+    return (_docs(spark, sf_dir)
+            .groupBy(cost.alias("cost_bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("cost_bucket"))
+
+
+_SKEW_SQL = """
+SELECT CASE WHEN n_chars >= 400 THEN 'heavy'
+            WHEN n_chars >= 150 THEN 'mid' ELSE 'light' END AS cost_bucket,
+       count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return (dedup.exact_groups(_docs(spark, sf_dir))
+            .orderBy("text_hash"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_keep_first_ids(spark, sf_dir):
+    return (dedup.keep_first(_docs(spark, sf_dir))
+            .select("doc_id").orderBy("doc_id"))
+
+
+_DEDUP_KEEP_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_token_count_documents(spark, sf_dir):
+    return (textstats.token_count(_docs(spark, sf_dir))
+            .select("doc_id", "ws_tokens").orderBy("doc_id"))
+
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_score_documents(spark, sf_dir):
+    q = textstats.quality_score(_docs(spark, sf_dir))
+    return (q.select("doc_id", "n_bytes", "ws_tokens",
+                     F.floor(F.col("alpha_ratio") * 1e4 + F.lit(0.5))
+                     .cast("long").alias("alpha_e4"))
+            .orderBy("doc_id"))
+
+
+_QUALITY_SQL = r"""
+SELECT doc_id, length(text) AS n_bytes,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       CAST(floor(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  * 1.0 / length(text) * 10000 + 0.5) AS BIGINT) AS alpha_e4
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_markers_documents(spark, sf_dir):
+    return (textstats.lang_markers(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+def _markers_sql():
+    cols = []
+    for lang in sorted(textstats.LANG_MARKERS):
+        parts = " + ".join(
+            f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS INT)"
+            for m in textstats.LANG_MARKERS[lang])
+        cols.append(f"({parts}) AS {lang}_markers")
+    # argmax with first-alphabetical tie-break, mirroring textstats
+    langs = sorted(textstats.LANG_MARKERS)
+    pred = "'unk'"
+    best = "0"
+    for lang in langs:
+        c = f"{lang}_markers"
+        pred = f"CASE WHEN {c} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, {c})"
+    return (f"SELECT doc_id, {', '.join(f'{lang}_markers' for lang in langs)},"
+            f" {pred} AS pred_lang FROM (SELECT doc_id, {', '.join(cols)} "
+            f"FROM documents) ORDER BY doc_id")
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    return (textstats.fingerprint(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS text_md5,
+       CASE WHEN length(lower(text)) < 8 THEN md5(lower(text))
+            ELSE list_min([md5(substr(lower(text), i, 8))
+                           for i in range(1, length(lower(text)) - 8 + 2)])
+       END AS min_kgram_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+_ANN_QUERY_VEC = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = similarity.cosine_topk(emb, _ANN_QUERY_VEC, k=20)
+    return top.select("vec_id",
+                      F.floor(F.col("cosine") * 1e4 + F.lit(0.5))
+                      .cast("long").alias("cos_e4"))
+
+
+def _ann_sql():
+    q = ", ".join(str(v) for v in _ANN_QUERY_VEC)
+    return f"""
+WITH p AS (SELECT [{q}]::DOUBLE[] AS q),
+     s AS (
+  SELECT vec_id,
+         list_sum([embedding[i]::DOUBLE * q[i] for i in range(1, 65)])
+           / (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                             for i in range(1, 65)]))
+              * sqrt(list_sum([q[i] * q[i] for i in range(1, 65)]))) AS cos
+  FROM embeddings, p)
+SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM s ORDER BY cos DESC, vec_id LIMIT 20
+"""
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = similarity.norm_stats(emb)
+    return s.select("label", "n_vecs",
+                    F.floor(F.col("avg_norm") * 1e4 + F.lit(0.5)).cast("long")
+                    .alias("avg_norm_e4"))
+
+
+_NORM_SQL = """
+SELECT label, count(*) AS n_vecs,
+       CAST(floor(avg(nrm) * 10000 + 0.5) AS BIGINT) AS avg_norm_e4
+FROM (SELECT label,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            for i in range(1, 65)])) AS nrm
+      FROM embeddings)
+GROUP BY label ORDER BY label
+"""
+
+
+# --- rows-only queries (xxhash64-based; no DuckDB equivalent) ---------------
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.25)
+            .select("id_a", "id_b",
+                    F.floor(F.col("jaccard") * 1e4 + F.lit(0.5)).cast("long")
+                    .alias("jaccard_e4"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+            .orderBy("id_a", "id_b"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = similarity.lsh_topk(emb, _ANN_QUERY_VEC, k=20, n_planes=8)
+    return top.select("vec_id",
+                      F.floor(F.col("cosine") * 1e4 + F.lit(0.5)).cast("long")
+                      .alias("cos_e4"))
+
+
+def q_media_meta_docs(spark, sf_dir):
+    """Multimodal plumbing: render TPAGE payloads from documents, then
+    decode typed metadata via mapInPandas (real decode for TPAGE)."""
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(16)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS t"))
+
+    def render(batches):
+        for pdf in batches:
+            payloads = [fx.encode_tpage(fx.render_page(t or "", 256, 256, 4)[0])
+                        for t in pdf["t"]]
+            yield pd.DataFrame({"url": pdf["url"], "html": payloads})
+
+    pages = docs.mapInPandas(render, "url string, html binary")
+    meta = multimodal.extract_media_meta(pages)
+    return (meta.select("url", "format", "width", "height", "n_bytes",
+                        F.floor(F.col("mean_luma") * 100 + F.lit(0.5))
+                        .cast("long").alias("luma_e2"))
+            .orderBy("url"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql_or_None)
+    "ocr_extract_docs": (q_ocr_extract_docs, _OCR_ORACLE),
+    "reading_order_events": (q_reading_order_events, _READING_ORDER_SQL),
+    "minmax_normalize_events": (q_minmax_normalize_events, _MINMAX_SQL),
+    "threshold_combine_lineitem": (q_threshold_combine_lineitem, _THRESHOLD_SQL),
+    "component_filter_events": (q_component_filter_events, _COMPONENT_SQL),
+    "round_half_away_events": (q_round_half_away_events, _ROUND_SQL),
+    "eos_truncate_documents": (q_eos_truncate_documents, _EOS_SQL),
+    "counters_by_lang": (q_counters_by_lang, _COUNTERS_SQL),
+    "salted_histogram_documents": (q_salted_histogram_documents, _SALTED_SQL),
+    "skew_cost_buckets": (q_skew_cost_buckets, _SKEW_SQL),
+    "dedup_exact_groups": (q_dedup_exact_groups, _DEDUP_EXACT_SQL),
+    "dedup_keep_first_ids": (q_dedup_keep_first_ids, _DEDUP_KEEP_SQL),
+    "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
+    "quality_score_documents": (q_quality_score_documents, _QUALITY_SQL),
+    "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
+    "fingerprint_documents": (q_fingerprint_documents, _FINGERPRINT_SQL),
+    "ann_cosine_topk": (q_ann_cosine_topk, _ann_sql()),
+    "embedding_norm_stats": (q_embedding_norm_stats, _NORM_SQL),
+    # rows-only (xxhash64 / rendered-payload based)
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "media_meta_docs": (q_media_meta_docs, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql}
