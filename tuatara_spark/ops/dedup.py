@@ -62,34 +62,67 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return out
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket BEFORE the self-join.
+
+    An LSH bucket with m members yields m²/2 candidate pairs; boilerplate
+    clusters (near-identical docs) make m huge and the join quadratic. Such
+    clusters are exact-dedup territory, not pairwise-verify territory, so
+    oversized buckets are excluded deterministically (no sampling). This is
+    the explicit skew control for the band join — AQE can't save a
+    self-join whose key multiplicity is quadratic by construction.
+    """
+    if max_bucket is None:
+        return banded
+    from pyspark.sql import Window
+    cnt = F.count("*").over(Window.partitionBy(*keys))
+    return (banded.withColumn("_bn", cnt)
+            .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 32,
                       bands: int = 8, k: int = 5,
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6,
+                      max_bucket: int | None = 50,
+                      verify_partitions: int = 64) -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Band buckets larger than ``max_bucket`` are dropped (see _cap_buckets).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signature(df, text_col, num_perm, k) \
         .select(F.col(id_col).alias("_id"), "shingles", "sig")
+    # Persist once: the self-join would otherwise recompute the whole
+    # signature pipeline on BOTH sides (shingling is the expensive part).
+    sig = sig.persist()
     band_cols = F.array(*[
         F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band),
                    F.lit(b)).alias(f"b{b}")
         for b in range(bands)])
+    # Band join carries ONLY (id, band) — narrow shuffle rows; shingle
+    # arrays join back after the distinct-pair reduction.
     banded = sig.select(
-        "_id", "shingles",
-        F.posexplode(band_cols).alias("band_idx", "band_hash"))
-    left = banded.select(F.col("_id").alias("id_a"),
-                         F.col("shingles").alias("sh_a"),
-                         "band_idx", "band_hash")
-    right = banded.select(F.col("_id").alias("id_b"),
-                          F.col("shingles").alias("sh_b"),
-                          "band_idx", "band_hash")
+        "_id", F.posexplode(band_cols).alias("band_idx", "band_hash"))
+    banded = _cap_buckets(banded, ["band_idx", "band_hash"], max_bucket)
+    left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_hash")
     cand = (left.join(right, ["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-            .dropDuplicates(["id_a", "id_b"]))
+            .select("id_a", "id_b")
+            .distinct()
+            # exact-Jaccard verification is the expensive stage (array ops
+            # per pair); explicit repartition keeps it wide — AQE would
+            # coalesce this small-bytes/heavy-cpu shuffle to one task
+            .repartition(verify_partitions))
+    sh = sig.select("_id", "shingles")
+    cand = (cand
+            .join(sh.select(F.col("_id").alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("_id").alias("id_b"),
+                            F.col("shingles").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (cand.withColumn("jaccard", inter / union)
@@ -109,42 +142,51 @@ def minhash_dedup_keep_first(df: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------------- SimHash ---
 
-def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a 64-bit SimHash over whitespace tokens — one Catalyst
-    ``aggregate`` over the token array (no explode, no shuffle)."""
-    expr = f"""
-      aggregate(
-        split(lower(trim({text_col})), '\\\\s+'),
-        array_repeat(0L, 64),
-        (acc, t) -> zip_with(acc,
-            transform(sequence(0, 63),
-                      i -> CASE WHEN (shiftright(xxhash64(t), i) & 1L) = 1L
-                           THEN 1L ELSE -1L END),
-            (a, b) -> a + b))
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Add a 64-bit SimHash over whitespace tokens.
+
+    Implementation: explode tokens → hash once per token → 64 codegen'd
+    conditional-sum aggregates → sign bits OR'd into one long, joined back
+    by id. (A no-shuffle formulation via nested ``aggregate``/``zip_with``
+    exists, but Catalyst interprets higher-order-function lambdas per
+    element — measured 250× slower than this compiled explode+groupBy.)
     """
-    bits = f"""
-      aggregate(
-        transform(sequence(0, 63),
-                  i -> CASE WHEN element_at(_sh_acc, i + 1) > 0
-                       THEN shiftleft(1L, i) ELSE 0L END),
-        0L, (a, b) -> a | b)
-    """
-    return (df.withColumn("_sh_acc", F.expr(expr))
-            .withColumn("simhash", F.expr(bits))
-            .drop("_sh_acc"))
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("_tok")).withColumn("_h", F.xxhash64("_tok"))
+    aggs = [
+        F.sum(F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_b{i}")
+        for i in range(64)]
+    g = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    g = g.select(id_col, sim.alias("simhash"))
+    return df.join(g, id_col)
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  max_bucket: int | None = 50,
+                  verify_partitions: int = 64) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation: 4× 16-bit chunk banding (a pair within Hamming 3 must agree
-    on at least one chunk); verification: bit_count(xor)."""
-    sh = simhash64(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    on at least one chunk); verification: bit_count(xor). Chunk buckets
+    larger than ``max_bucket`` are dropped (see _cap_buckets)."""
+    # Persist: the self-join would recompute the simhash aggregate twice.
+    sh = simhash64(df, text_col).select(F.col(id_col).alias("_id"), "simhash") \
+        .persist()
     chunks = F.array(*[
         ((F.shiftright("simhash", 16 * c)).bitwiseAND(F.lit(0xFFFF)))
         .alias(f"c{c}") for c in range(4)])
     banded = sh.select("_id", "simhash",
                        F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    banded = _cap_buckets(banded, ["chunk_idx", "chunk_val"], max_bucket)
     left = banded.select(F.col("_id").alias("id_a"),
                          F.col("simhash").alias("sh_a"),
                          "chunk_idx", "chunk_val")
@@ -154,7 +196,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     cand = (left.join(right, ["chunk_idx", "chunk_val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b")
-            .dropDuplicates(["id_a", "id_b"]))
+            .dropDuplicates(["id_a", "id_b"])
+            .repartition(verify_partitions))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)

@@ -416,7 +416,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
             .orderBy("id_a", "id_b"))
 
 
