@@ -71,10 +71,10 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
     # -- extraction end-to-end (the headline) --
     pages_path, n_pages = bench_pages_path(sf, spark)
     w = wt.build_weights(42)
-    # warm-up: python-worker imports + broadcast rehydration (one-time
-    # per-executor costs a long-running cluster job amortizes away)
-    engine.extract_df(spark.read.parquet(pages_path).limit(64),
-                      weights=w).count()
+    # warm-up: full untimed pass — forks and warms ALL python workers
+    # (imports + broadcast rehydration; one-time per-executor costs a
+    # long-running cluster job amortizes away)
+    engine.extract_df(spark.read.parquet(pages_path), weights=w).count()
 
     t0 = time.time()
     pages = spark.read.parquet(pages_path)

@@ -143,4 +143,8 @@ def extract_df(df: DataFrame, weights: dict | None = None,
     passthrough = [f.name for f in df.schema.fields
                    if f.name not in CONSUMED_COLS]
     schema = output_schema(df.schema)
-    return df.mapInArrow(make_extractor(bc, passthrough), schema)
+    # Ship ONLY passthrough + payload through the Arrow boundary — e.g. a
+    # raw-text metadata column (input_hint schema) must be pruned at the
+    # scan, not serialized to Python and dropped there.
+    pruned = df.select(*passthrough, "html")
+    return pruned.mapInArrow(make_extractor(bc, passthrough), schema)
