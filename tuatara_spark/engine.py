@@ -94,8 +94,8 @@ def make_extractor(weights_bc, passthrough: list[str]):
                 crops = pl.crop_regions(swapped, boxes)
                 crops_flat.extend(crops)
                 crop_counts.append(len(crops))
-            texts_flat = pl.recognize_tensors(
-                params, pl.crops_to_tensors(crops_flat))
+            texts_flat = pl.recognize_ink(
+                params, pl.crops_to_ink(crops_flat, params))
 
             spans_col: list = [None] * n
             text_col: list = [None] * n

@@ -70,11 +70,18 @@ def ink_map(tensors: np.ndarray, ink_w: np.ndarray) -> np.ndarray:
     return (np.float32(1.0) - mixed).astype(np.float32)
 
 
-def detect_forward(params: dict, tensors: np.ndarray) -> np.ndarray:
-    """Detection forward pass: (N, 3, H, W) → (N, H/2, W/2, 2); H, W must be
-    even (guaranteed by pad-to-32, tuatara.cpp:225-229)."""
-    n, c, h, w = tensors.shape
-    ink = ink_map(tensors, params["ink_w"])
+def ink_map_u8(imgs: np.ndarray, ink_w: np.ndarray) -> np.ndarray:
+    """Fused S4+channel-mix: (N, H, W, 3) uint8 → (N, H, W) float32 ink,
+    skipping the full NCHW float tensor (the 1x1 ink conv commutes with
+    the ÷255 normalize). Pipeline-internal fast path; the reference-shaped
+    ``to_tensor`` + ``ink_map`` stages remain for stage parity/tests."""
+    mixed = (imgs[..., 0] * ink_w[0] + imgs[..., 1] * ink_w[1]
+             + imgs[..., 2] * ink_w[2])
+    return (np.float32(1.0) - mixed / np.float32(255.0)).astype(np.float32)
+
+
+def _detect_from_ink(params: dict, ink: np.ndarray) -> np.ndarray:
+    n, h, w = ink.shape
     # 2x2 average-pool downsample to heatmap resolution
     half = ink.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4), dtype=np.float32)
     text = conv2d_same(half, params["k_text"])
@@ -82,31 +89,47 @@ def detect_forward(params: dict, tensors: np.ndarray) -> np.ndarray:
     return np.stack([text, link], axis=-1)
 
 
-def ink_features(params: dict, crops: np.ndarray) -> np.ndarray:
-    """(R, 3, 32, 128) float32 crops → (R, 32*128) zero-mean L2-normalized
-    ink feature vectors. Shared by recognition and template construction
-    (tuatara_spark.weights) so template self-correlation is exactly 1."""
-    r = crops.shape[0]
-    ink = ink_map(crops, params["ink_w"])      # (R, 32, 128)
+def detect_forward(params: dict, tensors: np.ndarray) -> np.ndarray:
+    """Detection forward pass: (N, 3, H, W) → (N, H/2, W/2, 2); H, W must be
+    even (guaranteed by pad-to-32, tuatara.cpp:225-229)."""
+    return _detect_from_ink(params, ink_map(tensors, params["ink_w"]))
+
+
+def detect_forward_u8(params: dict, imgs: np.ndarray) -> np.ndarray:
+    """Fused fast path: (N, H, W, 3) uint8 pages → (N, H/2, W/2, 2),
+    skipping the NCHW float tensor (see ink_map_u8)."""
+    return _detect_from_ink(params, ink_map_u8(imgs, params["ink_w"]))
+
+
+def features_from_ink(ink: np.ndarray) -> np.ndarray:
+    """(R, 32, 128) float32 ink maps → (R, 32*128) zero-mean L2-normalized
+    feature vectors. The ONE feature path shared by recognition inference
+    and template construction (tuatara_spark.weights), so a crop that is
+    pixel-identical to its template source correlates at exactly 1.0."""
+    r = ink.shape[0]
+    if r == 0:
+        return np.zeros((0, REC_H * REC_W), dtype=np.float32)
     f = ink.reshape(r, -1)
     f = f - f.mean(axis=1, keepdims=True, dtype=np.float32)
     norms = np.sqrt((f * f).sum(axis=1, keepdims=True, dtype=np.float32))
     return (f / (norms + np.float32(1e-6))).astype(np.float32)
 
 
-def recognize_forward(params: dict, crops: np.ndarray) -> np.ndarray:
-    """Recognition forward pass: (R, 3, 32, 128) float32 → (R, 26, 98)
-    logits. ``params`` carries 'templates' (95, 32*128) L2-normalized
-    zero-mean template filters (charset order — class id = 1 + charset
-    index, matching the tokenizer's first-occurrence mapping), 'gain', and
-    'eos_bias'."""
-    r = crops.shape[0]
+def ink_features(params: dict, crops: np.ndarray) -> np.ndarray:
+    """(R, 3, 32, 128) float32 crops → feature vectors (reference-shaped
+    tensor API; the pipeline's fast path feeds features_from_ink from
+    uint8 crops directly)."""
+    return features_from_ink(ink_map(crops, params["ink_w"]))
+
+
+def logits_from_features(params: dict, f: np.ndarray) -> np.ndarray:
+    """(R, 32*128) features → (R, 26, 98) logits."""
+    r = f.shape[0]
     gain = np.float32(params["gain"])
     logits = np.full((r, SEQ_LEN, cs.NUM_CLASSES), -gain, dtype=np.float32)
     logits[:, 1:, 0] = gain                    # positions ≥1: EOS wins
     if r == 0:
         return logits
-    f = ink_features(params, crops)
     corr = f @ params["templates"].T           # (R, 95) cosine similarities
     logits[:, 0, 1:96] = gain * corr.astype(np.float32)
     # EOS logit: a fixed floor plus a reject prototype (the calibration
@@ -116,3 +139,15 @@ def recognize_forward(params: dict, crops: np.ndarray) -> np.ndarray:
     logits[:, 0, 0] = gain * np.maximum(np.float32(params["eos_bias"]),
                                         eos_corr.astype(np.float32))
     return logits
+
+
+def recognize_forward(params: dict, crops: np.ndarray) -> np.ndarray:
+    """Recognition forward pass: (R, 3, 32, 128) float32 → (R, 26, 98)
+    logits. ``params`` carries 'templates' (95, 32*128) L2-normalized
+    zero-mean template filters (charset order — class id = 1 + charset
+    index, matching the tokenizer's first-occurrence mapping), 'gain', and
+    'eos_bias'."""
+    if crops.shape[0] == 0:
+        return logits_from_features(params, np.zeros((0, REC_H * REC_W),
+                                                     dtype=np.float32))
+    return logits_from_features(params, ink_features(params, crops))

@@ -51,8 +51,10 @@ def detect_pages(images: list[np.ndarray], params: dict):
                 for im in swapped]
         ratio = proc[0][1]
         ratio_h = ratio_w = 1.0 / ratio                         # cpp:360-361
-        tensors = np.stack([rz.to_tensor(p[0]) for p in proc])  # S4
-        maps = md.detect_forward(params, tensors)               # S5, batched
+        # S4+S5 fused: the 1x1 ink conv commutes with the ÷255 normalize,
+        # so detection runs from stacked uint8 (see model.ink_map_u8)
+        stacked = np.stack([p[0] for p in proc])
+        maps = md.detect_forward_u8(params, stacked)            # batched
         for j, i in enumerate(idxs):
             det, _labels = dt.get_detected_boxes(maps[j, ..., 0], maps[j, ..., 1])
             boxes = g.adjust_result_coordinates(det, ratio_w, ratio_h)  # S17
@@ -87,7 +89,8 @@ def crop_regions(swapped_image: np.ndarray, boxes) -> list[np.ndarray]:
 
 def crops_to_tensors(crops: list[np.ndarray]) -> np.ndarray:
     """S19 + S2 + S4 per crop (tuatara.cpp:437-448): resize to 128x32,
-    channel swap, tensorize. Returns (R, 3, 32, 128) float32."""
+    channel swap, tensorize. Returns (R, 3, 32, 128) float32.
+    (Reference-shaped API; the pipeline's hot path is crops_to_ink.)"""
     if not crops:
         return np.zeros((0, 3, md.REC_H, md.REC_W), dtype=np.float32)
     ts = [rz.to_tensor(rz.swap_channels(
@@ -95,14 +98,38 @@ def crops_to_tensors(crops: list[np.ndarray]) -> np.ndarray:
     return np.stack(ts)
 
 
-def recognize_tensors(params: dict, tensors: np.ndarray) -> list[str]:
+def crops_to_ink(crops: list[np.ndarray], params: dict) -> np.ndarray:
+    """Fused S19+S2+S4+ink: resize crops (batched per source shape —
+    identical sampling math, vectorized), one ink-map pass.
+    Returns (R, 32, 128) float32 in input order."""
+    if not crops:
+        return np.zeros((0, md.REC_H, md.REC_W), dtype=np.float32)
+    resized = np.empty((len(crops), md.REC_H, md.REC_W, 3), dtype=np.uint8)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, c in enumerate(crops):
+        by_shape.setdefault(c.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        stacked = np.stack([crops[i] for i in idxs])
+        out = rz.resize_bilinear_batch(stacked, md.REC_W, md.REC_H)
+        resized[idxs] = out[..., ::-1]  # S2 per-crop swap (cpp:441)
+    return md.ink_map_u8(resized, params["ink_w"])
+
+
+def recognize_ink(params: dict, ink: np.ndarray) -> list[str]:
     """S21-S25: forward + softmax + greedy decode (incl. EOS truncation).
     Region batching: the reference chunks regions by 4 across 6 threads and
     re-sorts by index (tuatara.cpp:450-485); Spark task parallelism replaces
     the pool, and we forward all regions in one batch — order preserved."""
-    logits = md.recognize_forward(params, tensors)
+    logits = md.logits_from_features(params, md.features_from_ink(ink))
     probs = cs.softmax(logits)                             # cpp:486
     return cs.decode_probs(probs)                          # cpp:493-505
+
+
+def recognize_tensors(params: dict, tensors: np.ndarray) -> list[str]:
+    """Reference-shaped tensor API over recognize_ink's math."""
+    logits = md.recognize_forward(params, tensors)
+    probs = cs.softmax(logits)
+    return cs.decode_probs(probs)
 
 
 def image_to_data(image_rgb: np.ndarray, params: dict) -> list[dict]:
@@ -110,7 +137,7 @@ def image_to_data(image_rgb: np.ndarray, params: dict) -> list[dict]:
     component-label order (bindings/python.cpp:36-52 output shape)."""
     boxes, swapped = detect_page(image_rgb, params)
     crops = crop_regions(swapped, boxes)
-    texts = recognize_tensors(params, crops_to_tensors(crops))
+    texts = recognize_ink(params, crops_to_ink(crops, params))
     out = []
     for text, corners in zip(texts, boxes):
         out.append({"text": text,

@@ -44,6 +44,37 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out.astype(img.dtype)
 
 
+def resize_bilinear_batch(imgs: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize of a stacked batch (N, H, W[, C]) of SAME-size uint8
+    images — identical sampling math to resize_bilinear, vectorized over N."""
+    n = imgs.shape[0]
+    in_h, in_w = imgs.shape[1:3]
+    if in_h == out_h and in_w == out_w:
+        return imgs.copy()
+    sy = in_h / out_h
+    sx = in_w / out_w
+    src_y = np.clip((np.arange(out_h, dtype=np.float64) + 0.5) * sy - 0.5, 0, in_h - 1)
+    src_x = np.clip((np.arange(out_w, dtype=np.float64) + 0.5) * sx - 0.5, 0, in_w - 1)
+    y0 = np.floor(src_y).astype(np.int64)
+    x0 = np.floor(src_x).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    fy = (src_y - y0)[None, :, None]
+    fx = (src_x - x0)[None, None, :]
+    if imgs.ndim == 4:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    f = imgs.astype(np.float64)
+    r0 = f[:, y0]
+    r1 = f[:, y1]
+    top = r0[:, :, x0] * (1 - fx) + r0[:, :, x1] * fx
+    bot = r1[:, :, x0] * (1 - fx) + r1[:, :, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    if imgs.dtype == np.uint8:
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out.astype(imgs.dtype)
+
+
 def resize_aspect_ratio(img: np.ndarray, square_size: int = 1024,
                         mag_ratio: float = 1.0):
     """Aspect-preserving resize with pad-to-32 (resize_aspect_ratio,

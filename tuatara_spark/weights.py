@@ -58,8 +58,8 @@ def build_templates(det_params: dict, font: np.ndarray) -> np.ndarray:
                 f"template tile for {ch!r}: expected mark+glyph, got {len(boxes)} boxes")
         # label order is raster order of first pixel: mark (top-left) first
         crop = pl.crop_regions(swapped, boxes[1:])[0]
-        tens = pl.crops_to_tensors([crop])
-        rows.append(md.ink_features(det_params, tens)[0])
+        ink = pl.crops_to_ink([crop], det_params)
+        rows.append(md.features_from_ink(ink)[0])
     return np.stack(rows).astype(np.float32)
 
 
@@ -74,7 +74,7 @@ def build_eos_template(det_params: dict) -> np.ndarray:
     if len(boxes) != 1:
         raise RuntimeError(f"mark tile: expected 1 box, got {len(boxes)}")
     crop = pl.crop_regions(swapped, boxes)[0]
-    return md.ink_features(det_params, pl.crops_to_tensors([crop]))[0]
+    return md.features_from_ink(pl.crops_to_ink([crop], det_params))[0]
 
 
 def build_weights(seed: int = 42) -> dict:
