@@ -39,7 +39,7 @@ LEVELS = (2, 8, 32)
 PRIMARY = (2, 8)
 SECONDARY = (8, 32)
 ROUNDS = 2
-REPS = 2
+REPS = 1
 
 
 def run_level(cores: int, pages_path: str, w) -> tuple[int, float]:
