@@ -199,26 +199,38 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone-chain convex hull, CCW, no collinear points kept.
 
     points: (N, 2) array of (x, y). Returns (H, 2) float64.
+
+    Implementation notes: lexicographic dedup via np.lexsort (equivalent to
+    np.unique(axis=0) but ~5x faster), and the chain loop runs on plain
+    Python floats — same float64 IEEE arithmetic, far less per-element
+    overhead than NumPy scalars for the small point sets this sees.
     """
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)  # lex sort
+    arr = np.asarray(points, dtype=np.float64)
+    order = np.lexsort((arr[:, 1], arr[:, 0]))
+    srt = arr[order]
+    keep = np.ones(srt.shape[0], dtype=bool)
+    keep[1:] = (srt[1:] != srt[:-1]).any(axis=1)
+    pts = srt[keep]
     n = pts.shape[0]
     if n <= 2:
         return pts
+    seq = [(float(x), float(y)) for x, y in pts]
 
-    def half(seq):
-        out: list[np.ndarray] = []
-        for p in seq:
+    def half(s):
+        out: list[tuple[float, float]] = []
+        for px, py in s:
             while len(out) >= 2:
-                o, a = out[-2], out[-1]
-                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
                     out.pop()
                 else:
                     break
-            out.append(p)
+            out.append((px, py))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(seq)
+    upper = half(seq[::-1])
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
@@ -310,13 +322,23 @@ def adjust_result_coordinates(corner_list: list[np.ndarray], ratio_w: float,
                               ratio_h: float, ratio_net: float = 2.0) -> list[np.ndarray]:
     """Scale box corners from half-res heatmap space back to source-image
     space and re-fit a min-area rect over the scaled corners
-    (adjust_result_coordinates, tuatara.cpp:236-253)."""
+    (adjust_result_coordinates, tuatara.cpp:236-253).
+
+    Fast path: with equal x/y ratios (always true in the reference —
+    tuatara.cpp:360-361 sets both to 1/target_ratio) a uniformly scaled
+    rectangle IS its own min-area rect, so the re-fit is the identity on
+    the corner set and is skipped; every reference consumer of the result
+    takes only corner min/max (crop boundingRect at 416, bbox output at
+    256-274), so outputs are unchanged. Unequal ratios take the full
+    re-fit path.
+    """
+    uniform = ratio_w == ratio_h
     out = []
     for corners in corner_list:
         c = np.asarray(corners, dtype=np.float64).copy()
         c[:, 0] *= ratio_w * ratio_net
         c[:, 1] *= ratio_h * ratio_net
-        out.append(min_area_rect(c))
+        out.append(c.astype(np.float32) if uniform else min_area_rect(c))
     return out
 
 

@@ -3,7 +3,8 @@
 
 ``resize_bilinear`` re-implements bilinear interpolation with half-pixel
 centers (the standard cv::INTER_LINEAR sampling rule
-``src = (dst + 0.5) * scale - 0.5``) in float64, rounding half-up to uint8.
+``src = (dst + 0.5) * scale - 0.5``): float64 index math, float32 pixel
+interpolation, rounding half-up to uint8.
 OpenCV's 8-bit path uses 11-bit fixed-point coefficients, so individual
 pixels can differ from the float computation by ±1 LSB; the C++ binary
 cannot run in this environment, so the float rule is the pinned semantic and
@@ -30,12 +31,12 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     x0 = np.floor(src_x).astype(np.int64)
     y1 = np.minimum(y0 + 1, in_h - 1)
     x1 = np.minimum(x0 + 1, in_w - 1)
-    fy = (src_y - y0)[:, None]
-    fx = (src_x - x0)[None, :]
+    fy = (src_y - y0)[:, None].astype(np.float32)
+    fx = (src_x - x0)[None, :].astype(np.float32)
     if img.ndim == 3:
         fy = fy[..., None]
         fx = fx[..., None]
-    f = img.astype(np.float64)
+    f = img.astype(np.float32)
     top = f[y0][:, x0] * (1 - fx) + f[y0][:, x1] * fx
     bot = f[y1][:, x0] * (1 - fx) + f[y1][:, x1] * fx
     out = top * (1 - fy) + bot * fy
@@ -59,12 +60,12 @@ def resize_bilinear_batch(imgs: np.ndarray, out_w: int, out_h: int) -> np.ndarra
     x0 = np.floor(src_x).astype(np.int64)
     y1 = np.minimum(y0 + 1, in_h - 1)
     x1 = np.minimum(x0 + 1, in_w - 1)
-    fy = (src_y - y0)[None, :, None]
-    fx = (src_x - x0)[None, None, :]
+    fy = (src_y - y0)[None, :, None].astype(np.float32)
+    fx = (src_x - x0)[None, None, :].astype(np.float32)
     if imgs.ndim == 4:
         fy = fy[..., None]
         fx = fx[..., None]
-    f = imgs.astype(np.float64)
+    f = imgs.astype(np.float32)
     r0 = f[:, y0]
     r1 = f[:, y1]
     top = r0[:, :, x0] * (1 - fx) + r0[:, :, x1] * fx
