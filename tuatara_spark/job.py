@@ -116,8 +116,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--num-tasks", type=int, default=None)
     p.add_argument("--heavy-bytes", type=int, default=pt.DEFAULT_HEAVY_BYTES)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--local-cores", default=None,
+                   help="run standalone on local[N] instead of relying on "
+                        "spark-submit's master")
     args = p.parse_args(argv)
-    spark = SparkSession.builder.appName("tuatara-extract").getOrCreate()
+    if args.local_cores:
+        from tuatara_spark.session import get_spark
+        spark = get_spark("tuatara-extract", cores=args.local_cores)
+    else:
+        spark = SparkSession.builder.appName("tuatara-extract").getOrCreate()
     summary = run_extract(spark, args.input, args.output,
                           num_buckets=args.num_buckets, groups=args.groups,
                           num_tasks=args.num_tasks,

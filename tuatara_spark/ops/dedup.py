@@ -51,15 +51,24 @@ def shingle_expr(text_col: str, k: int = 5):
 # ----------------------------------------------------------- MinHash-LSH ---
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
-                      num_perm: int = 32, k: int = 5) -> DataFrame:
-    """Add ``shingles`` and a ``sig`` array of num_perm minhash values:
-    sig[j] = min over shingles of xxhash64(shingle, j)."""
-    out = df.withColumn("shingles", shingle_expr(text_col, k))
-    mins = [F.array_min(F.expr(
-        f"transform(shingles, s -> xxhash64(s, {j}))")).alias(f"_m{j}")
-        for j in range(num_perm)]
-    out = out.select("*", F.array(*mins).alias("sig"))
-    return out
+                      id_col: str = "doc_id", num_perm: int = 32,
+                      k: int = 5) -> DataFrame:
+    """(_id, shingles, sig): sig[j] = min over shingles of
+    xxhash64(shingle, j).
+
+    Implementation: explode shingles → num_perm compiled min() aggregates.
+    (The no-shuffle ``array_min(transform(...))`` formulation evaluates its
+    lambda interpreted per shingle per permutation — measured ~10x slower
+    at 5k docs; see the simhash64 note.)"""
+    base = df.select(F.col(id_col).alias("_id"),
+                     shingle_expr(text_col, k).alias("shingles"))
+    tok = base.select("_id", F.explode("shingles").alias("_s"))
+    aggs = [F.min(F.xxhash64("_s", F.lit(j))).alias(f"_m{j}")
+            for j in range(num_perm)]
+    g = tok.groupBy("_id").agg(*aggs)
+    sig = g.select("_id", F.array(*[F.col(f"_m{j}")
+                                    for j in range(num_perm)]).alias("sig"))
+    return base.join(sig, "_id")
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str],
@@ -93,11 +102,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Band buckets larger than ``max_bucket`` are dropped (see _cap_buckets).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(df, text_col, num_perm, k) \
-        .select(F.col(id_col).alias("_id"), "shingles", "sig")
     # Persist once: the self-join would otherwise recompute the whole
     # signature pipeline on BOTH sides (shingling is the expensive part).
-    sig = sig.persist()
+    sig = minhash_signature(df, text_col, id_col, num_perm, k).persist()
     band_cols = F.array(*[
         F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band),
                    F.lit(b)).alias(f"b{b}")
