@@ -39,6 +39,28 @@ def test_salt_only_on_heavy_pages(spark, pages_path):
     assert any(r.b > 1 << 20 for r in rows)  # skew pages present
 
 
+def test_salting_spreads_heavy_pages_across_tasks(spark):
+    """The point of the salt: heavy pages that share a url-hash bucket land
+    in DIFFERENT physical partitions instead of serializing one task."""
+    pages = fx.make_pages(48, seed=8, n_large=6)
+    df = spark.createDataFrame(pages)
+    bucketed = pt.with_bucket(df, 2)  # tiny bucket count → heavy collisions
+
+    def heavy_partition_spread(with_salt: bool):
+        d = pt.with_salt(bucketed) if with_salt \
+            else bucketed.withColumn("salt", F.lit(0))
+        d = pt.distribute(d, 16)
+        rows = (d.withColumn("pid", F.spark_partition_id())
+                .filter(F.length("html") > 1 << 20)
+                .select("pid").collect())
+        return len({r.pid for r in rows})
+
+    spread_without = heavy_partition_spread(False)
+    spread_with = heavy_partition_spread(True)
+    assert spread_without <= 2  # all heavies collapse onto ≤2 tasks
+    assert spread_with > spread_without
+
+
 def test_full_job_then_resume_noop(spark, pages_path, tmp_path):
     out = str(tmp_path / "table")
     s1 = job.run_extract(spark, pages_path, out, num_buckets=8, groups=2)
