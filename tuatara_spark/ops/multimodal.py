@@ -100,6 +100,60 @@ def extract_media_meta(df: DataFrame, col: str = "html",
     return df.select(key_col, col).mapInPandas(fn, META_SCHEMA)
 
 
+TPGV_MAGIC = b"TPV1"
+
+
+def encode_tpgv(frames: list) -> bytes:
+    """Synthetic video container: b'TPV1' + uint16 n_frames + concatenated
+    TPAGE frames (deterministic; plays the role of an mp4 in this codec-free
+    container — real video decode would be a stubbed branch like PNG)."""
+    from tuatara_spark import fixtures as fx_
+    out = [TPGV_MAGIC, len(frames).to_bytes(2, "little")]
+    out += [fx_.encode_tpage(f) for f in frames]
+    return b"".join(out)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+    StructField("mean_luma", FloatType()),
+])
+
+
+def frame_sample(df: DataFrame, every_k: int = 2, col: str = "html",
+                 key_col: str = "url") -> DataFrame:
+    """Sample every k-th frame from TPGV video payloads (Arrow-batched
+    mapInPandas; one output row per sampled frame). Non-TPGV payloads are
+    skipped (stub path — no real video codec in this container)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, frames, lumas = [], [], [], []
+            for key, buf in zip(pdf[key_col], pdf[col]):
+                buf = bytes(buf)
+                if buf[:4] != TPGV_MAGIC:
+                    continue
+                n = int.from_bytes(buf[4:6], "little")
+                off = 6
+                for i in range(n):
+                    h = int.from_bytes(buf[off + 4:off + 6], "little")
+                    w = int.from_bytes(buf[off + 6:off + 8], "little")
+                    end = off + 8 + h * w * 3
+                    if i % every_k == 0:
+                        payload = buf[off:end]
+                        img = fx.decode_tpage(payload)
+                        urls.append(key)
+                        idxs.append(i)
+                        frames.append(payload)
+                        lumas.append(float(img.mean(dtype=np.float64)))
+                    off = end
+            yield pd.DataFrame({"url": urls, "frame_idx": idxs,
+                                "frame": frames, "mean_luma": lumas})
+
+    return df.select(key_col, col).mapInPandas(fn, FRAME_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("thumb", BinaryType()),

@@ -116,6 +116,59 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .select("id_a", "id_b", "cosine"))
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 8, n_iters: int = 5,
+                  sample: int = 2048, vec_col: str = "embedding",
+                  seed: int = 11) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on a seeded driver-side
+    sample (Lloyd iterations in NumPy). At 100 TB the sample is a tiny
+    `df.sample` collect; centroids then broadcast as literals."""
+    pdf = (df.select(vec_col).limit(sample).toPandas())
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid ('cell') — pure Catalyst
+    argmin over squared distances (computed once and persisted / used as a
+    partition column at scale)."""
+    best_d = None
+    best_i = F.lit(0)
+    for i, c in enumerate(centroids):
+        diff = F.zip_with(F.col(vec_col), _lit_vec(c),
+                          lambda x, y: (x.cast("double") - y) *
+                                       (x.cast("double") - y))
+        d = F.aggregate(diff, F.lit(0.0), lambda a, v: a + v)
+        if best_d is None:
+            best_d, best_i = d, F.lit(0)
+        else:
+            best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
+            best_d = F.least(best_d, d)
+    return df.withColumn("ivf_cell", best_i.cast("int"))
+
+
+def ivf_topk(df: DataFrame, query_vec, centroids: np.ndarray, k: int = 10,
+             n_probe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: score only the n_probe cells nearest to the
+    query (the inverted-file scale path; complements sign-LSH lsh_topk)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dq = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in np.argsort(dq)[:n_probe]]
+    celled = with_ivf_cell(df, centroids, vec_col)
+    pruned = celled.filter(F.col("ivf_cell").isin(probe))
+    return cosine_topk(pruned, q, k, vec_col, id_col)
+
+
 def norm_stats(df: DataFrame, vec_col: str = "embedding",
                label_col: str = "label") -> DataFrame:
     """Per-label embedding norm statistics (sanity/quality op)."""

@@ -95,10 +95,24 @@ def detect_forward(params: dict, tensors: np.ndarray) -> np.ndarray:
     return _detect_from_ink(params, ink_map(tensors, params["ink_w"]))
 
 
-def detect_forward_u8(params: dict, imgs: np.ndarray) -> np.ndarray:
+def detect_forward_u8(params: dict, imgs: np.ndarray,
+                      valid_hw: tuple[int, int] | None = None) -> np.ndarray:
     """Fused fast path: (N, H, W, 3) uint8 pages → (N, H/2, W/2, 2),
-    skipping the NCHW float tensor (see ink_map_u8)."""
-    return _detect_from_ink(params, ink_map_u8(imgs, params["ink_w"]))
+    skipping the NCHW float tensor (see ink_map_u8).
+
+    ``valid_hw``: extent of real image content. The reference zero-pads up
+    to multiples of 32 (tuatara.cpp:225-229) — black canvas a trained CRAFT
+    does not respond to, but a darkness-based stand-in would; zeroing the
+    ink outside the valid region reproduces the trained model's indifference
+    to its own canvas padding. No-op when the page needed no padding."""
+    ink = ink_map_u8(imgs, params["ink_w"])
+    if valid_hw is not None:
+        vh, vw = valid_hw
+        if vh < ink.shape[1]:
+            ink[:, vh:, :] = 0
+        if vw < ink.shape[2]:
+            ink[:, :, vw:] = 0
+    return _detect_from_ink(params, ink)
 
 
 def features_from_ink(ink: np.ndarray) -> np.ndarray:

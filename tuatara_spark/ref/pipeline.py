@@ -52,9 +52,12 @@ def detect_pages(images: list[np.ndarray], params: dict):
         ratio = proc[0][1]
         ratio_h = ratio_w = 1.0 / ratio                         # cpp:360-361
         # S4+S5 fused: the 1x1 ink conv commutes with the ÷255 normalize,
-        # so detection runs from stacked uint8 (see model.ink_map_u8)
+        # so detection runs from stacked uint8 (see model.ink_map_u8).
+        # valid_hw masks the zero-pad canvas (black) from the ink map.
+        h0, w0 = shape[:2]
+        valid = (int(h0 * ratio), int(w0 * ratio))
         stacked = np.stack([p[0] for p in proc])
-        maps = md.detect_forward_u8(params, stacked)            # batched
+        maps = md.detect_forward_u8(params, stacked, valid_hw=valid)
         for j, i in enumerate(idxs):
             det, _labels = dt.get_detected_boxes(maps[j, ..., 0], maps[j, ..., 1])
             boxes = g.adjust_result_coordinates(det, ratio_w, ratio_h)  # S17
