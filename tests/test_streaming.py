@@ -39,3 +39,41 @@ def test_stream_extracts_incrementally(spark, weights, tmp_path):
     got = {r.url: r.text for r in rows}
     truth.update(dict(zip(second["url"], second["text"])))
     assert got == truth
+
+
+def test_stateful_host_counters_accumulate(spark, weights, tmp_path):
+    """applyInPandasWithState: per-host counters persist in the checkpoint
+    and accumulate across separate availableNow runs."""
+    import pandas as pd
+    in_dir = str(tmp_path / "in")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    first = fx.make_pages(6, seed=41)
+    fx.pages_to_parquet(first, os.path.join(in_dir, "b0.parquet"))
+
+    def run_once(name):
+        collected = []
+
+        def sink(batch_df, _bid):
+            collected.extend(batch_df.collect())
+
+        counters = st.host_counter_stream(st.extract_stream(
+            st.read_page_stream(spark, in_dir), weights=weights))
+        q = (counters.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ck_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.host: (r.pages, r.chars) for r in collected}
+
+    got1 = run_once("hc1")
+    assert sum(p for p, _ in got1.values()) == 6
+
+    second = fx.make_pages(4, seed=42)
+    fx.pages_to_parquet(second, os.path.join(in_dir, "b1.parquet"))
+    got2 = run_once("hc2")
+    # only updated hosts re-emit; totals accumulated with batch-1 state
+    assert sum(p for p, _ in got2.values()) == 4 + sum(
+        got1.get(h, (0, 0))[0] for h in got2)
+    for h, (p, c) in got2.items():
+        assert p >= got1.get(h, (0, 0))[0]

@@ -456,6 +456,40 @@ def q_ann_lsh_topk(spark, sf_dir):
                       .alias("cos_e4"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-cell-pruned approximate cosine top-k (scale path variant)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.ivf_centroids(emb, n_centroids=8, sample=512)
+    top = similarity.ivf_topk(emb, _ANN_QUERY_VEC, cent, k=20, n_probe=4)
+    return top.select("vec_id",
+                      F.floor(F.col("cosine") * 1e4 + F.lit(0.5)).cast("long")
+                      .alias("cos_e4"))
+
+
+def q_frame_sample_docs(spark, sf_dir):
+    """Multimodal video plumbing: synthesize TPGV clips from documents,
+    sample every 2nd frame, return per-frame metadata."""
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(8)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"substring(regexp_replace(text, '{_CLEAN_RE}', ''), 1, 3) AS t"))
+
+    def render(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["t"]:
+                frames = [fx.render_page(ch, 128, 128, 4)[0]
+                          for ch in (t or "a")[:3]]
+                payloads.append(multimodal.encode_tpgv(frames))
+            yield pd.DataFrame({"url": pdf["url"], "html": payloads})
+
+    clips = docs.mapInPandas(render, "url string, html binary")
+    frames = multimodal.frame_sample(clips, every_k=2)
+    return (frames.select("url", "frame_idx",
+                          F.floor(F.col("mean_luma") * 100 + F.lit(0.5))
+                          .cast("long").alias("luma_e2"))
+            .orderBy("url", "frame_idx"))
+
+
 def q_media_meta_docs(spark, sf_dir):
     """Multimodal plumbing: render TPAGE payloads from documents, then
     decode typed metadata via mapInPandas (real decode for TPAGE)."""
@@ -506,7 +540,9 @@ REGISTRY: dict[str, tuple] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "media_meta_docs": (q_media_meta_docs, None),
+    "frame_sample_docs": (q_frame_sample_docs, None),
 }
 
 

@@ -38,6 +38,35 @@ def extract_stream(pages: DataFrame, weights: dict | None = None,
     return engine.extract_df(pages, weights=w)
 
 
+HOST_STATE_SCHEMA = "pages long, chars long"
+HOST_OUT_SCHEMA = "host string, pages long, chars long"
+
+
+def host_counter_stream(extracted: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-host extraction
+    counters via ``applyInPandasWithState`` (state = cumulative pages/chars
+    per host, persisted in the checkpoint across micro-batches and
+    restarts). The streaming analogue of the batch catalog's lineage
+    counters; output mode 'update'."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        pages, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pages += len(pdf)
+            chars += int(pdf["n_chars"].fillna(0).sum())
+        state.update((pages, chars))
+        yield pd.DataFrame({"host": [key[0]], "pages": [pages],
+                            "chars": [chars]})
+
+    hosts = extracted.withColumn("host", F.expr("parse_url(url, 'HOST')"))
+    return hosts.groupBy("host").applyInPandasWithState(
+        fn, HOST_OUT_SCHEMA, HOST_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def start_to_parquet(extracted: DataFrame, output_dir: str,
                      checkpoint_dir: str, trigger_available_now: bool = True):
     """Write the extraction stream to parquet with checkpointed
