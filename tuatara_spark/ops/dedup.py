@@ -52,16 +52,20 @@ def shingle_expr(text_col: str, k: int = 5):
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 32,
-                      k: int = 5) -> DataFrame:
+                      k: int = 5, compute_partitions: int = 64) -> DataFrame:
     """(_id, shingles, sig): sig[j] = min over shingles of
     xxhash64(shingle, j).
 
     Implementation: explode shingles → num_perm compiled min() aggregates.
     (The no-shuffle ``array_min(transform(...))`` formulation evaluates its
     lambda interpreted per shingle per permutation — measured ~10x slower
-    at 5k docs; see the simhash64 note.)"""
-    base = df.select(F.col(id_col).alias("_id"),
-                     shingle_expr(text_col, k).alias("shingles"))
+    at 5k docs; see the simhash64 note.) The input is repartitioned first:
+    shingling + hashing is orders of magnitude heavier per row than the
+    row's bytes, so input-split or cache partitioning (often 1 partition
+    for a small dimension table) would serialize the whole stage."""
+    base = df.repartition(compute_partitions) \
+        .select(F.col(id_col).alias("_id"),
+                shingle_expr(text_col, k).alias("shingles"))
     tok = base.select("_id", F.explode("shingles").alias("_s"))
     aggs = [F.min(F.xxhash64("_s", F.lit(j))).alias(f"_m{j}")
             for j in range(num_perm)]
@@ -150,7 +154,8 @@ def minhash_dedup_keep_first(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------- SimHash ---
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              compute_partitions: int = 64) -> DataFrame:
     """Add a 64-bit SimHash over whitespace tokens.
 
     Implementation: explode tokens → hash once per token → 64 codegen'd
@@ -159,7 +164,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
     exists, but Catalyst interprets higher-order-function lambdas per
     element — measured 250× slower than this compiled explode+groupBy.)
     """
-    tok = df.select(
+    tok = df.repartition(compute_partitions).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("_tok")).withColumn("_h", F.xxhash64("_tok"))
