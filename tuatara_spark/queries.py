@@ -20,6 +20,7 @@ restatement of "byte-identical extracted text per url").
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,6 +37,37 @@ CLEAN_SPARK = f"substring(regexp_replace(text, '{_CLEAN_RE}', ''), 1, 12)"
 CLEAN_DUCK = f"substr(regexp_replace(text, '{_CLEAN_RE}', '', 'g'), 1, 12)"
 
 _N_OCR_DOCS = 32
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make tuatara_spark importable in executor Python workers even when
+    the session was built by a foreign driver (no PYTHONPATH propagation):
+    zip the package once and sc.addPyFile it — the programmatic equivalent
+    of spark-submit --py-files."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    import tuatara_spark as pkg
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "tuatara_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this context
+    _SHIPPED.add(app)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +98,7 @@ def _render_extract_fn(weights_bc):
 def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → cleaned/truncated → rendered TPAGE page → full
     detection+recognition+decode pipeline → extracted text per doc."""
+    _ship_package(spark)
     docs = (_docs(spark, sf_dir)
             .orderBy("doc_id").limit(_N_OCR_DOCS)
             .selectExpr("doc_id", f"{CLEAN_SPARK} AS t"))
@@ -469,6 +502,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_frame_sample_docs(spark, sf_dir):
     """Multimodal video plumbing: synthesize TPGV clips from documents,
     sample every 2nd frame, return per-frame metadata."""
+    _ship_package(spark)
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(8)
             .selectExpr("cast(doc_id as string) AS url",
                         f"substring(regexp_replace(text, '{_CLEAN_RE}', ''), 1, 3) AS t"))
@@ -493,6 +527,7 @@ def q_frame_sample_docs(spark, sf_dir):
 def q_media_meta_docs(spark, sf_dir):
     """Multimodal plumbing: render TPAGE payloads from documents, then
     decode typed metadata via mapInPandas (real decode for TPAGE)."""
+    _ship_package(spark)
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(16)
             .selectExpr("cast(doc_id as string) AS url",
                         f"{CLEAN_SPARK} AS t"))
