@@ -84,13 +84,29 @@ def make_extractor(weights_bc, passthrough: list[str]):
                     errors[i] = f"decode: {e}"
             ok_idx = [i for i in range(n) if errors[i] is None]
 
-            # detection, batched by page shape
-            det = pl.detect_pages([images[i] for i in ok_idx], params) \
-                if ok_idx else []
+            # detection, batched by page shape; if the batch path throws
+            # (pathological page), fall back to per-page so one bad row
+            # becomes an error row instead of a failed task — at 10^12 rows
+            # a poison page must not kill the job
+            def _detect(idxs):
+                try:
+                    return pl.detect_pages([images[i] for i in idxs], params)
+                except Exception:
+                    out = []
+                    for i in list(idxs):
+                        try:
+                            out.append(pl.detect_page(images[i], params))
+                        except Exception as e:
+                            errors[i] = f"detect: {e}"
+                            out.append(None)
+                    return out
+
+            det_all = _detect(ok_idx) if ok_idx else []
+            det = [(i, d) for i, d in zip(ok_idx, det_all) if d is not None]
             # recognition: ALL crops of the record batch in one forward pass
             crops_flat: list[np.ndarray] = []
             crop_counts: list[int] = []
-            for boxes, swapped in det:
+            for _i, (boxes, swapped) in det:
                 crops = pl.crop_regions(swapped, boxes)
                 crops_flat.extend(crops)
                 crop_counts.append(len(crops))
@@ -102,7 +118,7 @@ def make_extractor(weights_bc, passthrough: list[str]):
             nreg_col: list = [0] * n
             nchar_col: list = [0] * n
             pos = 0
-            for (boxes, _), cnt, i in zip(det, crop_counts, ok_idx):
+            for (i, (boxes, _)), cnt in zip(det, crop_counts):
                 texts = texts_flat[pos:pos + cnt]
                 pos += cnt
                 spans = [{"text": t,
