@@ -88,7 +88,6 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     """
     if max_bucket is None:
         return banded
-    from pyspark.sql import Window
     cnt = F.count("*").over(Window.partitionBy(*keys))
     return (banded.withColumn("_bn", cnt)
             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
