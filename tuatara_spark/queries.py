@@ -335,6 +335,29 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish pre-tokenization count: alnum runs + single punctuation."""
+    return (textstats.token_count(_docs(spark, sf_dir))
+            .select("doc_id", "regex_tokens").orderBy("doc_id"))
+
+
+_TOKEN_REGEX_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS regex_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-3-gram Jaccard near-dup pairs (LSH-blocked)."""
+    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                      threshold=0.5)
+            .select("id_a", "id_b",
+                    F.floor(F.col("jaccard") * 1e4 + F.lit(0.5)).cast("long")
+                    .alias("jaccard_e4"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_quality_score_documents(spark, sf_dir):
     q = textstats.quality_score(_docs(spark, sf_dir))
     return (q.select("doc_id", "n_bytes", "ws_tokens",
@@ -565,6 +588,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_groups": (q_dedup_exact_groups, _DEDUP_EXACT_SQL),
     "dedup_keep_first_ids": (q_dedup_keep_first_ids, _DEDUP_KEEP_SQL),
     "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
+    "token_count_regex": (q_token_count_regex, _TOKEN_REGEX_SQL),
     "quality_score_documents": (q_quality_score_documents, _QUALITY_SQL),
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
     "fingerprint_documents": (q_fingerprint_documents, _FINGERPRINT_SQL),
@@ -573,6 +597,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_norm_stats": (q_embedding_norm_stats, _NORM_SQL),
     # rows-only (xxhash64 / rendered-payload based)
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
