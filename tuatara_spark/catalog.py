@@ -36,6 +36,36 @@ class Catalog:
         for d in (self.data_dir, self.manifest_dir, self.snapshot_dir):
             os.makedirs(d, exist_ok=True)
 
+    # -- table config (pinned identity: bucket ids are only meaningful
+    # relative to num_buckets; resuming with a different value would
+    # silently skip/double-process pages) ------------------------------------
+
+    def table_config(self) -> dict | None:
+        p = os.path.join(self.snapshot_dir, "TABLE.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def pin_table_config(self, **cfg) -> dict:
+        """First writer pins the config; later runs must match or fail.
+        Returns the effective (pinned) config."""
+        existing = self.table_config()
+        if existing is not None:
+            mismatched = {k: (existing.get(k), v) for k, v in cfg.items()
+                          if existing.get(k) != v}
+            if mismatched:
+                raise ValueError(
+                    f"table config mismatch vs committed table at {self.root}: "
+                    + ", ".join(f"{k}: committed={a!r} requested={b!r}"
+                                for k, (a, b) in mismatched.items()))
+            return existing
+        tmp = os.path.join(self.snapshot_dir, "TABLE.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.rename(tmp, os.path.join(self.snapshot_dir, "TABLE.json"))
+        return cfg
+
     # -- snapshot chain -----------------------------------------------------
 
     def current_snapshot_id(self) -> int | None:

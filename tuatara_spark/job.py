@@ -57,6 +57,10 @@ def run_extract(spark: SparkSession, input_path: str, output_root: str,
                 fail_after_groups: int | None = None) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict."""
     cat = Catalog(output_root)
+    # fail fast if this invocation would reinterpret committed bucket ids
+    # (different num_buckets) or produce divergent text (different weights)
+    cat.pin_table_config(num_buckets=int(num_buckets),
+                         weights_seed=int(weights_seed))
     done = cat.committed_buckets()
     if num_tasks is None:
         num_tasks = spark.sparkContext.defaultParallelism * 2

@@ -118,11 +118,16 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
 
 def ivf_centroids(df: DataFrame, n_centroids: int = 8, n_iters: int = 5,
                   sample: int = 2048, vec_col: str = "embedding",
-                  seed: int = 11) -> np.ndarray:
+                  seed: int = 11, id_col: str = "vec_id") -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means on a seeded driver-side
     sample (Lloyd iterations in NumPy). At 100 TB the sample is a tiny
-    `df.sample` collect; centroids then broadcast as literals."""
-    pdf = (df.select(vec_col).limit(sample).toPandas())
+    `df.sample` collect; centroids then broadcast as literals.
+
+    The sample is orderBy(id)+limit — Spark gives no row-order guarantee on
+    a bare limit(), so centroids would otherwise change across runs /
+    repartitionings."""
+    pdf = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+           .toPandas())
     x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

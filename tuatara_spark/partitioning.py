@@ -29,11 +29,20 @@ DEFAULT_HEAVY_BYTES = 1 << 20     # pages above 1 MiB payload count as heavy
 DEFAULT_SALT_BUCKETS = 16
 
 
+# NULL urls hash to a sentinel so every row lands in a real bucket and is
+# processed/counted instead of silently dropped by the bucket filter.
+_NULL_URL_SENTINEL = "\x00null-url"
+
+
+def _url(url_col: str):
+    return F.coalesce(F.col(url_col), F.lit(_NULL_URL_SENTINEL))
+
+
 def with_bucket(df: DataFrame, num_buckets: int = DEFAULT_NUM_BUCKETS,
                 url_col: str = "url") -> DataFrame:
     """Add the stable url-hash bucket column ``part_id``."""
     return df.withColumn(
-        "part_id", F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_buckets))
+        "part_id", F.pmod(F.xxhash64(_url(url_col)), F.lit(num_buckets))
         .cast("int"))
 
 
@@ -45,7 +54,7 @@ def with_salt(df: DataFrame, heavy_bytes: int = DEFAULT_HEAVY_BYTES,
     heavy = F.length(F.col(payload_col)) > F.lit(heavy_bytes)
     salt = F.when(
         heavy,
-        F.pmod(F.xxhash64(F.col(url_col), F.lit(1)), F.lit(salt_buckets)))
+        F.pmod(F.xxhash64(_url(url_col), F.lit(1)), F.lit(salt_buckets)))
     return df.withColumn("salt", salt.otherwise(F.lit(0)).cast("int"))
 
 

@@ -39,6 +39,7 @@ CLEAN_DUCK = f"substr(regexp_replace(text, '{_CLEAN_RE}', '', 'g'), 1, 12)"
 _N_OCR_DOCS = 32
 
 _SHIPPED: set[str] = set()
+_PKG_ZIP: str | None = None
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -49,22 +50,39 @@ def _ship_package(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     if app in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     import tuatara_spark as pkg
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "tuatara_spark_pkg.zip")
-    if not os.path.exists(zpath):
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                sources.append((rel, full))
+    sources.sort()
+    # Content-hashed name in a private mkdtemp dir: a stale zip can never
+    # shadow edited sources, and a pre-planted world-writable /tmp path can
+    # never be shipped to executors.
+    h = hashlib.sha256()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not _PKG_ZIP.endswith(f"{h.hexdigest()[:16]}.zip") \
+            or not os.path.exists(_PKG_ZIP):
+        zdir = tempfile.mkdtemp(prefix="tuatara_spark_pkg_")
+        zpath = os.path.join(zdir, f"tuatara_spark_{h.hexdigest()[:16]}.zip")
         with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for name in files:
-                    if name.endswith(".py"):
-                        full = os.path.join(root, name)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for rel, full in sources:
+                z.write(full, rel)
+        _PKG_ZIP = zpath
     try:
-        spark.sparkContext.addPyFile(zpath)
+        spark.sparkContext.addPyFile(_PKG_ZIP)
     except Exception:
         pass  # already registered in this context
     _SHIPPED.add(app)
@@ -190,13 +208,18 @@ def q_component_filter_events(spark, sf_dir):
     """S10+S11: drop groups below an area threshold or whose peak misses
     text_threshold×global max (tuatara.cpp:146-154)."""
     ev = _events(spark, sf_dir)
-    gmax = ev.agg(F.max("value")).collect()[0][0]
+    # global max stays in-plan: single-row agg broadcast-cross-joined in
+    # (one Spark job, no driver collect)
+    gmax = ev.agg(F.floor(F.max("value") * 1e4 + F.lit(0.5)).cast("long")
+                  .alias("gmax_e4"))
     return (ev.groupBy("user_id")
             .agg(F.count("*").alias("n_events"),
                  F.floor(F.max("value") * 1e4 + F.lit(0.5)).cast("long")
                  .alias("peak_e4"))
+            .crossJoin(F.broadcast(gmax))
             .filter((F.col("n_events") >= 10)
-                    & (F.col("peak_e4") >= F.lit(int(gmax * 1e4 + 0.5) * 0.7)))
+                    & (F.col("peak_e4") >= F.col("gmax_e4") * 0.7))
+            .select("user_id", "n_events", "peak_e4")
             .orderBy("user_id"))
 
 
@@ -252,7 +275,7 @@ def q_counters_by_lang(spark, sf_dir):
 
 
 _COUNTERS_SQL = """
-SELECT lang, count(*) AS pages, sum(n_chars) AS chars,
+SELECT lang, count(*) AS pages, CAST(sum(n_chars) AS BIGINT) AS chars,
        CAST(floor(avg(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars_e4
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -271,7 +294,7 @@ def q_salted_histogram_documents(spark, sf_dir):
 
 _SALTED_SQL = """
 SELECT ((doc_id % 97) * 31 + n_chars % 89) % 16 AS bucket,
-       count(*) AS n_docs, sum(n_chars) AS chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
 
@@ -291,7 +314,7 @@ def q_skew_cost_buckets(spark, sf_dir):
 _SKEW_SQL = """
 SELECT CASE WHEN n_chars >= 400 THEN 'heavy'
             WHEN n_chars >= 150 THEN 'mid' ELSE 'light' END AS cost_bucket,
-       count(*) AS n_docs, sum(n_chars) AS chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
 

@@ -89,12 +89,16 @@ def resize_aspect_ratio(img: np.ndarray, square_size: int = 1024,
     (quirk Q6 territory; kept for stage parity).
     """
     height, width = img.shape[:2]
-    target_size = mag_ratio * max(height, width)
-    if target_size > square_size:
-        target_size = float(square_size)
-    ratio = target_size / max(height, width)
-    target_h = int(height * ratio)
-    target_w = int(width * ratio)
+    # single-precision ratio math mirroring the reference's C++ `float`
+    # (tuatara.cpp:212-216): float64 here could truncate int(h*ratio) one
+    # pixel differently at exact-representability boundaries
+    target_size = np.float32(mag_ratio) * np.float32(max(height, width))
+    if target_size > np.float32(square_size):
+        target_size = np.float32(square_size)
+    ratio = np.float32(target_size) / np.float32(max(height, width))
+    target_h = int(np.float32(height) * ratio)
+    target_w = int(np.float32(width) * ratio)
+    ratio = float(ratio)
     proc = resize_bilinear(img, target_w, target_h)
     target_h32 = target_h + (32 - target_h % 32) if target_h % 32 != 0 else target_h
     target_w32 = target_w + (32 - target_w % 32) if target_w % 32 != 0 else target_w

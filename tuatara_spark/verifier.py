@@ -21,9 +21,15 @@ def _duck_connection(sf_dir: str):
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import pandas.api.types as pt
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if pt.is_integer_dtype(df[c].dtype):
+            # integer WIDTH is not significant (int32 vs int64 hash alike),
+            # but decimal128/float vs int IS (the round-1 HUGEINT miss) —
+            # those stay object/float and fail the dtype check below.
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort") \
         .reset_index(drop=True)
@@ -43,7 +49,10 @@ def compare_query(spark, name: str, sf_dir: str) -> dict:
     detail = ""
     if match:
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+            # dtype-sensitive: the driver's value hash distinguishes e.g.
+            # DuckDB HUGEINT (decimal128) from Spark BIGINT even when the
+            # values agree — round-1 missed 3 queries by comparing loosely.
+            pd.testing.assert_frame_equal(a, b, check_dtype=True,
                                           check_exact=True)
         except AssertionError as e:
             match = False
