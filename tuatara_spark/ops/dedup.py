@@ -18,6 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _wide(df: DataFrame, requested: int | None) -> int:
+    """Partition width for CPU-heavy stages: 2× the session's
+    defaultParallelism unless explicitly requested. A hardcoded count would
+    become the stage-width ceiling on a real cluster (the sandbox's 64 is
+    just 2×32 local threads)."""
+    if requested is not None:
+        return requested
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
 # ---------------------------------------------------------------- exact ----
 
 def exact_groups(df: DataFrame, text_col: str = "text",
@@ -52,7 +62,8 @@ def shingle_expr(text_col: str, k: int = 5):
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 32,
-                      k: int = 5, compute_partitions: int = 64) -> DataFrame:
+                      k: int = 5,
+                      compute_partitions: int | None = None) -> DataFrame:
     """(_id, shingles, sig): sig[j] = min over shingles of
     xxhash64(shingle, j).
 
@@ -63,7 +74,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     shingling + hashing is orders of magnitude heavier per row than the
     row's bytes, so input-split or cache partitioning (often 1 partition
     for a small dimension table) would serialize the whole stage."""
-    base = df.repartition(compute_partitions) \
+    base = df.repartition(_wide(df, compute_partitions)) \
         .select(F.col(id_col).alias("_id"),
                 shingle_expr(text_col, k).alias("shingles"))
     tok = base.select("_id", F.explode("shingles").alias("_s"))
@@ -98,7 +109,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       bands: int = 8, k: int = 5,
                       threshold: float = 0.6,
                       max_bucket: int | None = 50,
-                      verify_partitions: int = 64) -> DataFrame:
+                      verify_partitions: int | None = None) -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -126,7 +137,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             # exact-Jaccard verification is the expensive stage (array ops
             # per pair); explicit repartition keeps it wide — AQE would
             # coalesce this small-bytes/heavy-cpu shuffle to one task
-            .repartition(verify_partitions))
+            .repartition(_wide(df, verify_partitions)))
     sh = sig.select("_id", "shingles")
     cand = (cand
             .join(sh.select(F.col("_id").alias("id_a"),
@@ -154,7 +165,7 @@ def minhash_dedup_keep_first(df: DataFrame, text_col: str = "text",
 
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id",
-              compute_partitions: int = 64) -> DataFrame:
+              compute_partitions: int | None = None) -> DataFrame:
     """Add a 64-bit SimHash over whitespace tokens.
 
     Implementation: explode tokens → hash once per token → 64 codegen'd
@@ -163,7 +174,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
     exists, but Catalyst interprets higher-order-function lambdas per
     element — measured 250× slower than this compiled explode+groupBy.)
     """
-    tok = df.repartition(compute_partitions).select(
+    tok = df.repartition(_wide(df, compute_partitions)).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("_tok")).withColumn("_h", F.xxhash64("_tok"))
@@ -184,7 +195,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
                   max_bucket: int | None = 50,
-                  verify_partitions: int = 64) -> DataFrame:
+                  verify_partitions: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation: 4× 16-bit chunk banding (a pair within Hamming 3 must agree
     on at least one chunk); verification: bit_count(xor). Chunk buckets
@@ -208,7 +219,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b")
             .dropDuplicates(["id_a", "id_b"])
-            .repartition(verify_partitions))
+            .repartition(_wide(df, verify_partitions)))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
@@ -219,9 +230,55 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, LSH-blocked: reuses the MinHash
-    band join for candidates (never quadratic) but reports the exact k-gram
-    Jaccard with its own (k, threshold)."""
-    return minhash_lsh_pairs(df, text_col, id_col, num_perm=16, bands=8,
-                             k=k, threshold=threshold)
+                        threshold: float = 0.5,
+                        verify_partitions: int | None = None) -> DataFrame:
+    """Exact k-gram Jaccard near-dup pairs via LOSSLESS prefix filtering
+    (the AllPairs/PPJoin prefix filter, Bayardo et al. WWW'07 /
+    Chaudhuri et al. ICDE'06 — public algorithms).
+
+    Provably complete for the threshold: grams get a global total order
+    (ascending corpus frequency, ties by gram); a doc with n distinct grams
+    indexes only its first ``n - ceil(t*n) + 1`` grams; if a pair with
+    J >= t shared no indexed gram of doc A, its intersection would fit in
+    A's suffix of ``ceil(t*n)-1`` grams, i.e. |A∩B| < t*|A| <= t*|A∪B| —
+    contradiction. Unlike MinHash banding there is NO false-negative
+    probability: output is byte-equal to the quadratic all-pairs join
+    (which is exactly the DuckDB oracle).
+
+    Scale: index cost is O(sum of prefix sizes) rows shuffled on the gram
+    key; frequency ordering puts the RAREST grams in each prefix, so
+    candidate buckets stay small even for boilerplate-heavy corpora. No
+    bucket cap — dropping a bucket would break exactness; the frequency
+    order IS the skew control.
+    """
+    vp = _wide(df, verify_partitions)
+    base = (df.repartition(vp)
+            .select(F.col(id_col).alias("_id"),
+                    shingle_expr(text_col, k).alias("grams"))
+            .persist())
+    tok = base.select("_id", F.explode("grams").alias("_g"))
+    freq = tok.groupBy("_g").agg(F.count("*").alias("_df"))
+    ranked = (tok.join(freq, "_g")
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_id").orderBy("_df", "_g")))
+              .withColumn("_n", F.count("*").over(Window.partitionBy("_id"))))
+    pref = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1)
+    left = pref.select(F.col("_id").alias("id_a"), "_g")
+    right = pref.select(F.col("_id").alias("id_b"), "_g")
+    cand = (left.join(right, "_g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+            # exact verification is the CPU-heavy stage; keep it wide
+            .repartition(vp))
+    sh = base.select("_id", "grams")
+    cand = (cand.join(sh.select(F.col("_id").alias("id_a"),
+                                F.col("grams").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("_id").alias("id_b"),
+                            F.col("grams").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.withColumn("jaccard", inter.cast("double") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
