@@ -40,18 +40,25 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def bench_pages_path(sf: float, spark=None) -> tuple[str, int]:
-    """Synthesize (once) the TPAGE pages table for this sf, written as a
-    multi-file parquet dir so the scan parallelizes without a shuffle."""
+def bench_pages_path(sf: float, spark=None,
+                     payload: str = "tpbit") -> tuple[str, int]:
+    """Synthesize (once) the pages table for this sf, written as a
+    multi-file parquet dir so the scan parallelizes without a shuffle.
+
+    Default payload is TPBIT (1 bit/px packed ink — the production wire
+    format, 24× smaller than raw-RGB TPG1 through scan/shuffle/Arrow);
+    extraction output is byte-identical (tests/test_spark_e2e.py)."""
     n_small = max(64, int(40960 * sf))
     n_large = max(1, int(40 * sf))
     cache = os.path.join(REPO_ROOT, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"pages_sf{sf}")
+    suffix = "" if payload == "tpage" else f"_{payload}"
+    path = os.path.join(cache, f"pages_sf{sf}{suffix}")
     if not os.path.exists(path):
         single = path + ".single.parquet"
         if not os.path.exists(single):
-            df = fx.make_pages(n_small, seed=42, n_large=n_large)
+            df = fx.make_pages(n_small, seed=42, n_large=n_large,
+                               payload=payload)
             fx.pages_to_parquet(df, single)
         owns = spark is None
         if owns:
@@ -96,10 +103,17 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
     timings["ocr_extract_salted_shuffle"] = round(time.time() - t0, 3)
 
     # -- relational / dedup / similarity ops --
+    from tuatara_spark.ops import similarity as _sim
+
+    def _ann_batched(spark_, sf_dir_):
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        return _sim.cosine_topk_batched(emb, Q._ANN_QUERY_VEC, k=20)
+
     plan = [
         ("minhash_lsh_pairs", Q.q_minhash_lsh_pairs),
         ("simhash_pairs", Q.q_simhash_pairs),
         ("ann_cosine_topk", Q.q_ann_cosine_topk),
+        ("ann_cosine_topk_batched", _ann_batched),
         ("dedup_exact_groups", Q.q_dedup_exact_groups),
         ("quality_score_documents", Q.q_quality_score_documents),
         ("reading_order_events", Q.q_reading_order_events),

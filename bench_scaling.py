@@ -104,12 +104,16 @@ def main() -> None:
             "# BENCH/BASELINE — two-parallelism scaling run\n\n"
             "Sandbox proxy for the north_rule's **N vs 4N executors**\n"
             "criterion (no real cluster here — see BASELINE.md): the same\n"
-            "extraction job (TPAGE decode → detection → recognition →\n"
-            "decode; Arrow-UDF pipeline, broadcast weights) on the SAME\n"
+            "extraction job (packed TPBIT decode → detection → recognition\n"
+            "→ decode; Arrow-UDF pipeline, broadcast weights) on the SAME\n"
             "4100-page input (incl. 2048² skew pages) at multiple local[N]\n"
             "levels. One JIT-warm JVM, interleaved rounds, best-of "
             f"{ROUNDS}×{REPS}, full warm-up pass per level excluded "
             "(see bench_scaling.py docstring for the variance analysis).\n\n"
+            "Pages ride as TPBIT (1 bit/px packed ink, the production wire\n"
+            "format — 24× smaller than raw RGB through scan/shuffle/Arrow;\n"
+            "decode is a zero-copy-widened unpackbits, extraction output\n"
+            "byte-identical, tests/test_spark_e2e.py).\n\n"
             "## Primary: local[2] → local[8] (4× cores, box undersubscribed)\n\n"
             "| parallelism | pages | seconds | pages/sec |\n|---|---|---|---|\n"
             + table(primary["levels"]) +
@@ -125,12 +129,15 @@ def main() -> None:
             + table(secondary["levels"]) +
             f"\n**Speedup 8→32:** {secondary['speedup']}×, efficiency "
             f"{secondary['scaling_efficiency']}.\n\n"
-            "At full saturation the JVM→Python Arrow transfer is the shared\n"
-            "bottleneck: a compute-free column-passthrough mapInArrow on the\n"
-            "same input measures 1.3 s at local[8] vs 3.1 s at local[32] —\n"
-            "the pipe anti-scales on one machine because all workers share\n"
-            "one loopback and one executor JVM. Separate executors on a real\n"
-            "cluster each own that path, which the primary pair models.\n")
+            "Round-1 context: with raw-RGB payloads this pair ANTI-scaled\n"
+            "(615 → 426 pages/s, efficiency 0.173) because the shared\n"
+            "single-box JVM→Python Arrow pipe saturates (a compute-free\n"
+            "passthrough mapInArrow measured 1.3 s at local[8] vs 3.1 s at\n"
+            "local[32]). The 24× payload packing removed most of that wall\n"
+            "— local[32] is now the fastest level — and the residual gap\n"
+            "below 1.0 is the same shared-loopback contention, which\n"
+            "separate executors on a real cluster do not share (the\n"
+            "primary undersubscribed pair models that).\n")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,14 @@ def test_ann_cosine_topk_matches_numpy(spark):
     cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
     want = list(np.argsort(-cos)[:10])
     assert got == [int(w) for w in want]
+    # the batched pandas_udf scale path agrees with the Catalyst form
+    batched = {r.vec_id: r.cosine
+               for r in similarity.cosine_topk_batched(df, q, k=10).collect()}
+    exact = {r.vec_id: r.cosine
+             for r in similarity.cosine_topk(df, q, k=10).collect()}
+    assert batched.keys() == exact.keys()
+    for vid in exact:
+        assert abs(batched[vid] - exact[vid]) < 1e-9
 
 
 def test_ann_lsh_recall(spark):
@@ -118,10 +126,14 @@ def test_multimodal_meta_and_thumbnail(spark, weights):
     stats = {r.format: r.n_payloads
              for r in multimodal.media_stats(spark.createDataFrame(mixed)).collect()}
     assert stats == {"tpage": 4, "png": 1}
-    # stubbed decode path: png rows come back as 'stubbed', no crash
+    # PNG decodes for real now (ref/png.py); a MALFORMED png payload must
+    # come back as an error row, and a jpeg payload as a codec stub
+    mixed2 = pd.concat([mixed, pd.DataFrame(
+        [{"url": "j", "html": b"\xff\xd8\xff" + b"0" * 10}])])
     meta2 = {r.url: r.format for r in multimodal.extract_media_meta(
-        spark.createDataFrame(mixed)).collect()}
-    assert meta2["x"] == "stubbed"
+        spark.createDataFrame(mixed2)).collect()}
+    assert meta2["x"] == "error"
+    assert meta2["j"] == "stubbed"
     thumbs = multimodal.thumbnail(sdf, 16, 16).collect()
     assert len(thumbs) == 4
     assert all(len(t.thumb) == 16 * 16 * 3 for t in thumbs)

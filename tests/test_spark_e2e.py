@@ -78,3 +78,34 @@ def test_spark_malformed_payload_error_row(spark, weights):
     assert rows["https://bad.test/x"].spans is None
     ok = [r for u, r in rows.items() if u != "https://bad.test/x"]
     assert all(r.error is None for r in ok)
+
+
+def test_tpbit_roundtrip_byte_identical():
+    """TPBIT packs the binary-ink raster 1 bit/px; for rendered pages the
+    decode must reproduce the original RGB raster exactly."""
+    img, _ = fx.render_page("Hello,W0rld", 256, 256, 4)
+    buf = fx.encode_tpbit(img)
+    assert len(buf) == 8 + 256 * 256 // 8          # 24x smaller than TPG1
+    np.testing.assert_array_equal(fx.decode_tpbit(buf), img)
+    # dispatching decoder handles both formats
+    np.testing.assert_array_equal(fx.decode_payload(buf), img)
+    np.testing.assert_array_equal(
+        fx.decode_payload(fx.encode_tpage(img)), img)
+
+
+def test_tpbit_extraction_equals_tpage(spark, weights):
+    """The engine must extract identical text/spans from TPG1 and TPB1
+    payloads of the same pages (incl. a 2048² skew page)."""
+    raw = fx.make_pages(8, seed=33, n_large=1)
+    packed = fx.make_pages(8, seed=33, n_large=1, payload="tpbit")
+    assert (packed["html"].map(len) < raw["html"].map(len)).all()
+    a = {r.url: r for r in
+         eng.extract_df(spark.createDataFrame(raw), weights=weights).collect()}
+    b = {r.url: r for r in
+         eng.extract_df(spark.createDataFrame(packed),
+                        weights=weights).collect()}
+    assert a.keys() == b.keys()
+    for url in a:
+        assert a[url].error is None and b[url].error is None
+        assert a[url].text == b[url].text
+        assert a[url].spans == b[url].spans

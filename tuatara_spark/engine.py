@@ -79,7 +79,7 @@ def make_extractor(weights_bc, passthrough: list[str]):
             for i in range(n):
                 buf = htmls[i].as_py()
                 try:
-                    images[i] = fx.decode_tpage(buf)
+                    images[i] = fx.decode_payload(buf)
                 except Exception as e:  # malformed payload → error row
                     errors[i] = f"decode: {e}"
             ok_idx = [i for i in range(n) if errors[i] is None]

@@ -42,6 +42,7 @@ ALLOWED_CHARS = cs.CHARSET.replace("]", "")
 _ALLOWED_UNIQUE = sorted(set(ALLOWED_CHARS))
 
 TPAGE_MAGIC = b"TPG1"
+TPBIT_MAGIC = b"TPB1"
 
 EPOCH = np.datetime64("2026-01-01T00:00:00", "us")
 
@@ -99,6 +100,51 @@ def decode_tpage(buf: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+def encode_tpbit(img: np.ndarray) -> bytes:
+    """TPBIT v1: 1 bit/px packed ink plane (bit=1 → ink 0, bit=0 → paper
+    255), ``b"TPB1" + uint16_le h + uint16_le w + packbits(ink)``.
+
+    24× smaller than TPG1 raw RGB — rendered pages are binary ink, so for
+    them the round trip is byte-identical to the original RGB raster. This
+    is the production wire format: payload bytes dominate the scan /
+    shuffle / JVM→Python Arrow transfer, all of which shrink 24×."""
+    plane = img[..., 0] if img.ndim == 3 else img
+    h, w = plane.shape
+    bits = np.packbits((plane < 128).reshape(-1))
+    return (TPBIT_MAGIC + int(h).to_bytes(2, "little")
+            + int(w).to_bytes(2, "little") + bits.tobytes())
+
+
+def decode_tpbit(buf: bytes) -> np.ndarray:
+    if buf[:4] != TPBIT_MAGIC:
+        raise ValueError("not a TPBIT payload")
+    h = int.from_bytes(buf[4:6], "little")
+    w = int.from_bytes(buf[6:8], "little")
+    packed = np.frombuffer(buf, dtype=np.uint8, offset=8,
+                           count=(h * w + 7) // 8)
+    # bit=1 → INK(0), bit=0 → PAPER(255); channel axis is a stride-0
+    # broadcast view (read-only, like decode_tpage's frombuffer) so the
+    # widening writes h*w bytes, not h*w*3 — the pipeline only reads pages
+    plane = ((np.unpackbits(packed, count=h * w) ^ 1)
+             * np.uint8(255)).reshape(h, w)
+    return np.broadcast_to(plane[:, :, None], (h, w, 3))
+
+
+def decode_payload(buf: bytes) -> np.ndarray:
+    """Decode any supported page payload to an (H, W, 3) uint8 RGB array,
+    dispatching on the magic (TPAGE/TPBIT rasters, or real PNG — the
+    reference's own fixture format, examples/resume.cpp:9)."""
+    magic = bytes(buf[:4])
+    if magic == TPAGE_MAGIC:
+        return decode_tpage(buf)
+    if magic == TPBIT_MAGIC:
+        return decode_tpbit(buf)
+    if magic == b"\x89PNG":
+        from tuatara_spark.ref.png import decode_png
+        return decode_png(buf)
+    raise ValueError(f"unknown page payload magic {magic!r}")
+
+
 def pages_to_parquet(df: pd.DataFrame, path: str) -> None:
     """Write a pages table to parquet with µs timestamps (pandas defaults
     to ns, which Spark's parquet reader rejects: PARQUET_TYPE_ILLEGAL)."""
@@ -117,7 +163,8 @@ def _make_url(rng: np.random.Generator, i: int) -> str:
 
 def make_pages(n: int, seed: int = 42, h: int = 256, w: int = 256,
                s: int = 4, n_large: int = 0, large_dim: int = 2048,
-               font: np.ndarray | None = None) -> pd.DataFrame:
+               font: np.ndarray | None = None,
+               payload: str = "tpage") -> pd.DataFrame:
     """Deterministic pages table (url, warc_ts, html, text, lang).
 
     ``n`` small pages at (h, w) with glyph scale ``s``; ``n_large`` extra
@@ -126,6 +173,7 @@ def make_pages(n: int, seed: int = 42, h: int = 256, w: int = 256,
     ``text`` is the rendered ground truth ('\\n' between lines)."""
     if font is None:
         font = ft.build_font()
+    encode = {"tpage": encode_tpage, "tpbit": encode_tpbit}[payload]
     rng = np.random.default_rng(seed)
     rows = []
     specs = [(h, w, s)] * n + [(large_dim, large_dim, 2 * s)] * n_large
@@ -139,7 +187,7 @@ def make_pages(n: int, seed: int = 42, h: int = 256, w: int = 256,
         rows.append({
             "url": _make_url(rng, i),
             "warc_ts": EPOCH + np.timedelta64(int(rng.integers(0, 10_000_000)), "s"),
-            "html": encode_tpage(img),
+            "html": encode(img),
             "text": "\n".join(lines),
             "lang": LANGS[int(rng.integers(0, len(LANGS)))],
         })

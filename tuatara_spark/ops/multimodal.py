@@ -2,11 +2,11 @@
 
 Images/audio/video ride as ``binary`` columns with format sniffing; decode /
 feature-extract / resize / frame-sample run as Arrow-vectorized
-``mapInPandas`` stages. The TPAGE raster format decodes for real (it is the
-fixture page format); JPEG/PNG/audio codecs are NOT present in this
-container, so those branches are explicit deterministic stubs
-(NotImplementedError or a seeded fake) while the Spark-side plumbing —
-schema, batching, partitioning — is real and tested.
+``mapInPandas`` stages. TPAGE/TPBIT rasters and PNG decode for real (PNG
+via the pure-NumPy decoder in ref/png.py — the reference's own fixture
+format); JPEG/audio codecs are NOT present in this container, so those
+branches are explicit deterministic stubs (NotImplementedError) while the
+Spark-side plumbing — schema, batching, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from tuatara_spark import fixtures as fx
 
 _MAGICS = [
     (b"TPG1", "tpage"),
+    (b"TPB1", "tpbit"),
     (b"\x89PNG", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"RIFF", "riff"),
@@ -66,7 +67,16 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         img = fx.decode_tpage(buf)
         return ("tpage", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
-    for magic, name in _MAGICS[1:]:
+    if buf[:4] == fx.TPBIT_MAGIC:
+        img = fx.decode_tpbit(buf)
+        return ("tpbit", img.shape[1], img.shape[0],
+                float(img.mean(dtype=np.float64)))
+    if buf[:4] == b"\x89PNG":
+        from tuatara_spark.ref.png import decode_png
+        img = decode_png(buf)   # real decode: pure-NumPy PNG (ref/png.py)
+        return ("png", img.shape[1], img.shape[0],
+                float(img.mean(dtype=np.float64)))
+    for magic, name in _MAGICS[3:]:
         if buf[: len(magic)] == magic:
             # codec not available in this container — plumbing-only stub
             raise NotImplementedError(f"{name} decode requires an image "
@@ -89,6 +99,9 @@ def extract_media_meta(df: DataFrame, col: str = "html",
                     fmt, w, h, luma = _decode_meta(buf)
                 except NotImplementedError:
                     fmt, w, h, luma = "stubbed", None, None, None
+                except Exception:
+                    # malformed payload: an error row, never a failed task
+                    fmt, w, h, luma = "error", None, None, None
                 out["url"].append(key)
                 out["format"].append(fmt)
                 out["width"].append(w)

@@ -15,6 +15,7 @@ the bucket equi-join prune.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -46,6 +47,36 @@ def cosine_topk(df: DataFrame, query_vec, k: int = 10,
     qn = float(np.sqrt((q * q).sum()))
     cos = dot_expr(vec_col, _lit_vec(q)) / (norm_expr(vec_col) * F.lit(qn))
     return (df.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def cosine_topk_batched(df: DataFrame, query_vec, k: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Scale-path brute-force cosine top-k: one NumPy matmul per Arrow
+    batch via pandas_udf, instead of Catalyst ``zip_with``/``aggregate``
+    lambdas (which Catalyst evaluates INTERPRETED per element — measured
+    ~250× per-element overhead on this engine; see ops/dedup.simhash64).
+
+    Semantics match ``cosine_topk``; values may differ in final ulps
+    because BLAS accumulates pairwise while the Catalyst fold is
+    sequential — so oracle-checked queries keep the Catalyst form, and the
+    100 TB hot path uses this one.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def cos_udf(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = x @ q
+        norms = np.sqrt((x * x).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return (df.select(F.col(id_col), cos_udf(F.col(vec_col)).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
 
