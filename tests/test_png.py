@@ -114,3 +114,19 @@ def test_extract_media_meta_real_png(spark):
         assert r.format == "png"
         assert (r.height, r.width) == (h, w)
         assert r.mean_luma is not None and r.mean_luma > 180
+
+
+def test_extract_df_ingests_real_png(spark, weights):
+    """The full Spark extraction engine accepts the reference's own PNG
+    pages end-to-end (S1 ingest → detection → recognition): real decode,
+    real detection on real ink. The stand-in recognizer only knows the
+    synthetic glyph bank, so extracted TEXT is not asserted — regions and
+    error-free flow are."""
+    from tuatara_spark import engine as eng
+    with open(os.path.join(REF_IMAGES, "rotated_text.png"), "rb") as f:
+        buf = f.read()
+    df = spark.createDataFrame([("rotated_text.png", bytearray(buf))],
+                               "url string, html binary")
+    r = eng.extract_df(df, weights=weights).collect()[0]
+    assert r.error is None
+    assert r.n_regions >= 1          # detector fires on real document ink

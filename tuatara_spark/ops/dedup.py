@@ -50,12 +50,35 @@ def keep_first(df: DataFrame, text_col: str = "text",
 # ------------------------------------------------------------- shingles ----
 
 def shingle_expr(text_col: str, k: int = 5):
-    """Array of lowercase character k-grams — pure Catalyst."""
+    """Array of lowercase character k-grams — pure Catalyst.
+
+    NOTE: the ``transform`` lambda is evaluated INTERPRETED per element by
+    Catalyst; hot paths use ``shingle_tokens`` (compiled explode) instead.
+    Kept for small per-row uses and as the semantic reference."""
     lc = f"lower({text_col})"
     return F.expr(
         f"CASE WHEN length({lc}) < {k} THEN array(lower({text_col})) "
         f"ELSE array_distinct(transform(sequence(1, length({lc}) - {k} + 1), "
         f"i -> substring({lc}, i, {k}))) END")
+
+
+def shingle_tokens(df: DataFrame, text_col: str, id_col: str, k: int,
+                   compute_partitions: int | None = None) -> DataFrame:
+    """(_id, _s) k-gram token stream (with in-doc duplicates), fully
+    compiled: explode a position sequence, then one substring per row — no
+    interpreted HOF lambda in sight (whole-stage codegen keeps the
+    explode+substring in one stage; only (_id, _s) ever shuffles).
+
+    ``greatest(.., 1)`` reproduces shingle_expr's short-text rule: for
+    length < k the single token IS the whole (lowercased) text."""
+    base = (df.repartition(_wide(df, compute_partitions))
+            .select(F.col(id_col).alias("_id"),
+                    F.lower(F.col(text_col)).alias("_lc")))
+    pos = F.explode(F.expr(
+        f"sequence(1, greatest(length(_lc) - {k} + 1, 1))")).alias("_p")
+    return (base.select("_id", "_lc", pos)
+            .select("_id", F.col("_lc").substr(F.col("_p"),
+                                               F.lit(k)).alias("_s")))
 
 
 # ----------------------------------------------------------- MinHash-LSH ---
@@ -67,23 +90,24 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """(_id, shingles, sig): sig[j] = min over shingles of
     xxhash64(shingle, j).
 
-    Implementation: explode shingles → num_perm compiled min() aggregates.
-    (The no-shuffle ``array_min(transform(...))`` formulation evaluates its
-    lambda interpreted per shingle per permutation — measured ~10x slower
-    at 5k docs; see the simhash64 note.) The input is repartitioned first:
+    Implementation: compiled token explode (shingle_tokens) → ONE groupBy
+    producing the distinct shingle set (collect_set) AND the num_perm
+    min() aggregates in a single pass/shuffle. Duplicate in-doc tokens
+    don't disturb the mins (min over multiset == min over set), so no
+    per-doc dedup is needed before the agg. The earlier formulation built
+    per-doc gram arrays with an interpreted ``transform`` lambda and
+    computed them twice (explode branch + join-back branch) — measured 2×
+    slower end-to-end at sf0.1. The input is repartitioned first:
     shingling + hashing is orders of magnitude heavier per row than the
-    row's bytes, so input-split or cache partitioning (often 1 partition
-    for a small dimension table) would serialize the whole stage."""
-    base = df.repartition(_wide(df, compute_partitions)) \
-        .select(F.col(id_col).alias("_id"),
-                shingle_expr(text_col, k).alias("shingles"))
-    tok = base.select("_id", F.explode("shingles").alias("_s"))
+    row's bytes, so input-split partitioning (often 1 partition for a
+    small dimension table) would serialize the whole stage."""
+    tok = shingle_tokens(df, text_col, id_col, k, compute_partitions)
     aggs = [F.min(F.xxhash64("_s", F.lit(j))).alias(f"_m{j}")
             for j in range(num_perm)]
-    g = tok.groupBy("_id").agg(*aggs)
-    sig = g.select("_id", F.array(*[F.col(f"_m{j}")
-                                    for j in range(num_perm)]).alias("sig"))
-    return base.join(sig, "_id")
+    g = tok.groupBy("_id").agg(F.collect_set("_s").alias("shingles"), *aggs)
+    return g.select("_id", "shingles",
+                    F.array(*[F.col(f"_m{j}")
+                              for j in range(num_perm)]).alias("sig"))
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str],
@@ -138,15 +162,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             # per pair); explicit repartition keeps it wide — AQE would
             # coalesce this small-bytes/heavy-cpu shuffle to one task
             .repartition(_wide(df, verify_partitions)))
-    sh = sig.select("_id", "shingles")
+    sh = sig.select("_id", "shingles", F.size("shingles").alias("_ns"))
     cand = (cand
             .join(sh.select(F.col("_id").alias("id_a"),
-                            F.col("shingles").alias("sh_a")), "id_a")
+                            F.col("shingles").alias("sh_a"),
+                            F.col("_ns").alias("na")), "id_a")
             .join(sh.select(F.col("_id").alias("id_b"),
-                            F.col("shingles").alias("sh_b")), "id_b"))
+                            F.col("shingles").alias("sh_b"),
+                            F.col("_ns").alias("nb")), "id_b"))
+    # |A∪B| = |A|+|B|-|A∩B| for distinct shingle arrays: one set build per
+    # pair instead of two (array_union dropped — same integers, same double)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand.withColumn("jaccard", inter / union)
+    cand = cand.withColumn("_i", inter)
+    jac = F.col("_i") / (F.col("na") + F.col("nb") - F.col("_i"))
+    return (cand.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
@@ -252,11 +281,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     order IS the skew control.
     """
     vp = _wide(df, verify_partitions)
-    base = (df.repartition(vp)
-            .select(F.col(id_col).alias("_id"),
-                    shingle_expr(text_col, k).alias("grams"))
-            .persist())
-    tok = base.select("_id", F.explode("grams").alias("_g"))
+    # compiled token stream → per-doc distinct grams; one shuffle builds
+    # both the dedup'd token table and the gram arrays for verification
+    tok = (shingle_tokens(df, text_col, id_col, k, vp)
+           .select("_id", F.col("_s").alias("_g"))
+           .dropDuplicates(["_id", "_g"])
+           .persist())
+    base = tok.groupBy("_id").agg(F.collect_set("_g").alias("grams"))
     freq = tok.groupBy("_g").agg(F.count("*").alias("_df"))
     ranked = (tok.join(freq, "_g")
               .withColumn("_rn", F.row_number().over(
@@ -272,13 +303,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b").distinct()
             # exact verification is the CPU-heavy stage; keep it wide
             .repartition(vp))
-    sh = base.select("_id", "grams")
+    sh = base.select("_id", "grams", F.size("grams").alias("_ng"))
     cand = (cand.join(sh.select(F.col("_id").alias("id_a"),
-                                F.col("grams").alias("sh_a")), "id_a")
+                                F.col("grams").alias("sh_a"),
+                                F.col("_ng").alias("na")), "id_a")
             .join(sh.select(F.col("_id").alias("id_b"),
-                            F.col("grams").alias("sh_b")), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand.withColumn("jaccard", inter.cast("double") / union)
+                            F.col("grams").alias("sh_b"),
+                            F.col("_ng").alias("nb")), "id_b"))
+    # |A∪B| = |A|+|B|-|A∩B| (distinct gram arrays): one set build per pair
+    cand = cand.withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+    jac = F.col("_i").cast("double") / (F.col("na") + F.col("nb")
+                                        - F.col("_i"))
+    return (cand.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))

@@ -8,6 +8,9 @@ from pyspark.sql import SparkSession
 
 # One 256² TPAGE row ≈ 196 KB → 64 rows ≈ 12 MB per Arrow batch; bounds
 # Python-worker memory while keeping detection/recognition batches wide.
+# Swept 64/128/256/512 with packed TPBIT payloads at local[32]: 64 stays
+# fastest (1446 vs 784-904 pages/s) — larger batches lump the 2048² skew
+# pages into fewer, chunkier tasks and lose overlap.
 ARROW_BATCH_ROWS = 64
 
 
