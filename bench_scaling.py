@@ -38,8 +38,11 @@ if REPO_ROOT not in sys.path:
 LEVELS = (2, 8, 32)
 PRIMARY = (2, 8)
 SECONDARY = (8, 32)
-ROUNDS = 2
-REPS = 1
+# best-of over 3 interleaved rounds × 2 reps: single samples flap ±20% on
+# this VM (CPU-speed regimes shift between SparkContext rebuilds); six
+# samples per level make the best-of a stable noise floor
+ROUNDS = 3
+REPS = 2
 
 
 def run_level(cores: int, pages_path: str, w) -> tuple[int, float]:

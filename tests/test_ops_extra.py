@@ -70,3 +70,52 @@ def test_tall_narrow_page(weights):
     img, lines = fx.render_page("ab", 512, 160, 4)
     r = pl.extract_page(img, weights)
     assert r["text"] == "\n".join(lines)
+
+
+def test_ngram_prefix_filter_lossless_vs_bruteforce(spark):
+    """The prefix-filtered candidate join must return EXACTLY the pairs a
+    quadratic all-pairs Jaccard finds — the losslessness theorem checked
+    on adversarial + randomized corpora (dup-heavy, short texts, empty
+    strings, sub-k texts)."""
+    import itertools
+    import numpy as np
+    from tuatara_spark.ops import dedup
+
+    def grams(t, k=3):
+        lc = t.lower()
+        if len(lc) < k:
+            return {lc}
+        return {lc[i:i + k] for i in range(len(lc) - k + 1)}
+
+    def brute(texts, t):
+        out = {}
+        for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
+            ga, gb = grams(a), grams(b)
+            inter = len(ga & gb)
+            jac = inter / (len(ga) + len(gb) - inter)
+            if jac >= t:
+                out[(i, j)] = round(jac, 9)
+        return out
+
+    rng = np.random.default_rng(7)
+    corpora = [
+        ["", "a", "ab", "abc", "abc", "abcd", "xyz"],          # sub-k edge
+        ["the cat sat", "the cat sat!", "a dog ran", "the cat sat",
+         "THE CAT SAT", "unrelated words entirely"],           # dups + case
+    ]
+    for _ in range(3):                                          # randomized
+        n = int(rng.integers(5, 12))
+        base = ["".join(rng.choice(list("abcdef "), size=12)) for _ in range(3)]
+        corpora.append([
+            (base[int(rng.integers(0, 3))]
+             + ("" if rng.random() < 0.5 else str(int(rng.integers(0, 10)))))
+            for _ in range(n)])
+
+    for texts in corpora:
+        for thr in (0.3, 0.5, 0.8):
+            pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+            df = spark.createDataFrame(pdf)
+            got = {(r.id_a, r.id_b): round(r.jaccard, 9)
+                   for r in dedup.ngram_jaccard_pairs(
+                       df, k=3, threshold=thr).collect()}
+            assert got == brute(texts, thr), (texts, thr)

@@ -420,6 +420,54 @@ FROM p WHERE j >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def q_corpus_clean_ids(spark, sf_dir):
+    """Composed training-data pipeline (the dedup/quality ops chained the
+    way a corpus build actually uses them): exact dedup keep-first →
+    LOSSLESS 3-gram-Jaccard near-dup drop (every id_b side of a pair at
+    t≥0.5, single-link keep-smallest) → cheap quality gate (ws_tokens ≥ 3
+    and alpha ratio ≥ 0.20). Returns surviving doc ids; end-to-end exactly
+    reproducible in ANSI SQL because the near-dup stage is prefix-filtered
+    exact Jaccard, not probabilistic banding."""
+    docs = _docs(spark, sf_dir)
+    first = dedup.keep_first(docs)
+    pairs = dedup.ngram_jaccard_pairs(first, k=3, threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = first.join(F.broadcast(drop), "doc_id", "left_anti")
+    q = textstats.quality_score(kept)
+    ok = q.filter((F.col("ws_tokens") >= 3)
+                  & (F.floor(F.col("alpha_ratio") * 1e4 + F.lit(0.5))
+                     >= 2000))
+    return ok.select("doc_id").orderBy("doc_id")
+
+
+_CORPUS_CLEAN_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) < 3 THEN [lower(text)]
+              ELSE list_distinct([substr(lower(text), i, 3)
+                                  for i in range(1, length(lower(text)) - 1)])
+         END AS grams
+  FROM d),
+p AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+        / (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams))) >= 0.5)
+SELECT doc_id FROM d
+WHERE doc_id NOT IN (SELECT doc_id FROM p)
+  AND len(regexp_split_to_array(trim(text), '\s+')) >= 3
+  AND CAST(floor(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                 / length(text) * 10000 + 0.5) AS BIGINT) >= 2000
+ORDER BY doc_id
+"""
+
+
 def q_quality_score_documents(spark, sf_dir):
     q = textstats.quality_score(_docs(spark, sf_dir))
     return (q.select("doc_id", "n_bytes", "ws_tokens",
@@ -712,6 +760,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, _EMB_DUP_SQL),
     "embedding_norm_stats": (q_embedding_norm_stats, _NORM_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL),
+    "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _lsh_sql()),
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
     # rows-only (xxhash64 / rendered-payload based)
