@@ -69,3 +69,25 @@ def test_whole_stage_codegen_on_relational_ops(spark):
     assert "WholeStageCodegen" in plan
     simple = _explain(textstats.quality_score(docs), mode="simple")
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+
+
+def test_corpus_clean_drop_join_is_broadcast(spark):
+    """The near-dup drop list is tiny relative to the corpus — the
+    anti-join must broadcast it, never shuffle the corpus."""
+    from tuatara_spark import queries as Q
+    df = Q.q_corpus_clean_ids(spark, "/root/testdata/sf0.001")
+    plan = _explain(df, mode="extended")
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_ngram_prefix_join_no_cartesian(spark):
+    """The lossless candidate join is an equi-join on the gram key —
+    no cartesian/nested-loop product anywhere in the plan."""
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(12),
+         "text": [f"some body text {i % 3}" for i in range(12)]}))
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    plan = _explain(pairs, mode="extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -733,6 +733,60 @@ def q_media_meta_docs(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_streaming_lang_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with CUSTOM STATEFUL state: documents flow in
+    as a 4-file stream (maxFilesPerTrigger=1 → 4 micro-batches), per-lang
+    cumulative (docs, chars) counters run in ``applyInPandasWithState``
+    (state persists across micro-batches), drained with availableNow.
+    The final per-lang state must equal the plain batch aggregate — which
+    IS the DuckDB oracle, so the stateful streaming path gets an exact
+    driver-visible correctness check despite being non-relational."""
+    import tempfile
+    import uuid
+
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tmp = tempfile.mkdtemp(prefix="tuatara_stream_docs_")
+    docs = _docs(spark, sf_dir)
+    docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{tmp}/in"))
+
+    def fn(key, pdfs, state):
+        n_docs, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            chars += int(pdf["n_chars"].fillna(0).sum())
+        state.update((n_docs, chars))
+        yield pd_.DataFrame({"lang": [key[0]], "docs": [n_docs],
+                             "chars": [chars]})
+
+    counts = stream.groupBy("lang").applyInPandasWithState(
+        fn, "lang string, docs long, chars long", "docs long, chars long",
+        "update", GroupStateTimeout.NoTimeout)
+    sink = f"stream_lang_counters_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.format("memory").queryName(sink)
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update-mode emits running totals; the per-lang max IS the final state
+    return (spark.table(sink).groupBy("lang")
+            .agg(F.max("docs").alias("docs"), F.max("chars").alias("chars"))
+            .orderBy("lang"))
+
+
+_STREAMING_COUNTERS_SQL = """
+SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -761,6 +815,8 @@ REGISTRY: dict[str, tuple] = {
     "embedding_norm_stats": (q_embedding_norm_stats, _NORM_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL),
     "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
+    "streaming_lang_counters": (q_streaming_lang_counters,
+                                _STREAMING_COUNTERS_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _lsh_sql()),
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
     # rows-only (xxhash64 / rendered-payload based)
