@@ -3,9 +3,12 @@
 Delegates to tuatara_spark.queries — one entry per implemented operator
 (SURVEY.md §2 pipeline-stage mirrors, the flagship end-to-end extraction
 query, and the training-data ops: dedup/similarity/text-analysis/
-multimodal). Most queries carry an exact DuckDB oracle; xxhash64-based
-operators (minhash/simhash/LSH) are rows-only by necessity and are pinned
-by pytest instead (tests/test_ops.py, tests/test_entry_contract.py).
+multimodal/streaming). 28 of 31 queries carry an exact DuckDB oracle —
+including analytic first-principles oracles for the multimodal decode
+queries and recall gates for the approximate ANN/MinHash paths; only the
+xxhash64-based pair LISTS (minhash/simhash) and the kmeans-centroid IVF
+top-k are rows-only, each pinned by pytest + a driver-visible gate query
+(tests/test_ops.py, tests/test_entry_contract.py).
 """
 
 from __future__ import annotations

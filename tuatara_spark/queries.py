@@ -468,6 +468,41 @@ ORDER BY doc_id
 """
 
 
+def q_minhash_recall_gate(spark, sf_dir):
+    """Driver-visible gate for MinHash banding (whose pairs are xxhash64-
+    based, hence not directly SQL-checkable): every pair with TRUE 5-gram
+    Jaccard ≥ 0.9 (computable exactly — and the oracle recomputes the
+    count all-pairs in SQL) must be recovered by the banded candidate
+    path. 8 bands × 4 rows gives P[detect | J=0.9] ≈ 0.9998 per pair;
+    measured on this data: 28 and 25 such pairs at sf0.001/sf0.01, zero
+    missed."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.9) \
+        .select("id_a", "id_b")
+    found = dedup.minhash_lsh_pairs(docs, threshold=0.25) \
+        .select("id_a", "id_b")
+    missed = exact.join(found, ["id_a", "id_b"], "left_anti")
+    return (exact.agg(F.count("*").alias("n_high_sim"))
+            .crossJoin(F.broadcast(
+                missed.agg((F.count("*") == 0).alias("recall_ok")))))
+
+
+_MINHASH_GATE_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
+              ELSE list_distinct([substr(lower(text), i, 5)
+                                  for i in range(1, length(lower(text)) - 3)])
+         END AS grams
+  FROM documents)
+SELECT count(*) AS n_high_sim, true AS recall_ok
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+      / (len(a.grams) + len(b.grams)
+         - len(list_intersect(a.grams, b.grams))) >= 0.9
+"""
+
+
 def q_quality_score_documents(spark, sf_dir):
     q = textstats.quality_score(_docs(spark, sf_dir))
     return (q.select("doc_id", "n_bytes", "ws_tokens",
@@ -706,9 +741,41 @@ def q_frame_sample_docs(spark, sf_dir):
     clips = docs.mapInPandas(render, "url string, html binary")
     frames = multimodal.frame_sample(clips, every_k=2)
     return (frames.select("url", "frame_idx",
-                          F.floor(F.col("mean_luma") * 100 + F.lit(0.5))
+                          F.floor(F.col("mean_luma").cast("double") * 100
+                                  + F.lit(0.5))
                           .cast("long").alias("luma_e2"))
             .orderBy("url", "frame_idx"))
+
+
+def _frame_sample_sql():
+    """First-principles oracle for TPGV frame sampling: each 128² s=4
+    frame renders the calibration mark (192 px) + ONE glyph
+    (popcount·16 px); sampling every 2nd frame of the ≤3-char clip keeps
+    frame indices 0 (always) and 2 (3-char clips). mean_luma =
+    255·(16384 − ink)/16384 — derived from fixture geometry."""
+    values = ", ".join(f"({ord(ch)}, {cnt})"
+                       for ch, cnt in sorted(_glyph_popcounts().items()))
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         substr(regexp_replace(text, '{_CLEAN_RE}', '', 'g'), 1, 3) AS t0
+  FROM documents ORDER BY doc_id LIMIT 8),
+e AS (SELECT url, CASE WHEN length(t0) = 0 THEN 'a' ELSE t0 END AS t FROM c),
+pc(code, cnt) AS (VALUES {values}),
+f AS (
+  SELECT url, 0 AS frame_idx, substr(t, 1, 1) AS ch FROM e
+  UNION ALL
+  SELECT url, 2 AS frame_idx, substr(t, 3, 1) AS ch FROM e
+  WHERE length(t) >= 3),
+m AS (
+  SELECT url, frame_idx,
+         CAST(CAST(CAST(16384 - (192 + 16 * pc.cnt) AS DOUBLE) * 765 / 49152
+                   AS FLOAT) AS DOUBLE) AS luma
+  FROM f JOIN pc ON unicode(f.ch) = pc.code)
+SELECT url, frame_idx,
+       CAST(floor(luma * 100 + 0.5) AS BIGINT) AS luma_e2
+FROM m ORDER BY url, frame_idx
+"""
 
 
 def q_media_meta_docs(spark, sf_dir):
@@ -727,10 +794,54 @@ def q_media_meta_docs(spark, sf_dir):
 
     pages = docs.mapInPandas(render, "url string, html binary")
     meta = multimodal.extract_media_meta(pages)
+    # mean_luma is a float32 schema field; widen EXPLICITLY before scaling
+    # so the arithmetic is double in both engines (oracle mirrors the cast)
     return (meta.select("url", "format", "width", "height", "n_bytes",
-                        F.floor(F.col("mean_luma") * 100 + F.lit(0.5))
+                        F.floor(F.col("mean_luma").cast("double") * 100
+                                + F.lit(0.5))
                         .cast("long").alias("luma_e2"))
             .orderBy("url"))
+
+
+def _glyph_popcounts() -> dict[str, int]:
+    from tuatara_spark import charset as cs_
+    from tuatara_spark import font as ft_
+    font = ft_.build_font()
+    return {ch: int(ft_.glyph_for_char(font, ch).sum())
+            for ch in dict.fromkeys(cs_.CHARSET)}
+
+
+def _media_meta_sql():
+    """FIRST-PRINCIPLES oracle for the rendered-page metadata decode: a
+    256² s=4 page is white except the 3×4-bit calibration mark (192 px)
+    and one glyph per char (popcount(bitmap)·16 px), so
+    mean_luma = 255·(65536 − ink_px)/65536 — derived from the fixture
+    geometry, NOT by running the pipeline. Matching it end-to-end proves
+    render → TPAGE encode → Spark decode → metadata exact."""
+    values = ", ".join(f"({ord(ch)}, {cnt})"
+                       for ch, cnt in sorted(_glyph_popcounts().items()))
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 16),
+pc(code, cnt) AS (VALUES {values}),
+ch AS (
+  SELECT url, unicode(substr(t, CAST(i AS INT), 1)) AS code
+  FROM c, range(1, 13) r(i) WHERE i <= length(t)),
+ink AS (
+  SELECT c.url, 192 + 16 * coalesce(sum(pc.cnt), 0) AS ink_px
+  FROM c LEFT JOIN ch USING (url) LEFT JOIN pc USING (code)
+  GROUP BY c.url),
+m AS (
+  SELECT url,
+         CAST(CAST(CAST(65536 - ink_px AS DOUBLE) * 765 / 196608 AS FLOAT)
+              AS DOUBLE) AS luma
+  FROM ink)
+SELECT url, 'tpage' AS format, 256 AS width, 256 AS height,
+       196616 AS n_bytes,
+       CAST(floor(luma * 100 + 0.5) AS BIGINT) AS luma_e2
+FROM m ORDER BY url
+"""
 
 
 def q_streaming_lang_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,14 +928,15 @@ REGISTRY: dict[str, tuple] = {
     "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
     "streaming_lang_counters": (q_streaming_lang_counters,
                                 _STREAMING_COUNTERS_SQL),
+    "minhash_recall_gate": (q_minhash_recall_gate, _MINHASH_GATE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _lsh_sql()),
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
     # rows-only (xxhash64 / rendered-payload based)
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
-    "media_meta_docs": (q_media_meta_docs, None),
-    "frame_sample_docs": (q_frame_sample_docs, None),
+    "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
+    "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
 }
 
 
