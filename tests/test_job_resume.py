@@ -117,3 +117,40 @@ def test_gc_uncommitted(spark, pages_path, tmp_path):
     assert removed == ["run_000099"]
     assert cat.committed_buckets()  # committed data untouched
     assert cat.read_table(spark).count() > 0
+
+
+def test_time_travel_and_config_pin(spark, pages_path, tmp_path):
+    out = str(tmp_path / "tt")
+    job.run_extract(spark, pages_path, out, num_buckets=8, groups=2)
+    cat = Catalog(out)
+    # time travel: as-of snapshot 1 sees only the first group's buckets
+    snap1 = cat.read_snapshot(1)
+    t1 = cat.read_table(spark, as_of=1)
+    assert t1.count() == snap1["totals"]["pages"]
+    got_buckets = {r.part_id for r in t1.select("part_id").distinct().collect()}
+    assert got_buckets <= set(snap1["buckets"])
+    # full read == as-of current
+    cur = cat.current_snapshot_id()
+    assert cat.read_table(spark, as_of=cur).count() == \
+        cat.read_table(spark).count()
+    # resuming with a DIFFERENT num_buckets must fail fast, not silently
+    # reinterpret committed bucket ids
+    with pytest.raises(ValueError, match="num_buckets"):
+        job.run_extract(spark, pages_path, out, num_buckets=16)
+    with pytest.raises(ValueError, match="weights_seed"):
+        job.run_extract(spark, pages_path, out, num_buckets=8,
+                        weights_seed=7)
+
+
+def test_run_extract_packed_payload(spark, tmp_path):
+    """The job layer is payload-format-agnostic: TPBIT pages run the same
+    bucket/salt/extract/commit flow with byte-identical text."""
+    p = str(tmp_path / "packed.parquet")
+    pages = fx.make_pages(20, seed=5, payload="tpbit")
+    fx.pages_to_parquet(pages, p)
+    out = str(tmp_path / "table")
+    s = job.run_extract(spark, p, out, num_buckets=4, groups=1)
+    assert s["totals"]["pages"] == 20 and s["totals"]["failures"] == 0
+    got = {r.url: r.text
+           for r in Catalog(out).read_table(spark).select("url", "text").collect()}
+    assert got == dict(zip(pages["url"], pages["text"]))

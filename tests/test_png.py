@@ -130,3 +130,20 @@ def test_extract_df_ingests_real_png(spark, weights):
     r = eng.extract_df(df, weights=weights).collect()[0]
     assert r.error is None
     assert r.n_regions >= 1          # detector fires on real document ink
+
+
+def test_encode_png_roundtrip_and_viz_dump(weights, tmp_path):
+    """encode_png output must decode back exactly, and the S30 annotated
+    dump writes a real PNG when asked to."""
+    from tuatara_spark import viz
+    from tuatara_spark.ref import pipeline as pl
+    from tuatara_spark.ref.png import encode_png
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 256, size=(31, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(src)), src)
+    img, _ = fx.render_page("PngDump", 256, 256, 4)
+    spans = pl.image_to_data(img, weights)
+    path = viz.dump_annotated(img, spans, str(tmp_path / "page.png"))
+    with open(path, "rb") as f:
+        out = decode_png(f.read())
+    np.testing.assert_array_equal(out, viz.annotate_page(img, spans))

@@ -100,15 +100,23 @@ class Catalog:
             done.update(snap["buckets"])
         return done
 
-    def committed_run_dirs(self) -> list[str]:
-        return [os.path.join(self.data_dir, s["run"]) for s in self.snapshots()]
+    def committed_run_dirs(self, as_of: int | None = None) -> list[str]:
+        snaps = self.snapshots()
+        if as_of is not None:
+            snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
+        return [os.path.join(self.data_dir, s["run"]) for s in snaps]
 
-    def read_table(self, spark):
+    def read_table(self, spark, as_of: int | None = None):
         """Union of all committed run dirs (part_id recovered via hive
         partition discovery within each run dir; run dirs are separate
         roots, so they are read separately and unioned). Returns None if
-        nothing is committed."""
-        dirs = self.committed_run_dirs()
+        nothing is committed.
+
+        ``as_of`` reads the table AS OF a snapshot id (Iceberg-style time
+        travel): only runs committed at or before that snapshot are
+        visible — later commits never rewrite earlier run dirs, so the
+        historical view is exact."""
+        dirs = self.committed_run_dirs(as_of)
         if not dirs:
             return None
         df = spark.read.parquet(dirs[0])

@@ -88,6 +88,34 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (H, W[, 3]) uint8 image as an 8-bit RGB PNG (filter type
+    0 per scanline + zlib). Grayscale input is replicated to 3 channels.
+    Round-trips exactly through decode_png; used by the S30 debug dumps so
+    annotated pages open in any viewer (the reference writes its annotated
+    overlay as a PNG, bindings/run_ocr.py:82)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] != 3:
+        img = np.ascontiguousarray(img[..., :3])
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)                      # filter type 0 (None)
+        raw.extend(flat[y].tobytes())
+    idat = zlib.compress(bytes(raw), compress_level)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """Decode a PNG byte string to (H, W, 3) uint8 RGB (alpha dropped,
     grayscale replicated — cv::imread IMREAD_COLOR semantics, but RGB

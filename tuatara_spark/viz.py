@@ -60,10 +60,18 @@ def to_ppm(img: np.ndarray) -> bytes:
 
 
 def dump_annotated(img: np.ndarray, spans, path: str) -> str:
-    """Write the bbox-overlaid page as a .ppm next to a .txt of the span
-    texts in reading order (the reference's annotated dump, run_ocr.py:82)."""
+    """Write the bbox-overlaid page (as real PNG when the path ends .png —
+    via the pure-NumPy encoder in ref/png.py, like the reference's
+    annotated dump run_ocr.py:82 — else PPM) next to a .txt of the span
+    texts in reading order."""
+    annotated = annotate_page(img, spans)
+    if path.endswith(".png"):
+        from tuatara_spark.ref.png import encode_png
+        payload = encode_png(annotated)
+    else:
+        payload = to_ppm(annotated)
     with open(path, "wb") as f:
-        f.write(to_ppm(annotate_page(img, spans)))
+        f.write(payload)
     txt_path = path.rsplit(".", 1)[0] + ".txt"
     with open(txt_path, "w") as f:
         for s in spans:
