@@ -119,3 +119,27 @@ def test_ngram_prefix_filter_lossless_vs_bruteforce(spark):
                    for r in dedup.ngram_jaccard_pairs(
                        df, k=3, threshold=thr).collect()}
             assert got == brute(texts, thr), (texts, thr)
+
+
+def test_image_features_all_formats(spark, weights):
+    """Decode → feature-extract over TPAGE, TPBIT and real PNG payloads:
+    ink bbox matches the known fixture geometry; undecodable rows skipped."""
+    img, _ = fx.render_page("Xy", 256, 256, 4)
+    rows = [("tpage", bytearray(fx.encode_tpage(img))),
+            ("tpbit", bytearray(fx.encode_tpbit(img))),
+            ("junk", bytearray(b"NOPE" + b"0" * 16))]
+    with open("/root/reference/images/rotated_text.png", "rb") as f:
+        rows.append(("png", bytearray(f.read())))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    feats = {r.url: r for r in multimodal.image_features(df).collect()}
+    assert set(feats) == {"tpage", "tpbit", "png"}   # junk skipped
+    for u in ("tpage", "tpbit"):
+        r = feats[u]
+        # calibration mark origin at (s, s) = (4, 4)
+        assert (r.ink_x0, r.ink_y0) == (4, 4)
+        assert r.ink_ratio > 0 and r.ink_x1 > r.ink_x0
+    # identical page → identical features regardless of wire format
+    a, b = feats["tpage"].asDict(), feats["tpbit"].asDict()
+    a.pop("url"), b.pop("url")
+    assert a == b
+    assert feats["png"].ink_ratio > 0                # real document ink

@@ -167,6 +167,59 @@ def frame_sample(df: DataFrame, every_k: int = 2, col: str = "html",
     return df.select(key_col, col).mapInPandas(fn, FRAME_SCHEMA)
 
 
+FEATURES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("ink_ratio", FloatType()),
+    StructField("ink_x0", IntegerType()),
+    StructField("ink_y0", IntegerType()),
+    StructField("ink_x1", IntegerType()),
+    StructField("ink_y1", IntegerType()),
+    StructField("row_profile_peak", IntegerType()),
+    StructField("col_profile_peak", IntegerType()),
+])
+
+
+def image_features(df: DataFrame, col: str = "html",
+                   key_col: str = "url", ink_threshold: int = 128) -> DataFrame:
+    """Decode → feature-extract (Arrow-batched mapInPandas): ink coverage
+    ratio, the ink bounding box, and the densest row/column (profile
+    argmax) — the cheap layout features a page-classification or
+    quality-filter stage consumes. Works on any decodable payload
+    (TPAGE / TPBIT / PNG via ``fixtures.decode_payload``); undecodable
+    rows are skipped (one error row per format is the meta op's job)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FEATURES_SCHEMA.fields}
+            for key, buf in zip(pdf[key_col], pdf[col]):
+                try:
+                    img = fx.decode_payload(bytes(buf))
+                except Exception:
+                    continue
+                gray = np.asarray(img[..., 0])
+                ink = gray < ink_threshold
+                n_ink = int(ink.sum())
+                out["url"].append(key)
+                out["ink_ratio"].append(n_ink / ink.size)
+                if n_ink:
+                    ys, xs = np.nonzero(ink)
+                    out["ink_x0"].append(int(xs.min()))
+                    out["ink_y0"].append(int(ys.min()))
+                    out["ink_x1"].append(int(xs.max()))
+                    out["ink_y1"].append(int(ys.max()))
+                    out["row_profile_peak"].append(
+                        int(ink.sum(axis=1).argmax()))
+                    out["col_profile_peak"].append(
+                        int(ink.sum(axis=0).argmax()))
+                else:
+                    for k in ("ink_x0", "ink_y0", "ink_x1", "ink_y1",
+                              "row_profile_peak", "col_profile_peak"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, col).mapInPandas(fn, FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("thumb", BinaryType()),
