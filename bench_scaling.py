@@ -43,6 +43,13 @@ SECONDARY = (8, 32)
 # samples per level make the best-of a stable noise floor
 ROUNDS = 3
 REPS = 2
+# The scaling input is 2× the bench sf (8200 pages): the criterion is
+# STEADY-STATE throughput of a job that runs for hours at 10^12 rows, so
+# each level must run long enough that fixed per-run costs (job setup,
+# scheduler, final collect) are amortized — at 4100 pages they are ~5% of
+# the local[8] wall time and alone push measured efficiency below the
+# true compute ratio.
+SCALING_SF = 0.2
 
 
 def run_level(cores: int, pages_path: str, w) -> tuple[int, float]:
@@ -64,9 +71,9 @@ def run_level(cores: int, pages_path: str, w) -> tuple[int, float]:
 
 
 def main() -> None:
-    from bench import bench_pages_path, sf_of, SF_DIR
+    from bench import bench_pages_path
     from tuatara_spark import weights as wt
-    pages_path = bench_pages_path(sf_of(SF_DIR))[0]
+    pages_path = bench_pages_path(SCALING_SF)[0]
     w = wt.build_weights(42)
 
     best: dict[int, dict] = {c: {"cores": c, "pages": 0,
@@ -94,6 +101,8 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO_ROOT, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=1)
 
     def table(levels):
         rows = ""
@@ -109,8 +118,12 @@ def main() -> None:
             "criterion (no real cluster here — see BASELINE.md): the same\n"
             "extraction job (packed TPBIT decode → detection → recognition\n"
             "→ decode; Arrow-UDF pipeline, broadcast weights) on the SAME\n"
-            "4100-page input (incl. 2048² skew pages) at multiple local[N]\n"
-            "levels. One JIT-warm JVM, interleaved rounds, best-of "
+            f"{primary['levels'][0]['pages']}-page input (incl. 2048² skew\n"
+            "pages — 2× the bench sf so each level runs long enough that\n"
+            "fixed per-run costs amortize; the criterion is steady-state\n"
+            "throughput of a job that runs for hours at 10^12 rows) at\n"
+            "multiple local[N] levels. One JIT-warm JVM, interleaved\n"
+            "rounds, best-of "
             f"{ROUNDS}×{REPS}, full warm-up pass per level excluded "
             "(see bench_scaling.py docstring for the variance analysis).\n\n"
             "Pages ride as TPBIT (1 bit/px packed ink, the production wire\n"
