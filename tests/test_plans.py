@@ -91,3 +91,27 @@ def test_ngram_prefix_join_no_cartesian(spark):
     plan = _explain(pairs, mode="extended")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_textstats_and_dedup_plans_stay_jvm_side(spark):
+    """The claimed pure-Catalyst ops must contain NO Python evaluation
+    node — the whole point is whole-stage-codegen on the 100 TB path."""
+    import pandas as pd
+    from tuatara_spark.ops import textstats
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(30),
+         "text": [f"the quick brown fox {i} jumps" for i in range(30)]}))
+    plans = [
+        _explain(textstats.token_count(docs)),
+        _explain(textstats.quality_score(docs)),
+        _explain(textstats.lang_markers(docs)),
+        _explain(textstats.fingerprint(docs)),
+        _explain(dedup.exact_groups(docs)),
+        _explain(dedup.minhash_signature(docs)),
+        _explain(dedup.simhash64(docs)),
+        _explain(dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)),
+    ]
+    for plan in plans:
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "FlatMapsInPandas" not in plan

@@ -898,6 +898,63 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode → feature-extract over rendered pages, checked by
+    a FIRST-PRINCIPLES oracle: the ink bounding box follows from the page
+    layout constants (mark at (4,4)-(19,15); glyph cells 28×20 px at
+    44 + col·44 / 44 + row·52) and the ink ratio from the glyph bitmap
+    popcounts — none of it computed by running the pipeline."""
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(16)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS t"))
+
+    def render(batches):
+        for pdf in batches:
+            payloads = [fx.encode_tpbit(fx.render_page(t or "", 256, 256,
+                                                       4)[0])
+                        for t in pdf["t"]]
+            yield pd.DataFrame({"url": pdf["url"], "html": payloads})
+
+    pages = docs.mapInPandas(render, "url string, html binary")
+    feats = multimodal.image_features(pages)
+    return (feats.select(
+        "url",
+        F.floor(F.col("ink_ratio").cast("double") * 1e4 + F.lit(0.5))
+        .cast("long").alias("ink_e4"),
+        "ink_x0", "ink_y0", "ink_x1", "ink_y1")
+        .orderBy("url"))
+
+
+def _image_features_sql():
+    values = ", ".join(f"({ord(ch)}, {cnt})"
+                       for ch, cnt in sorted(_glyph_popcounts().items()))
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 16),
+pc(code, cnt) AS (VALUES {values}),
+ch AS (
+  SELECT url, unicode(substr(t, CAST(i AS INT), 1)) AS code
+  FROM c, range(1, 13) r(i) WHERE i <= length(t)),
+ink AS (
+  SELECT c.url, length(c.t) AS n,
+         192 + 16 * coalesce(sum(pc.cnt), 0) AS ink_px
+  FROM c LEFT JOIN ch USING (url) LEFT JOIN pc USING (code)
+  GROUP BY c.url, c.t)
+SELECT url,
+       CAST(floor(CAST(CAST(ink_px / 65536.0 AS FLOAT) AS DOUBLE) * 10000
+                  + 0.5) AS BIGINT) AS ink_e4,
+       4 AS ink_x0, 4 AS ink_y0,
+       CASE WHEN n = 0 THEN 19
+            ELSE greatest(19, 44 + (least(n, 4) - 1) * 44 + 19) END AS ink_x1,
+       CASE WHEN n = 0 THEN 15
+            ELSE greatest(15, 44 + (CAST((n + 3) // 4 AS INT) - 1) * 52 + 27)
+       END AS ink_y1
+FROM ink ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -929,6 +986,7 @@ REGISTRY: dict[str, tuple] = {
     "streaming_lang_counters": (q_streaming_lang_counters,
                                 _STREAMING_COUNTERS_SQL),
     "minhash_recall_gate": (q_minhash_recall_gate, _MINHASH_GATE_SQL),
+    "image_features_docs": (q_image_features_docs, _image_features_sql()),
     "ann_lsh_topk": (q_ann_lsh_topk, _lsh_sql()),
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
     # rows-only (xxhash64 / rendered-payload based)
