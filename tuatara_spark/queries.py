@@ -340,6 +340,49 @@ FROM documents GROUP BY 1 ORDER BY 1
 # Dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
 
+def q_json_props_events(spark, sf_dir):
+    """JSON scalar-function coverage: extract props.k (a JSON payload
+    column, the crawl-metadata shape) and aggregate per event type."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (_events(spark, sf_dir)
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_hourly_histogram_events(spark, sf_dir):
+    """Timestamp scalar-function coverage: hour-bucketed event histogram
+    (string-formatted bucket so the cross-engine compare is tz-free)."""
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH")
+    return (_events(spark, sf_dir)
+            .groupBy(hour.alias("hour_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.floor(F.avg("value") * 1e4 + F.lit(0.5)).cast("long")
+                 .alias("avg_value_e4"))
+            .orderBy("hour_bucket"))
+
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+       count(*) AS n,
+       CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS avg_value_e4
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_exact_groups(spark, sf_dir):
     return (dedup.exact_groups(_docs(spark, sf_dir))
             .orderBy("text_hash"))
@@ -971,6 +1014,8 @@ REGISTRY: dict[str, tuple] = {
     "counters_by_lang": (q_counters_by_lang, _COUNTERS_SQL),
     "salted_histogram_documents": (q_salted_histogram_documents, _SALTED_SQL),
     "skew_cost_buckets": (q_skew_cost_buckets, _SKEW_SQL),
+    "json_props_events": (q_json_props_events, _JSON_PROPS_SQL),
+    "hourly_histogram_events": (q_hourly_histogram_events, _HOURLY_SQL),
     "dedup_exact_groups": (q_dedup_exact_groups, _DEDUP_EXACT_SQL),
     "dedup_keep_first_ids": (q_dedup_keep_first_ids, _DEDUP_KEEP_SQL),
     "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
