@@ -115,3 +115,13 @@ def test_textstats_and_dedup_plans_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
         assert "FlatMapsInPandas" not in plan
+
+
+def test_segment_revenue_join_is_broadcast(spark):
+    """The customer dim must broadcast — the orders fact never shuffles on
+    the join key."""
+    from tuatara_spark import queries as Q
+    plan = _explain(Q.q_segment_revenue_orders(spark,
+                                               "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan

@@ -340,6 +340,58 @@ FROM documents GROUP BY 1 ORDER BY 1
 # Dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
 
+def q_pricing_summary_lineitem(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary: pure aggregation with map-side
+    partial combine. Money is floor-scaled to integer cents PER ROW before
+    summing, so the sum is order-independent and exactly reproducible
+    across engines (double sums are not)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev_c = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(qty_c).alias("qty_cents"),
+                 F.sum(rev_c).alias("revenue_cents"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_segment_revenue_orders(spark, sf_dir):
+    """Dimension join done the 100 TB way: the small customer dim is
+    EXPLICITLY broadcast (plan-tested) so the orders fact never shuffles
+    on the join key; revenue floor-scaled per row for exact cross-engine
+    sums."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(cents).alias("revenue_cents"))
+            .orderBy("c_mktsegment"))
+
+
+_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_json_props_events(spark, sf_dir):
     """JSON scalar-function coverage: extract props.k (a JSON payload
     column, the crawl-metadata shape) and aggregate per event type."""
@@ -1014,6 +1066,8 @@ REGISTRY: dict[str, tuple] = {
     "counters_by_lang": (q_counters_by_lang, _COUNTERS_SQL),
     "salted_histogram_documents": (q_salted_histogram_documents, _SALTED_SQL),
     "skew_cost_buckets": (q_skew_cost_buckets, _SKEW_SQL),
+    "pricing_summary_lineitem": (q_pricing_summary_lineitem, _PRICING_SQL),
+    "segment_revenue_orders": (q_segment_revenue_orders, _SEGMENT_SQL),
     "json_props_events": (q_json_props_events, _JSON_PROPS_SQL),
     "hourly_histogram_events": (q_hourly_histogram_events, _HOURLY_SQL),
     "dedup_exact_groups": (q_dedup_exact_groups, _DEDUP_EXACT_SQL),
