@@ -3,12 +3,12 @@
 Delegates to tuatara_spark.queries — one entry per implemented operator
 (SURVEY.md §2 pipeline-stage mirrors, the flagship end-to-end extraction
 query, and the training-data ops: dedup/similarity/text-analysis/
-multimodal/streaming). 33 of 36 queries carry an exact DuckDB oracle —
+multimodal/streaming). 35 of 38 queries carry an exact DuckDB oracle —
 including analytic first-principles oracles for the multimodal decode
-queries and recall gates for the approximate ANN/MinHash paths; only the
-xxhash64-based pair LISTS (minhash/simhash) and the kmeans-centroid IVF
-top-k are rows-only, each pinned by pytest + a driver-visible gate query
-(tests/test_ops.py, tests/test_entry_contract.py).
+queries and recall+precision gates for the approximate ANN/MinHash/SimHash
+paths; only the xxhash64-based pair LISTS (minhash/simhash) and the
+kmeans-centroid IVF top-k are rows-only, each pinned by pytest + a
+driver-visible gate query (tests/test_ops.py, tests/test_entry_contract.py).
 """
 
 from __future__ import annotations

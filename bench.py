@@ -128,6 +128,7 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("reading_order_events", Q.q_reading_order_events),
         ("ocr_extract_docs", Q.q_ocr_extract_docs),
     ]
+    from tuatara_spark.ops import dedup as _dd
     for name, fn in plan:
         best = float("inf")
         for _ in range(2):
@@ -135,6 +136,9 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            # pair operators persist intermediates for their self-joins;
+            # release between runs so iterations measure the same state
+            _dd.release_caches()
         timings[name] = round(best, 3)
     return timings, extra
 

@@ -117,6 +117,39 @@ def test_gc_uncommitted(spark, pages_path, tmp_path):
     assert removed == ["run_000099"]
     assert cat.committed_buckets()  # committed data untouched
     assert cat.read_table(spark).count() > 0
+    # the commit protocol's failure half end-to-end: crash → gc → RESUME
+    # completes the remaining buckets and the table equals a single-shot run
+    job.run_extract(spark, pages_path, out, num_buckets=4)
+    single = str(tmp_path / "gc_single")
+    job.run_extract(spark, pages_path, single, num_buckets=4)
+    a = {(r.url, r.text, r.n_regions)
+         for r in cat.read_table(spark).collect()}
+    b = {(r.url, r.text, r.n_regions)
+         for r in Catalog(single).read_table(spark).collect()}
+    assert a == b
+
+
+def test_pin_table_config_race(tmp_path):
+    """Two concurrent INITIAL pins must not both win silently: the pin is
+    claimed with an atomic os.link; the loser re-validates against the
+    winner (ADVICE round 2 — rename would let the last writer clobber)."""
+    import os as _os
+    from tuatara_spark.catalog import Catalog as Cat
+    cat = Cat(str(tmp_path / "race"))
+    # simulate the racer winning between table_config() and the link: the
+    # file appears before our pin attempt
+    won = _os.path.join(cat.snapshot_dir, "TABLE.json")
+    import json as _json
+    with open(won, "w") as f:
+        _json.dump({"num_buckets": 8, "weights_seed": 42}, f)
+    # matching loser: silently adopts the winner's config
+    assert cat.pin_table_config(num_buckets=8, weights_seed=42) == \
+        {"num_buckets": 8, "weights_seed": 42}
+    # mismatched loser: fails fast instead of overwriting the pin
+    with pytest.raises(ValueError, match="num_buckets"):
+        cat.pin_table_config(num_buckets=16, weights_seed=42)
+    with open(won) as f:
+        assert _json.load(f)["num_buckets"] == 8  # pin never clobbered
 
 
 def test_time_travel_and_config_pin(spark, pages_path, tmp_path):

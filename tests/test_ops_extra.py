@@ -143,3 +143,34 @@ def test_image_features_all_formats(spark, weights):
     a.pop("url"), b.pop("url")
     assert a == b
     assert feats["png"].ink_ratio > 0                # real document ink
+
+
+def test_encode_tpbit_rejects_nonbinary_without_optin():
+    """TPBIT is 1-bit: silent binarization of grayscale content would be a
+    silent data loss (ADVICE round 2) — must raise unless threshold= opts
+    in explicitly."""
+    gray = np.full((16, 16, 3), 100, dtype=np.uint8)
+    with pytest.raises(ValueError, match="lossy"):
+        fx.encode_tpbit(gray)
+    # explicit opt-in: 100 < 128 → all ink
+    buf = fx.encode_tpbit(gray, threshold=128)
+    out = fx.decode_payload(buf)
+    assert (np.asarray(out) == 0).all()
+    # binary pages keep working with no opt-in and round-trip exactly
+    img, _ = fx.render_page("a", 128, 128, 4)
+    assert (np.asarray(fx.decode_payload(fx.encode_tpbit(img))) == img).all()
+
+
+def test_dedup_release_caches(spark):
+    """Pair operators register their persisted intermediates;
+    release_caches() unpersists them all (long-lived-session hygiene)."""
+    from tuatara_spark.ops import dedup as dd
+    pdf = pd.DataFrame({"doc_id": range(20),
+                        "text": [f"document number {i} body text" for i in range(10)] * 2})
+    df = spark.createDataFrame(pdf)
+    before = len(dd._LIVE_CACHES)
+    pairs = dd.minhash_lsh_pairs(df, threshold=0.5)
+    pairs.count()
+    assert len(dd._LIVE_CACHES) > before
+    released = dd.release_caches()
+    assert released >= 1 and not dd._LIVE_CACHES

@@ -49,7 +49,14 @@ class Catalog:
 
     def pin_table_config(self, **cfg) -> dict:
         """First writer pins the config; later runs must match or fail.
-        Returns the effective (pinned) config."""
+        Returns the effective (pinned) config.
+
+        Concurrency: the pin is claimed with ``os.link`` (atomic; fails
+        with EEXIST if another run won the race) rather than ``os.rename``
+        (which silently replaces) — two concurrent INITIAL runs with
+        different num_buckets must not both believe they pinned, or they
+        would diverge exactly the way the pin exists to prevent. The
+        loser re-reads and validates against the winner's config."""
         existing = self.table_config()
         if existing is not None:
             mismatched = {k: (existing.get(k), v) for k, v in cfg.items()
@@ -60,10 +67,16 @@ class Catalog:
                     + ", ".join(f"{k}: committed={a!r} requested={b!r}"
                                 for k, (a, b) in mismatched.items()))
             return existing
-        tmp = os.path.join(self.snapshot_dir, "TABLE.json.tmp")
+        tmp = os.path.join(self.snapshot_dir,
+                           f"TABLE.json.tmp.{os.getpid()}")
         with open(tmp, "w") as f:
             json.dump(cfg, f)
-        os.rename(tmp, os.path.join(self.snapshot_dir, "TABLE.json"))
+        try:
+            os.link(tmp, os.path.join(self.snapshot_dir, "TABLE.json"))
+        except FileExistsError:
+            os.unlink(tmp)
+            return self.pin_table_config(**cfg)  # validate vs the winner
+        os.unlink(tmp)
         return cfg
 
     # -- snapshot chain -----------------------------------------------------

@@ -100,22 +100,41 @@ def decode_tpage(buf: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
-def encode_tpbit(img: np.ndarray) -> bytes:
+def encode_tpbit(img: np.ndarray, threshold: int | None = None) -> bytes:
     """TPBIT v1: 1 bit/px packed ink plane (bit=1 → ink 0, bit=0 → paper
     255), ``b"TPB1" + uint16_le h + uint16_le w + packbits(ink)``.
 
     24× smaller than TPG1 raw RGB — rendered pages are binary ink, so for
     them the round trip is byte-identical to the original RGB raster. This
     is the production wire format: payload bytes dominate the scan /
-    shuffle / JVM→Python Arrow transfer, all of which shrink 24×."""
+    shuffle / JVM→Python Arrow transfer, all of which shrink 24×.
+
+    TPBIT is 1-bit: non-binary input (grayscale, PNG-decoded photos) can
+    only be encoded LOSSILY. That must be an explicit choice, not a silent
+    default — with ``threshold=None`` a plane containing values other than
+    {0, 255} raises; pass ``threshold`` to opt into binarization
+    (``plane < threshold`` → ink)."""
     plane = img[..., 0] if img.ndim == 3 else img
     h, w = plane.shape
-    bits = np.packbits((plane < 128).reshape(-1))
+    if threshold is None:
+        if not bool(((plane == 0) | (plane == 255)).all()):
+            raise ValueError(
+                "TPBIT input is not binary {0,255}; encoding would be "
+                "lossy — pass encode_tpbit(img, threshold=...) to opt in")
+        threshold = 128
+    bits = np.packbits((plane < threshold).reshape(-1))
     return (TPBIT_MAGIC + int(h).to_bytes(2, "little")
             + int(w).to_bytes(2, "little") + bits.tobytes())
 
 
 def decode_tpbit(buf: bytes) -> np.ndarray:
+    """TPBIT → (H, W, 3) uint8 RGB.
+
+    Contract: the result is READ-ONLY (the channel axis is a stride-0
+    ``broadcast_to`` view — widening materializes h*w bytes, not h*w*3;
+    ``decode_tpage``'s frombuffer view is equally read-only). The pipeline
+    only reads pages; mutation sites (e.g. drawing overlays) must copy
+    first — viz.py already does."""
     if buf[:4] != TPBIT_MAGIC:
         raise ValueError("not a TPBIT payload")
     h = int.from_bytes(buf[4:6], "little")
@@ -132,8 +151,10 @@ def decode_tpbit(buf: bytes) -> np.ndarray:
 
 def decode_payload(buf: bytes) -> np.ndarray:
     """Decode any supported page payload to an (H, W, 3) uint8 RGB array,
-    dispatching on the magic (TPAGE/TPBIT rasters, or real PNG — the
-    reference's own fixture format, examples/resume.cpp:9)."""
+    dispatching on the magic (TPAGE/TPBIT rasters, real PNG — the
+    reference's own fixture format, examples/resume.cpp:9 — or baseline
+    JPEG). The returned array may be a READ-ONLY view (TPAGE: frombuffer;
+    TPBIT: stride-0 broadcast) — copy before mutating."""
     magic = bytes(buf[:4])
     if magic == TPAGE_MAGIC:
         return decode_tpage(buf)

@@ -18,6 +18,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+_LIVE_CACHES: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + registration. The pair operators persist
+    an intermediate (signatures / token table) that BOTH sides of a
+    self-join consume; the returned plan is lazy, so the cache must stay
+    alive until the caller materializes it — Spark cannot know when that
+    is, hence no eager unpersist here. Long-lived sessions that call these
+    operators repeatedly should call :func:`release_caches` after
+    consuming each result, or cached blocks accumulate until storage
+    eviction. MEMORY_AND_DISK (not the MEMORY_ONLY default) so an
+    oversized intermediate spills instead of silently recomputing the
+    whole shingle pipeline per partition miss."""
+    from pyspark import StorageLevel
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by the pair operators (call
+    after materializing their results). Returns the number released."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 def _wide(df: DataFrame, requested: int | None) -> int:
     """Partition width for CPU-heavy stages: 2× the session's
     defaultParallelism unless explicitly requested. A hardcoded count would
@@ -142,7 +172,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     rows_per_band = num_perm // bands
     # Persist once: the self-join would otherwise recompute the whole
     # signature pipeline on BOTH sides (shingling is the expensive part).
-    sig = minhash_signature(df, text_col, id_col, num_perm, k).persist()
+    sig = _persist(minhash_signature(df, text_col, id_col, num_perm, k))
     band_cols = F.array(*[
         F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band),
                    F.lit(b)).alias(f"b{b}")
@@ -230,8 +260,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     on at least one chunk); verification: bit_count(xor). Chunk buckets
     larger than ``max_bucket`` are dropped (see _cap_buckets)."""
     # Persist: the self-join would recompute the simhash aggregate twice.
-    sh = simhash64(df, text_col).select(F.col(id_col).alias("_id"), "simhash") \
-        .persist()
+    sh = _persist(simhash64(df, text_col)
+                  .select(F.col(id_col).alias("_id"), "simhash"))
     chunks = F.array(*[
         ((F.shiftright("simhash", 16 * c)).bitwiseAND(F.lit(0xFFFF)))
         .alias(f"c{c}") for c in range(4)])
@@ -283,10 +313,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     vp = _wide(df, verify_partitions)
     # compiled token stream → per-doc distinct grams; one shuffle builds
     # both the dedup'd token table and the gram arrays for verification
-    tok = (shingle_tokens(df, text_col, id_col, k, vp)
-           .select("_id", F.col("_s").alias("_g"))
-           .dropDuplicates(["_id", "_g"])
-           .persist())
+    tok = _persist(shingle_tokens(df, text_col, id_col, k, vp)
+                   .select("_id", F.col("_s").alias("_g"))
+                   .dropDuplicates(["_id", "_g"]))
     base = tok.groupBy("_id").agg(F.collect_set("_g").alias("grams"))
     freq = tok.groupBy("_g").agg(F.count("*").alias("_df"))
     ranked = (tok.join(freq, "_g")
