@@ -118,11 +118,24 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
         return _sim.cosine_topk_batched(emb, Q._ANN_QUERY_VEC, k=20)
 
+    def _lsh_bucket_batched(spark_, sf_dir_):
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        return _sim.with_lsh_bucket_batched(
+            emb, _sim.hyperplanes(dim, n_planes=8, seed=7))
+
+    def _ivf_cell_batched(spark_, sf_dir_):
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        cent = _sim.ivf_centroids(emb, n_centroids=8, sample=512)
+        return _sim.with_ivf_cell_batched(emb, cent)
+
     plan = [
         ("minhash_lsh_pairs", Q.q_minhash_lsh_pairs),
         ("simhash_pairs", Q.q_simhash_pairs),
         ("ann_cosine_topk", Q.q_ann_cosine_topk),
         ("ann_cosine_topk_batched", _ann_batched),
+        ("lsh_bucket_batched", _lsh_bucket_batched),
+        ("ivf_cell_batched", _ivf_cell_batched),
         ("dedup_exact_groups", Q.q_dedup_exact_groups),
         ("quality_score_documents", Q.q_quality_score_documents),
         ("reading_order_events", Q.q_reading_order_events),

@@ -174,3 +174,35 @@ def test_dedup_release_caches(spark):
     assert len(dd._LIVE_CACHES) > before
     released = dd.release_caches()
     assert released >= 1 and not dd._LIVE_CACHES
+
+
+def test_batched_scorers_match_catalyst(spark):
+    """The pandas_udf scale-path twins (lsh bucket / ivf cell / pair
+    cosine) must agree with the oracle-checked Catalyst forms on the real
+    embeddings fixture — pinning the 'Catalyst for oracles, NumPy for
+    scale' policy with an equality, not a claim."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    planes = similarity.hyperplanes(dim, n_planes=8, seed=7)
+    a = {r.vec_id: r.bucket
+         for r in similarity.with_lsh_bucket(emb, planes).collect()}
+    b = {r.vec_id: r.bucket
+         for r in similarity.with_lsh_bucket_batched(emb, planes).collect()}
+    assert a == b
+
+    cent = similarity.ivf_centroids(emb, n_centroids=8, sample=512)
+    a = {r.vec_id: r.ivf_cell
+         for r in similarity.with_ivf_cell(emb, cent).collect()}
+    b = {r.vec_id: r.ivf_cell
+         for r in similarity.with_ivf_cell_batched(emb, cent).collect()}
+    assert a == b
+
+    a = {(r.id_a, r.id_b): r.cosine
+         for r in similarity.cosine_dup_pairs(emb, threshold=0.3).collect()}
+    b = {(r.id_a, r.id_b): r.cosine
+         for r in similarity.cosine_dup_pairs_batched(emb, threshold=0.3)
+         .collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9

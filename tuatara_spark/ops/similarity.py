@@ -63,6 +63,14 @@ def cosine_topk_batched(df: DataFrame, query_vec, k: int = 10,
     because BLAS accumulates pairwise while the Catalyst fold is
     sequential — so oracle-checked queries keep the Catalyst form, and the
     100 TB hot path uses this one.
+
+    Measured crossover (BENCH/crossover.json, 32 cores, dim=64): for this
+    SINGLE-query dot the Catalyst HOF is still ahead at 256k rows (one
+    interpreted dot/row is cheaper than exporting the vector column over
+    Arrow); the batched time stays flat while the HOF grows ~linearly, so
+    the win arrives around ~1M rows/core-batch — and immediately for
+    multi-dot scorers (with_ivf_cell_batched: 4.1×, with_lsh_bucket_batched:
+    1.6× at 256k rows).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -81,6 +89,24 @@ def cosine_topk_batched(df: DataFrame, query_vec, k: int = 10,
             .limit(k))
 
 
+def _matmul_udf(mat: np.ndarray, out_fn, ret_type: str):
+    """pandas_udf over an embedding column: stack the Arrow batch into one
+    (n, dim) float64 matrix, multiply against ``mat`` (dim, m) ONCE, then
+    reduce with ``out_fn(scores) -> 1-D array``. One BLAS GEMM per Arrow
+    batch instead of n·m interpreted Catalyst lambda folds — the measured
+    per-element HOF interpretation overhead on this engine is ~250×
+    (ops/dedup.simhash64), and bucket/cell assignment is a scan-wide
+    per-row cost at 100 TB."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ret_type)
+    def udf(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(out_fn(x @ mat))
+
+    return udf
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)
@@ -97,6 +123,27 @@ def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
             .otherwise(F.lit(0))
         bucket = bucket + bit
     return df.withColumn("bucket", bucket.cast("int"))
+
+
+def with_lsh_bucket_batched(df: DataFrame, planes: np.ndarray,
+                            vec_col: str = "embedding") -> DataFrame:
+    """Scale-path twin of :func:`with_lsh_bucket`: sign bits from ONE
+    (batch × planes) GEMM per Arrow batch instead of n_planes interpreted
+    ``zip_with``/``aggregate`` folds per row.
+
+    Bit semantics match the Catalyst form (strict ``> 0``); values can
+    differ only if a dot product lands within accumulation-order ulps of
+    exactly 0 — measured identical on the fixture embeddings
+    (tests/test_ops_extra.py). Policy: Catalyst form for oracle-checked
+    queries, this one for the 100 TB scan."""
+    p = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)
+    weights = (1 << np.arange(p.shape[1], dtype=np.int64))
+
+    def to_bucket(scores: np.ndarray) -> np.ndarray:
+        return ((scores > 0) @ weights).astype(np.int32)
+
+    udf = _matmul_udf(p, to_bucket, "int")
+    return df.withColumn("bucket", udf(F.col(vec_col)))
 
 
 def lsh_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
@@ -147,6 +194,41 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .select("id_a", "id_b", "cosine"))
 
 
+def cosine_dup_pairs_batched(df: DataFrame, threshold: float = 0.9,
+                             block_col: str = "label",
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Scale-path twin of :func:`cosine_dup_pairs`: the per-pair cosine is
+    one row-wise ``einsum`` over the stacked Arrow batch instead of an
+    interpreted ``zip_with``+``aggregate`` fold per pair. Join shape is
+    identical (blocked self-join, never globally quadratic); only the
+    scoring kernel changes. Values may differ from the Catalyst form in
+    final ulps (BLAS pairwise vs sequential fold), so oracle-checked
+    queries keep the Catalyst form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        dots = np.einsum("ij,ij->i", a, b)
+        return pd.Series(dots / (np.linalg.norm(a, axis=1)
+                                 * np.linalg.norm(b, axis=1)))
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(block_col).alias("_blk"),
+                     F.col(vec_col).alias("_v"))
+    left = base.select(F.col("_id").alias("id_a"), "_blk",
+                       F.col("_v").alias("va"))
+    right = base.select(F.col("_id").alias("id_b"), "_blk",
+                        F.col("_v").alias("vb"))
+    return (left.join(right, "_blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", pair_cos("va", "vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def ivf_centroids(df: DataFrame, n_centroids: int = 8, n_iters: int = 5,
                   sample: int = 2048, vec_col: str = "embedding",
                   seed: int = 11, id_col: str = "vec_id") -> np.ndarray:
@@ -190,6 +272,27 @@ def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
             best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
             best_d = F.least(best_d, d)
     return df.withColumn("ivf_cell", best_i.cast("int"))
+
+
+def with_ivf_cell_batched(df: DataFrame, centroids: np.ndarray,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Scale-path twin of :func:`with_ivf_cell`: nearest-centroid argmin
+    over the whole Arrow batch in vectorized NumPy (one (n, k, dim)
+    broadcast-subtract per batch) instead of k interpreted fold lambdas
+    per row. ``np.argmin`` and the Catalyst ``when(d < best)`` chain both
+    keep the FIRST index on ties; divergence requires distances within
+    accumulation-order ulps — measured identical on fixtures."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
 
 
 def ivf_topk(df: DataFrame, query_vec, centroids: np.ndarray, k: int = 10,
