@@ -1,0 +1,123 @@
+"""Pure-NumPy baseline JPEG codec (ref/jpeg.py): round trips, all mode
+combinations, golden determinism, and the Spark ingest path end-to-end.
+
+The codec is clean-room from ITU-T T.81 (decoder: SOF0 baseline, 4:4:4 /
+4:2:0, restart intervals, byte stuffing; encoder: Annex K tables, fixture
+grade). It un-stubs the highest-frequency real-ingest format the way
+ref/png.py un-stubbed PNG (VERDICT r2 item 7)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tuatara_spark import fixtures as fx
+from tuatara_spark.ops import multimodal
+from tuatara_spark.ref import jpeg as J
+
+
+def _gradient_rgb(h=60, w=100):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([x * 3 % 256, y * 2 % 256, (x + y) % 256],
+                    axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"restart_interval": 3},
+    {"subsampling": "420"},
+    {"subsampling": "420", "restart_interval": 2},
+])
+def test_round_trip_modes(kw):
+    rgb = _gradient_rgb()
+    out = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, **kw))
+    assert out.shape == rgb.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert float(err.mean()) < 1.5 and int(err.max()) <= 12
+
+
+def test_restart_decode_equals_plain():
+    """RSTn markers change the byte stream, not the pixels."""
+    rgb = _gradient_rgb()
+    a = J.decode_jpeg(J.encode_jpeg(rgb, quality=90))
+    b = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, restart_interval=1))
+    assert (a == b).all()
+
+
+def test_gray_and_odd_dims():
+    g = (np.arange(41)[:, None] * 5 + np.arange(53)[None, :]).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(g, quality=95))
+    assert out.shape == (41, 53, 3)
+    assert (out[..., 0] == out[..., 1]).all()
+    assert float(np.abs(out[..., 0].astype(int) - g.astype(int)).mean()) < 1.0
+    odd = _gradient_rgb(57, 99)
+    assert J.decode_jpeg(J.encode_jpeg(odd, subsampling="420")).shape \
+        == (57, 99, 3)
+
+
+def test_rendered_page_thresholds_survive():
+    """Binary-ink pages survive q95 JPEG with error ≤ a few greylevels —
+    far inside the pipeline's <128 ink threshold, so extraction semantics
+    are unchanged by the lossy hop."""
+    page, _ = fx.render_page("abcdEFGH0123", 256, 256, 4)
+    out = J.decode_jpeg(J.encode_jpeg(page, quality=95))
+    ink_in = page[..., 0] < 128
+    ink_out = out[..., 0] < 128
+    assert (ink_in == ink_out).all()
+
+
+def test_golden_determinism():
+    """Encoder and decoder are bit-deterministic (frozen digests; a NumPy
+    or refactor regression flips these)."""
+    page, _ = fx.render_page("Tu4t4r4!", 256, 256, 4)
+    buf = J.encode_jpeg(page, quality=90)
+    assert J.encode_jpeg(page, quality=90) == buf
+    d1 = hashlib.sha256(buf).hexdigest()
+    d2 = hashlib.sha256(J.decode_jpeg(buf).tobytes()).hexdigest()
+    assert (d1, d2) == (
+        "ced3247a3e029172aa8f12847e0a7d3d9fd40d3cabc9a93bf0d718bb853b02fd",
+        "390e36516ee80e698de37794357d83a3aa9d47accac1d3a3119e4f5ac4c0243b")
+
+
+def test_decode_payload_dispatch_and_malformed():
+    page, _ = fx.render_page("x", 128, 128, 4)
+    buf = J.encode_jpeg(page, quality=95)
+    img = fx.decode_payload(buf)
+    assert img.shape == (128, 128, 3)
+    with pytest.raises(Exception):
+        fx.decode_payload(buf[:40])            # truncated header
+    with pytest.raises(Exception):
+        J.decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 10)
+
+
+def test_media_meta_jpeg_real_decode(spark):
+    """extract_media_meta now reports real jpeg rows (was 'stubbed')."""
+    page, _ = fx.render_page("ab", 256, 256, 4)
+    rows = pd.DataFrame({
+        "url": ["j1", "bad"],
+        "html": [J.encode_jpeg(page, quality=95), b"\xff\xd8\xff\xe0junk"],
+    })
+    df = spark.createDataFrame(rows)
+    got = {r.url: r for r in multimodal.extract_media_meta(df).collect()}
+    assert got["j1"].format == "jpeg"
+    assert (got["j1"].width, got["j1"].height) == (256, 256)
+    assert got["j1"].mean_luma == pytest.approx(
+        float(J.decode_jpeg(rows["html"][0]).mean(dtype=np.float64)))
+    assert got["bad"].format == "error"     # malformed → error row
+
+
+def test_engine_extracts_jpeg_pages(spark, weights):
+    """End-to-end: JPEG-encoded rendered pages through the full extraction
+    engine give byte-identical text to the TPAGE originals (the <128 ink
+    threshold absorbs the lossy hop at q95)."""
+    from tuatara_spark import engine
+    pages = fx.make_pages(6, seed=31)
+    jp = pages.copy()
+    jp["html"] = [J.encode_jpeg(fx.decode_payload(b), quality=95)
+                  for b in pages["html"]]
+    df = spark.createDataFrame(jp[["url", "warc_ts", "html", "lang"]])
+    out = {r.url: r.text for r in
+           engine.extract_df(df, weights=weights).collect()}
+    truth = dict(zip(pages["url"], pages["text"]))
+    assert out == truth

@@ -163,6 +163,9 @@ def decode_payload(buf: bytes) -> np.ndarray:
     if magic == b"\x89PNG":
         from tuatara_spark.ref.png import decode_png
         return decode_png(buf)
+    if magic[:3] == b"\xff\xd8\xff":
+        from tuatara_spark.ref.jpeg import decode_jpeg
+        return decode_jpeg(buf)
     raise ValueError(f"unknown page payload magic {magic!r}")
 
 

@@ -2,11 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with format sniffing; decode /
 feature-extract / resize / frame-sample run as Arrow-vectorized
-``mapInPandas`` stages. TPAGE/TPBIT rasters and PNG decode for real (PNG
-via the pure-NumPy decoder in ref/png.py — the reference's own fixture
-format); JPEG/audio codecs are NOT present in this container, so those
-branches are explicit deterministic stubs (NotImplementedError) while the
-Spark-side plumbing — schema, batching, partitioning — is real and tested.
+``mapInPandas`` stages. TPAGE/TPBIT rasters, PNG (pure-NumPy decoder,
+ref/png.py — the reference's own fixture format) and baseline JPEG
+(pure-NumPy codec, ref/jpeg.py) decode for real; audio / real-video codecs
+are NOT present in this container, so those branches are explicit
+deterministic stubs (NotImplementedError) while the Spark-side plumbing —
+schema, batching, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -76,7 +77,12 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         img = decode_png(buf)   # real decode: pure-NumPy PNG (ref/png.py)
         return ("png", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
-    for magic, name in _MAGICS[3:]:
+    if buf[:3] == b"\xff\xd8\xff":
+        from tuatara_spark.ref.jpeg import decode_jpeg
+        img = decode_jpeg(buf)  # real decode: pure-NumPy baseline JPEG
+        return ("jpeg", img.shape[1], img.shape[0],
+                float(img.mean(dtype=np.float64)))
+    for magic, name in _MAGICS[4:]:
         if buf[: len(magic)] == magic:
             # codec not available in this container — plumbing-only stub
             raise NotImplementedError(f"{name} decode requires an image "

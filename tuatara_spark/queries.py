@@ -134,9 +134,16 @@ def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → cleaned/truncated → rendered TPAGE page → full
     detection+recognition+decode pipeline → extracted text per doc."""
     _ship_package(spark)
+    # limit() collapses to ONE partition — repartition after it, or the
+    # whole detect/recognize stage serializes on a single task (this was
+    # the round-2 bench regression: per-row synthesis was innocent at
+    # ~0.6 ms/page; the single task was the cost)
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism,
+                         _N_OCR_DOCS // 4))
     docs = (_docs(spark, sf_dir)
             .orderBy("doc_id").limit(_N_OCR_DOCS)
-            .selectExpr("doc_id", f"{CLEAN_SPARK} AS t"))
+            .selectExpr("doc_id", f"{CLEAN_SPARK} AS t")
+            .repartition(n_parts))
     bc = spark.sparkContext.broadcast(wt.build_weights(42))
     schema = "doc_id long, text string"
     return docs.mapInPandas(_render_extract_fn(bc), schema)
