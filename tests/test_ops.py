@@ -126,14 +126,21 @@ def test_multimodal_meta_and_thumbnail(spark, weights):
     stats = {r.format: r.n_payloads
              for r in multimodal.media_stats(spark.createDataFrame(mixed)).collect()}
     assert stats == {"tpage": 4, "png": 1}
-    # PNG decodes for real now (ref/png.py); a MALFORMED png payload must
-    # come back as an error row, and a jpeg payload as a codec stub
+    # PNG and JPEG decode for real now (ref/png.py, ref/jpeg.py): a
+    # MALFORMED payload of either must come back as an error row, a VALID
+    # jpeg as a real decode, and a format with no codec (audio) as a stub
+    from tuatara_spark.ref import jpeg as J
+    page_img = fx.decode_payload(pages["html"][0])
     mixed2 = pd.concat([mixed, pd.DataFrame(
-        [{"url": "j", "html": b"\xff\xd8\xff" + b"0" * 10}])])
+        [{"url": "j", "html": b"\xff\xd8\xff" + b"0" * 10},
+         {"url": "jv", "html": J.encode_jpeg(page_img, quality=95)},
+         {"url": "au", "html": b"RIFF" + b"0" * 10}])])
     meta2 = {r.url: r.format for r in multimodal.extract_media_meta(
         spark.createDataFrame(mixed2)).collect()}
     assert meta2["x"] == "error"
-    assert meta2["j"] == "stubbed"
+    assert meta2["j"] == "error"
+    assert meta2["jv"] == "jpeg"
+    assert meta2["au"] == "stubbed"
     thumbs = multimodal.thumbnail(sdf, 16, 16).collect()
     assert len(thumbs) == 4
     assert all(len(t.thumb) == 16 * 16 * 3 for t in thumbs)

@@ -100,7 +100,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship: render pages from documents.text → real extraction engine
 # ---------------------------------------------------------------------------
 
-def _render_extract_fn(weights_bc):
+def _render_extract_fn(weights_bc, page_hook=None):
+    """``page_hook`` (optional, picklable) transforms each rendered page
+    before extraction — e.g. a lossy codec round trip for ingest gates."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tuatara_spark.ref import geometry as g
         params = weights_bc.value if hasattr(weights_bc, "value") else weights_bc
@@ -112,6 +114,8 @@ def _render_extract_fn(weights_bc):
             # output to per-page extract_page, measured ~2× faster.
             images = [fx.render_page(t or "", 256, 256, 4)[0]
                       for t in pdf["t"]]
+            if page_hook is not None:
+                images = [page_hook(im) for im in images]
             det = pl.detect_pages(images, params)
             crops_flat, counts = [], []
             for boxes, swapped in det:
@@ -147,6 +151,31 @@ def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast(wt.build_weights(42))
     schema = "doc_id long, text string"
     return docs.mapInPandas(_render_extract_fn(bc), schema)
+
+
+def q_ocr_extract_jpeg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG ingest gate: the same flagship flow, but pages take a LOSSY
+    baseline-JPEG hop (render → encode_jpeg q95 → ref/jpeg.py decode →
+    full extraction). The oracle is the SAME pure string transform — the
+    extractor must reproduce the cleaned text byte-identically THROUGH the
+    codec (q95 error stays ≲2 grey levels, far inside the <128 ink
+    threshold; tests/test_jpeg.py pins the threshold-survival invariant)."""
+    _ship_package(spark)
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism,
+                         _N_OCR_DOCS // 4))
+    docs = (_docs(spark, sf_dir)
+            .orderBy("doc_id").limit(_N_OCR_DOCS)
+            .selectExpr("doc_id", f"{CLEAN_SPARK} AS t")
+            .repartition(n_parts))
+    bc = spark.sparkContext.broadcast(wt.build_weights(42))
+    return docs.mapInPandas(
+        _render_extract_fn(bc, page_hook=_jpeg_roundtrip),
+        "doc_id long, text string")
+
+
+def _jpeg_roundtrip(img):
+    from tuatara_spark.ref import jpeg as J
+    return J.decode_jpeg(J.encode_jpeg(img, quality=95))
 
 
 # Oracle: render wraps lines at 4 glyphs (256² page, s=4) → the extracted
@@ -1077,6 +1106,66 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation (the north_star's
+    'watermarks + windowed aggs for late data'): events stream in as 4
+    CHRONOLOGICAL files (day ranges, ascending mtimes, maxFilesPerTrigger=1
+    → 4 ordered micro-batches), 1-hour windows with a 0-second watermark,
+    append output mode, drained with availableNow. Append mode emits a
+    window only once the watermark (= max event time seen) passes its end,
+    so the one window containing max(ts) stays open — the oracle recomputes
+    the hourly counts in SQL EXCLUDING exactly that window (window_end ≤
+    max_ts), making the watermark-closure semantics itself the checked
+    invariant. Late-row DROP semantics are pinned by pytest
+    (tests/test_streaming.py) where arrival order is adversarial."""
+    import tempfile
+    import time as time_
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="tuatara_stream_win_")
+    ev = _events(spark, sf_dir).toPandas().sort_values("ts")
+    os.makedirs(f"{tmp}/in")
+    bounds = [1, 9, 16, 23, 32]
+    now = time_.time()
+    for i in range(4):
+        part = ev[(ev["ts"].dt.day >= bounds[i])
+                  & (ev["ts"].dt.day < bounds[i + 1])]
+        p = f"{tmp}/in/part-{i}.parquet"
+        part.to_parquet(p, coerce_timestamps="us",
+                        allow_truncated_timestamps=True, index=False)
+        os.utime(p, (now - 400 + i * 100, now - 400 + i * 100))
+
+    from tuatara_spark import streaming as st
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+    agg = st.windowed_counts(stream)  # 1-hour windows, 0-second watermark
+    sink = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # string-format the window start: cross-engine timestamp dtypes differ
+    # (ns vs µs) while the formatted bucket is unambiguous
+    return (spark.table(sink)
+            .select(F.date_format(F.col("win.start"), "yyyy-MM-dd HH")
+                    .alias("win_start"), "event_type", F.col("n"))
+            .orderBy("win_start", "event_type"))
+
+
+_STREAMING_WINDOWED_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT strftime(win, '%Y-%m-%d %H') AS win_start, event_type, n
+FROM h
+WHERE win + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+ORDER BY win_start, event_type
+"""
+
+
 def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode → feature-extract over rendered pages, checked by
     a FIRST-PRINCIPLES oracle: the ink bounding box follows from the page
@@ -1141,6 +1230,7 @@ FROM ink ORDER BY url
 REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "ocr_extract_docs": (q_ocr_extract_docs, _OCR_ORACLE),
+    "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "reading_order_events": (q_reading_order_events, _READING_ORDER_SQL),
     "minmax_normalize_events": (q_minmax_normalize_events, _MINMAX_SQL),
     "threshold_combine_lineitem": (q_threshold_combine_lineitem, _THRESHOLD_SQL),
@@ -1168,6 +1258,8 @@ REGISTRY: dict[str, tuple] = {
     "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
     "streaming_lang_counters": (q_streaming_lang_counters,
                                 _STREAMING_COUNTERS_SQL),
+    "streaming_windowed_counts": (q_streaming_windowed_counts,
+                                  _STREAMING_WINDOWED_SQL),
     "minhash_recall_gate": (q_minhash_recall_gate, _MINHASH_GATE_SQL),
     "minhash_precision_gate": (q_minhash_precision_gate,
                                _MINHASH_PRECISION_SQL),
