@@ -70,10 +70,27 @@ def bench_pages_path(sf: float, spark=None,
     return path, n_small + n_large
 
 
+def cpu_calibration_ms() -> float:
+    """Fixed single-thread NumPy workload, best-of-3 — a CPU-speed probe.
+    This VM shows up to ~2× CPU-regime variance BETWEEN process launches
+    (while within-process timings stay tight), so the calibration line
+    makes cross-round bench comparisons normalizable: same workload, same
+    BLAS threading, no Spark involved."""
+    import numpy as _np
+    a = _np.random.default_rng(0).standard_normal((512, 512))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            a @ a
+        best = min(best, time.time() - t0)
+    return round(best * 1000, 1)
+
+
 def run(spark, sf_dir: str) -> tuple[dict, dict]:
     sf = sf_of(sf_dir)
     timings: dict[str, float] = {}
-    extra: dict = {}
+    extra: dict = {"cpu_calib_ms": cpu_calibration_ms()}
 
     # -- extraction end-to-end (the headline) --
     pages_path, n_pages = bench_pages_path(sf, spark)

@@ -206,3 +206,46 @@ def test_batched_scorers_match_catalyst(spark):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_wav_pcm_round_trip_and_meta(spark):
+    """ops/audio.py: RIFF/WAVE PCM16 round trip (mono + stereo), unknown
+    chunks skipped, malformed → error row, non-PCM → stubbed row."""
+    import struct
+    from tuatara_spark.ops import audio
+
+    rng = np.random.default_rng(9)
+    mono = (rng.standard_normal(5000) * 8000).astype(np.int16)
+    stereo = (rng.standard_normal((3000, 2)) * 8000).astype(np.int16)
+    b_mono = audio.encode_wav_pcm16(mono, 16000)
+    b_st = audio.encode_wav_pcm16(stereo, 44100)
+    r, ch, pcm = audio.decode_wav(b_mono)
+    assert (r, ch) == (16000, 1) and (pcm[:, 0] == mono).all()
+    r, ch, pcm = audio.decode_wav(b_st)
+    assert (r, ch) == (44100, 2) and (pcm == stereo).all()
+    # unknown chunk before fmt (odd length → word-aligned skip)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    body = b"WAVE" + extra + b_mono[12:]   # [12:] = original chunk list
+    patched = b"RIFF" + struct.pack("<I", len(body)) + body
+    r, ch, pcm = audio.decode_wav(patched)
+    assert r == 16000 and (pcm[:, 0] == mono).all()
+    # non-PCM format tag → NotImplementedError (stub path)
+    mutated = bytearray(b_mono)
+    mutated[20:22] = struct.pack("<H", 85)  # MP3 tag
+    with pytest.raises(NotImplementedError):
+        audio.decode_wav(bytes(mutated))
+
+    rows = pd.DataFrame({
+        "url": ["m", "s", "mp3", "bad"],
+        "html": [b_mono, b_st, bytes(mutated), b"RIFFjunk"],
+    })
+    got = {r.url: r for r in audio.extract_audio_meta(
+        spark.createDataFrame(rows)).collect()}
+    assert got["m"].format == "wav_pcm16" and got["m"].n_samples == 5000
+    assert got["m"].duration_ms == 5000 * 1000 // 16000
+    assert got["m"].peak == int(np.abs(mono).max())
+    assert got["m"].rms == pytest.approx(
+        float(np.sqrt((mono.astype(np.float64) ** 2).mean())), rel=1e-6)
+    assert got["s"].n_channels == 2
+    assert got["mp3"].format == "stubbed"
+    assert got["bad"].format == "error"

@@ -1052,6 +1052,57 @@ FROM m ORDER BY url
 """
 
 
+def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing with a FIRST-PRINCIPLES oracle: synthesize per-doc
+    PCM16 square waves (amplitude A = 1000 + doc_id%7·100 alternating ±A,
+    n = 8000 + doc_id%5·1000 samples @16 kHz), decode via the pure-NumPy
+    RIFF/WAVE parser (ops/audio.py), and extract metadata + RMS/peak. A
+    square wave's RMS is EXACTLY its amplitude (A² is exact in float64 at
+    these magnitudes), so every output column is computable from doc_id
+    alone in ANSI SQL — matching proves synth → WAV encode → Spark decode
+    → features exact end-to-end."""
+    _ship_package(spark)
+    from tuatara_spark.ops import audio
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(32)
+            .select("doc_id"))
+
+    def render(batches):
+        import numpy as np_
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                amp = 1000 + (int(did) % 7) * 100
+                n = 8000 + (int(did) % 5) * 1000
+                s = np_.empty(n, dtype=np_.int16)
+                s[0::2], s[1::2] = amp, -amp
+                payloads.append(audio.encode_wav_pcm16(s, 16000))
+            yield pd.DataFrame({"url": pdf["doc_id"].astype(str),
+                                "html": payloads})
+
+    clips = docs.mapInPandas(render, "url string, html binary")
+    meta = audio.extract_audio_meta(clips)
+    return (meta.select(
+        "url", "format", "sample_rate", "n_channels", "n_samples",
+        "duration_ms",
+        F.floor(F.col("rms").cast("double") * 100 + F.lit(0.5))
+        .cast("long").alias("rms_e2"), "peak")
+        .orderBy("url"))
+
+
+_AUDIO_META_SQL = """
+WITH c AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
+m AS (SELECT CAST(doc_id AS VARCHAR) AS url,
+             1000 + (doc_id % 7) * 100 AS a,
+             8000 + (doc_id % 5) * 1000 AS n
+      FROM c)
+SELECT url, 'wav_pcm16' AS format, 16000 AS sample_rate, 1 AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n // 16 AS BIGINT) AS duration_ms,
+       CAST(a * 100 AS BIGINT) AS rms_e2, CAST(a AS INT) AS peak
+FROM m ORDER BY url
+"""
+
+
 def q_streaming_lang_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming with CUSTOM STATEFUL state: documents flow in
     as a 4-file stream (maxFilesPerTrigger=1 → 4 micro-batches), per-lang
@@ -1272,6 +1323,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
+    "audio_meta_docs": (q_audio_meta_docs, _AUDIO_META_SQL),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
 }
 
