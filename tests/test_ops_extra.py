@@ -249,3 +249,31 @@ def test_wav_pcm_round_trip_and_meta(spark):
     assert got["s"].n_channels == 2
     assert got["mp3"].format == "stubbed"
     assert got["bad"].format == "error"
+
+
+def test_thumbnail_all_formats_and_jpeg_output(spark):
+    """thumbnail decodes every real payload format and can emit JPEG-coded
+    thumbnails (decodable, right size, ~much smaller than raw)."""
+    from tuatara_spark.ref import jpeg as J
+    from tuatara_spark.ref.png import encode_png
+
+    img, _ = fx.render_page("ab", 256, 256, 4)
+    rows = pd.DataFrame({
+        "url": ["tpage", "tpbit", "png", "jpeg", "bad"],
+        "html": [fx.encode_tpage(img), fx.encode_tpbit(img),
+                 encode_png(img), J.encode_jpeg(img, quality=95),
+                 b"JUNK...."],
+    })
+    df = spark.createDataFrame(rows)
+    raw = {r.url: r for r in multimodal.thumbnail(df, 32, 32).collect()}
+    assert set(raw) == {"tpage", "tpbit", "png", "jpeg"}   # bad skipped
+    assert all(len(r.thumb) == 32 * 32 * 3 for r in raw.values())
+    # TPAGE and TPBIT payloads are the same pixels → identical thumbnails
+    assert bytes(raw["tpage"].thumb) == bytes(raw["tpbit"].thumb)
+
+    jp = {r.url: r for r in
+          multimodal.thumbnail(df, 32, 32, out_format="jpeg").collect()}
+    for r in jp.values():
+        dec = J.decode_jpeg(bytes(r.thumb))
+        assert dec.shape == (32, 32, 3)
+        assert len(r.thumb) < 32 * 32 * 3 / 2     # actually compressed

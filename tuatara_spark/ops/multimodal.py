@@ -235,20 +235,32 @@ RESIZED_SCHEMA = StructType([
 
 
 def thumbnail(df: DataFrame, out_w: int = 32, out_h: int = 32,
-              col: str = "html", key_col: str = "url") -> DataFrame:
-    """Decode + bilinear resize to a thumbnail (TPAGE real decode; same
-    resize kernel as the extraction pipeline)."""
+              col: str = "html", key_col: str = "url",
+              out_format: str = "raw") -> DataFrame:
+    """Decode ANY supported payload (TPAGE/TPBIT/PNG/JPEG via
+    ``fixtures.decode_payload``) + bilinear resize to a thumbnail — same
+    resize kernel as the extraction pipeline. ``out_format``: 'raw'
+    (H·W·3 bytes) or 'jpeg' (baseline q85 via ref/jpeg.py — the realistic
+    wire format for a thumbnail column at 100 TB: ~30× smaller).
+    Undecodable payloads are skipped (per-format error rows are the meta
+    op's job)."""
     from tuatara_spark.ref import resize as rz
+    if out_format not in ("raw", "jpeg"):
+        raise ValueError("out_format must be 'raw' or 'jpeg'")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tuatara_spark.ref import jpeg as J
         for pdf in batches:
             urls, thumbs = [], []
             for key, buf in zip(pdf[key_col], pdf[col]):
-                buf = bytes(buf)
-                if buf[:4] != fx.TPAGE_MAGIC:
-                    continue  # non-decodable formats skipped (stub path)
-                img = fx.decode_tpage(buf)
-                thumbs.append(rz.resize_bilinear(img, out_w, out_h).tobytes())
+                try:
+                    img = fx.decode_payload(buf)
+                except Exception:
+                    continue
+                t = rz.resize_bilinear(np.ascontiguousarray(img),
+                                       out_w, out_h)
+                thumbs.append(J.encode_jpeg(t, quality=85)
+                              if out_format == "jpeg" else t.tobytes())
                 urls.append(key)
             yield pd.DataFrame({"url": urls, "thumb": thumbs,
                                 "thumb_w": out_w, "thumb_h": out_h})
