@@ -277,3 +277,43 @@ def test_thumbnail_all_formats_and_jpeg_output(spark):
         dec = J.decode_jpeg(bytes(r.thumb))
         assert dec.shape == (32, 32, 3)
         assert len(r.thumb) < 32 * 32 * 3 / 2     # actually compressed
+
+
+def test_html_strip_and_main_block(spark):
+    """ops/htmlx.py on adversarial pages: nested boilerplate, comments
+    hiding tags, attributes with '>', link-heavy blocks losing to the
+    text block, tie-break to the first block; plans stay JVM-only."""
+    from tuatara_spark.ops import htmlx
+
+    pages = pd.DataFrame({
+        "url": ["a", "b", "c", "d"],
+        "html": [
+            # plain: nav+style stripped, p text kept
+            '<html><style>.x{}</style><nav><a href="/">H</a></nav>'
+            '<p>Main content here</p></html>',
+            # comment containing a fake tag; attribute quoting
+            '<!-- <p>ghost</p> --><div data-x="1">Real   text</div>',
+            # link farm vs short honest paragraph
+            '<div><a>1</a><a>2</a><a>3</a><a>4</a>linkfarm</div>'
+            '<p>short</p>',
+            # nested boilerplate inside kept block
+            '<div>keep <script>var x=1;</script>me</div>',
+        ]})
+    df = spark.createDataFrame(pages)
+    got = {r.url: r.main_text
+           for r in htmlx.strip_boilerplate(df).collect()}
+    assert got["a"] == "Main content here"
+    assert got["b"] == "Real text"
+    assert got["c"] == "1 2 3 4 linkfarm short"
+    assert got["d"] == "keep me"
+
+    best = {r.url: (r.block_text, r.score)
+            for r in htmlx.main_block(df).collect()}
+    assert best["a"][0] == "Main content here"
+    assert best["c"][0] == "short"          # link farm penalized away
+    assert best["d"][0] == "keep me"
+    # JVM-only: no Python evaluation node in either plan
+    for op in (htmlx.strip_boilerplate(df), htmlx.main_block(df)):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -1,0 +1,81 @@
+"""HTML main-content extraction: boilerplate strip + DOM-heuristic block
+picking — the north_rule's literal operator list ("HTML boilerplate strip,
+… DOM heuristics") as first-class Spark ops.
+
+Both operators are PURE CATALYST expression chains (regexp over the raw
+html string, explode + window argmax for the block picker) — no Python in
+the path, whole-stage codegen end-to-end, and therefore exactly
+reproducible in ANSI SQL for the driver oracle. This is deliberately the
+classic content-extraction heuristic stack (tag-class blocklist + text/link
+density scoring, the boilerpipe/readability family of PUBLISHED heuristics
+— Kohlschütter et al., WSDM'10), not a DOM tree parser: at 10^12 rows the
+regex/density pass IS the production trade-off for the 99% of pages where
+a full parse adds cost, with the OCR pipeline (engine.py) covering the
+rendered-page path.
+
+Scale notes: both ops are embarrassingly parallel scans (no shuffle except
+the block argmax's per-url window, which repartitions on url — narrow
+rows). The block picker shuffles (url, block) pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Block-level containers whose CONTENT is boilerplate (strip whole block),
+# in the order applied. Non-greedy, dot-matches-newline, case-insensitive
+# — identical semantics in Java regex (Spark) and RE2 (DuckDB).
+BOILER_BLOCKS = ("script", "style", "nav", "header", "footer", "aside")
+COMMENT_RE = r"<!--.*?-->"
+TAG_RE = r"<[^>]*>"
+WS_RE = r"\s+"
+
+
+def _block_re(tag: str) -> str:
+    return f"(?is)<{tag}\\b.*?</{tag}>"
+
+
+def strip_boilerplate(df: DataFrame, col: str = "html",
+                      out_col: str = "main_text") -> DataFrame:
+    """Boilerplate strip: drop script/style/nav/header/footer/aside blocks
+    and comments, strip remaining tags, collapse whitespace. Pure
+    Catalyst; one projection, no shuffle."""
+    c = F.col(col)
+    for tag in BOILER_BLOCKS:
+        c = F.regexp_replace(c, _block_re(tag), " ")
+    c = F.regexp_replace(c, COMMENT_RE, " ")
+    c = F.regexp_replace(c, TAG_RE, " ")
+    c = F.trim(F.regexp_replace(c, WS_RE, " "))
+    return df.withColumn(out_col, c)
+
+
+def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
+               link_penalty: int = 10) -> DataFrame:
+    """DOM-heuristic main-content block: split the document into
+    block-level chunks, score each by text length minus a link-count
+    penalty (the text-vs-link-density heuristic), keep the argmax per
+    document (ties → first block). Returns (key, block_idx, block_text,
+    score).
+
+    All integer arithmetic so the scoring is bit-exact across engines.
+    """
+    blocks = F.split(F.col(col), r"(?i)</(?:p|div|td|li|article|section)>")
+    exploded = (df.select(F.col(key_col),
+                          F.posexplode(blocks).alias("block_idx", "_raw")))
+    txt = F.col("_raw")
+    for tag in BOILER_BLOCKS:
+        txt = F.regexp_replace(txt, _block_re(tag), " ")
+    txt = F.regexp_replace(txt, COMMENT_RE, " ")
+    n_links = F.size(F.split(F.col("_raw"), r"(?i)<a\b")) - 1
+    txt = F.regexp_replace(txt, TAG_RE, " ")
+    txt = F.trim(F.regexp_replace(txt, WS_RE, " "))
+    scored = (exploded
+              .withColumn("block_text", txt)
+              .withColumn("score",
+                          F.length("block_text")
+                          - F.lit(link_penalty) * n_links)
+              .drop("_raw"))
+    wnd = (Window.partitionBy(key_col)
+           .orderBy(F.col("score").desc(), F.col("block_idx")))
+    return (scored.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") == 1).drop("_rn"))

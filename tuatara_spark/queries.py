@@ -1052,6 +1052,94 @@ FROM m ORDER BY url
 """
 
 
+# Synthetic page wrapper for the HTML ops (north_rule: "HTML boilerplate
+# strip … DOM heuristics"): title + style + nav boilerplate, a short
+# link-heavy promo div (survives the tag strip, REJECTED by the density
+# heuristic), the document text as the main <p>, and a footer. Built with
+# plain string concat so BOTH engines synthesize the identical page.
+_HTML_PRE = ('<html><head><title>T</title><style>.x{color:red}</style>'
+             '</head><body><nav><a href="/">Home</a> <a href="/a">About'
+             '</a></nav><div>Subscribe <a href="/s">now</a></div><p>')
+_HTML_POST = ('</p><footer><a href="/c">contact</a> (c) 2026</footer>'
+              '</body></html>')
+
+
+def _docs_html(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.concat(F.lit(_HTML_PRE), F.col("text"),
+                             F.lit(_HTML_POST)).alias("html")))
+
+
+def q_html_strip_docs(spark, sf_dir):
+    """Boilerplate strip over synthesized pages (ops/htmlx.py): drop
+    script/style/nav/header/footer/aside + comments, strip tags, collapse
+    whitespace — pure Catalyst, oracle mirrors the regex chain in RE2."""
+    from tuatara_spark.ops import htmlx
+    out = htmlx.strip_boilerplate(_docs_html(spark, sf_dir))
+    return out.select("doc_id", "main_text").orderBy("doc_id")
+
+
+def _html_strip_sql():
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    c = f"'{pre}' || text || '{post}'"
+    from tuatara_spark.ops import htmlx
+    for tag in htmlx.BOILER_BLOCKS:
+        c = f"regexp_replace({c}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
+    c = f"regexp_replace({c}, '<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    c = rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+    return (f"SELECT doc_id, {c} AS main_text FROM documents "
+            "ORDER BY doc_id")
+
+
+def q_html_main_block_docs(spark, sf_dir):
+    """DOM-heuristic main-content pick over synthesized pages: split into
+    block-level chunks, score = text length − 10·links (the text/link
+    density heuristic), argmax per doc. The nav/promo/footer blocks lose
+    deterministically; the doc-text <p> block must win."""
+    from tuatara_spark.ops import htmlx
+    out = htmlx.main_block(_docs_html(spark, sf_dir), key_col="doc_id")
+    return (out.select("doc_id", "block_idx", "block_text", "score")
+            .orderBy("doc_id"))
+
+
+def _html_main_block_sql():
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    from tuatara_spark.ops import htmlx
+    txt = "raw"
+    for tag in htmlx.BOILER_BLOCKS:
+        txt = f"regexp_replace({txt}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
+    txt = f"regexp_replace({txt}, '<!--.*?-->', ' ', 'g')"
+    txt = f"regexp_replace({txt}, '<[^>]*>', ' ', 'g')"
+    txt = rf"trim(regexp_replace({txt}, '\s+', ' ', 'g'))"
+    return f"""
+WITH pages AS (
+  SELECT doc_id, '{pre}' || text || '{post}' AS html FROM documents),
+blocks AS (
+  SELECT doc_id, i - 1 AS block_idx,
+         regexp_split_to_array(html,
+             '(?i)</(?:p|div|td|li|article|section)>')[i] AS raw
+  FROM pages, LATERAL (
+    SELECT unnest(range(1, len(regexp_split_to_array(html,
+        '(?i)</(?:p|div|td|li|article|section)>')) + 1)) AS i)),
+scored AS (
+  SELECT doc_id, block_idx, {txt} AS block_text,
+         CAST(length({txt})
+              - 10 * len(regexp_extract_all(raw, '(?i)<a\\b'))
+           AS INT) AS score
+  FROM blocks),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, block_idx) AS rn
+  FROM scored)
+SELECT doc_id, block_idx, block_text, score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing with a FIRST-PRINCIPLES oracle: synthesize per-doc
     PCM16 square waves (amplitude A = 1000 + doc_id%7·100 alternating ±A,
@@ -1324,6 +1412,9 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "audio_meta_docs": (q_audio_meta_docs, _AUDIO_META_SQL),
+    "html_strip_docs": (q_html_strip_docs, _html_strip_sql()),
+    "html_main_block_docs": (q_html_main_block_docs,
+                             _html_main_block_sql()),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
 }
 
