@@ -1,0 +1,53 @@
+"""Clean-room PDF text layer (ref/pdf.py) + the Spark extraction op."""
+
+import pandas as pd
+import pytest
+
+from tuatara_spark.ops import multimodal
+from tuatara_spark.ref import pdf as P
+
+
+def test_round_trip_escapes_and_modes():
+    lines = ["Hello (world) \\ test", "second line", "",
+             "fourth: 100% [ok] }{"]
+    for compress in (True, False):
+        buf = P.encode_pdf(lines, compress=compress)
+        assert buf.startswith(b"%PDF-1.4")
+        assert P.extract_pdf_text(buf) == "\n".join(lines)
+    assert P.encode_pdf(lines) == P.encode_pdf(lines)  # deterministic
+
+
+def test_tj_array_quote_and_octal():
+    """Hand-built content stream: TJ array show with kerning numbers, the
+    ' (next-line-show) operator, and octal escapes."""
+    content = (b"BT 72 720 Td [(ab)-120(cd)] TJ (ef) ' (\\101\\102) Tj ET")
+    raw = (b"%PDF-1.4\n1 0 obj << /Length " +
+           str(len(content)).encode() + b" >>\nstream\n" + content +
+           b"\nendstream\nendobj")
+    assert P.extract_pdf_text(raw) == "abcd\nefAB"
+
+
+def test_malformed_and_unsupported():
+    with pytest.raises(ValueError):
+        P.extract_pdf_text(b"not a pdf")
+    with pytest.raises(ValueError):
+        P.extract_pdf_text(b"%PDF-1.4 no stream here")
+    lzw = (b"%PDF-1.4\n1 0 obj << /Filter /LZWDecode /Length 2 >>\n"
+           b"stream\nxx\nendstream\nendobj")
+    with pytest.raises(NotImplementedError):
+        P.extract_pdf_text(lzw)
+
+
+def test_spark_pdf_extract_op(spark):
+    rows = pd.DataFrame({
+        "url": ["a", "b", "bad"],
+        "html": [P.encode_pdf(["line one", "line two"]),
+                 P.encode_pdf([]),
+                 b"%PDF-1.4 truncated"],
+    })
+    got = {r.url: r for r in multimodal.extract_pdf_text_col(
+        spark.createDataFrame(rows)).collect()}
+    assert got["a"].text == "line one\nline two" and got["a"].error is None
+    assert got["a"].n_chars == len("line one\nline two")
+    assert got["b"].text == ""
+    assert got["bad"].text is None and got["bad"].error.startswith("pdf:")

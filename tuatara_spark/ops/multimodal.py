@@ -226,6 +226,40 @@ def image_features(df: DataFrame, col: str = "html",
     return df.select(key_col, col).mapInPandas(fn, FEATURES_SCHEMA)
 
 
+PDF_TEXT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("text", StringType()),
+    StructField("n_chars", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def extract_pdf_text_col(df: DataFrame, col: str = "html",
+                         key_col: str = "url") -> DataFrame:
+    """PDF text extraction (north_rule: 'PDF/layout parse') — Arrow-batched
+    mapInPandas over the clean-room PDF text layer (ref/pdf.py: Flate
+    content streams, BT/ET + Tj/TJ/' + Td/T* line moves). Malformed or
+    unsupported-filter payloads become error rows, never failed tasks."""
+    from tuatara_spark.ref import pdf as P
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {"url": [], "text": [], "n_chars": [], "error": []}
+            for key, buf in zip(pdf_[key_col], pdf_[col]):
+                text, err = None, None
+                try:
+                    text = P.extract_pdf_text(buf)
+                except Exception as e:
+                    err = f"pdf: {e}"
+                out["url"].append(key)
+                out["text"].append(text)
+                out["n_chars"].append(len(text) if text is not None else 0)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, col).mapInPandas(fn, PDF_TEXT_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("thumb", BinaryType()),

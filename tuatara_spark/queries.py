@@ -1052,6 +1052,32 @@ FROM m ORDER BY url
 """
 
 
+def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse gate (north_rule's literal operator list): the
+    cleaned doc text is wrapped at 4 chars/line (the SAME transform as the
+    OCR flagship), written as a REAL one-page Flate-compressed PDF
+    (ref/pdf.py encoder), then extracted back through the PDF text layer.
+    The oracle is the shared _OCR_ORACLE string transform — text must
+    round-trip the PDF container byte-identically."""
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(_N_OCR_DOCS)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS t"))
+
+    def render(batches):
+        from tuatara_spark.ref import pdf as P
+        for pdf_ in batches:
+            payloads = [P.encode_pdf([t[i:i + 4]
+                                      for i in range(0, len(t or ""), 4)])
+                        for t in pdf_["t"]]
+            yield pd.DataFrame({"url": pdf_["url"], "html": payloads})
+
+    pdfs = docs.mapInPandas(render, "url string, html binary")
+    out = multimodal.extract_pdf_text_col(pdfs)
+    return (out.select(F.col("url").cast("long").alias("doc_id"), "text")
+            .orderBy("doc_id"))
+
+
 # Synthetic page wrapper for the HTML ops (north_rule: "HTML boilerplate
 # strip … DOM heuristics"): title + style + nav boilerplate, a short
 # link-heavy promo div (survives the tag strip, REJECTED by the density
@@ -1370,6 +1396,7 @@ REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "ocr_extract_docs": (q_ocr_extract_docs, _OCR_ORACLE),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
+    "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
     "reading_order_events": (q_reading_order_events, _READING_ORDER_SQL),
     "minmax_normalize_events": (q_minmax_normalize_events, _MINMAX_SQL),
     "threshold_combine_lineitem": (q_threshold_combine_lineitem, _THRESHOLD_SQL),
