@@ -3,7 +3,7 @@ picking — the north_rule's literal operator list ("HTML boilerplate strip,
 … DOM heuristics") as first-class Spark ops.
 
 Both operators are PURE CATALYST expression chains (regexp over the raw
-html string, explode + window argmax for the block picker) — no Python in
+html string, explode + max_by argmax for the block picker) — no Python in
 the path, whole-stage codegen end-to-end, and therefore exactly
 reproducible in ANSI SQL for the driver oracle. This is deliberately the
 classic content-extraction heuristic stack (tag-class blocklist + text/link
@@ -13,14 +13,14 @@ regex/density pass IS the production trade-off for the 99% of pages where
 a full parse adds cost, with the OCR pipeline (engine.py) covering the
 rendered-page path.
 
-Scale notes: both ops are embarrassingly parallel scans (no shuffle except
-the block argmax's per-url window, which repartitions on url — narrow
-rows). The block picker shuffles (url, block) pairs only.
+Scale notes: the strip is an embarrassingly parallel scan (no shuffle);
+the block picker's groupBy+max_by gets map-side partial aggregation, so
+only one candidate row per url crosses its shuffle (see main_block).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # Block-level containers whose CONTENT is boilerplate (strip whole block),
 # in the order applied. Non-greedy, dot-matches-newline, case-insensitive
@@ -58,6 +58,12 @@ def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
     score).
 
     All integer arithmetic so the scoring is bit-exact across engines.
+
+    Shuffle shape (100 TB): the argmax is ``max_by`` under ``groupBy``,
+    NOT a window — groupBy gets map-side PARTIAL aggregation, and since
+    every block of a url comes from one input row (posexplode keeps them
+    colocated), exactly ONE candidate row per url crosses the shuffle. A
+    window (no partial agg) would shuffle every block of every document.
     """
     blocks = F.split(F.col(col), r"(?i)</(?:p|div|td|li|article|section)>")
     exploded = (df.select(F.col(key_col),
@@ -75,7 +81,11 @@ def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
                           F.length("block_text")
                           - F.lit(link_penalty) * n_links)
               .drop("_raw"))
-    wnd = (Window.partitionBy(key_col)
-           .orderBy(F.col("score").desc(), F.col("block_idx")))
-    return (scored.withColumn("_rn", F.row_number().over(wnd))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    # max score, ties → FIRST block: lexicographic max of (score, -idx)
+    best = (scored.groupBy(key_col)
+            .agg(F.max_by(
+                F.struct("block_idx", "block_text", "score"),
+                F.struct(F.col("score").alias("s"),
+                         (-F.col("block_idx")).alias("ni"))).alias("_b")))
+    return best.select(key_col, "_b.block_idx", "_b.block_text",
+                       "_b.score")
