@@ -38,10 +38,11 @@ if REPO_ROOT not in sys.path:
 LEVELS = (2, 8, 32)
 PRIMARY = (2, 8)
 SECONDARY = (8, 32)
-# best-of over 3 interleaved rounds × 2 reps: single samples flap ±20% on
-# this VM (CPU-speed regimes shift between SparkContext rebuilds); six
-# samples per level make the best-of a stable noise floor
-ROUNDS = 3
+# best-of over 4 interleaved rounds × 2 reps: single samples flap ±20% on
+# this VM (CPU-speed regimes shift between SparkContext rebuilds); eight
+# samples per level make the best-of a stable noise floor (a 3-round run
+# was observed to let one level miss the fast regime entirely)
+ROUNDS = 4
 REPS = 2
 # The scaling input is 2× the bench sf (8200 pages): the criterion is
 # STEADY-STATE throughput of a job that runs for hours at 10^12 rows, so
