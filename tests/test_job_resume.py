@@ -187,3 +187,33 @@ def test_run_extract_packed_payload(spark, tmp_path):
     got = {r.url: r.text
            for r in Catalog(out).read_table(spark).select("url", "text").collect()}
     assert got == dict(zip(pages["url"], pages["text"]))
+
+
+def test_expire_snapshots(spark, pages_path, tmp_path):
+    """Iceberg-style snapshot expiry: old time-travel points retire, the
+    expired prefix squashes into a base snapshot, live data is untouched,
+    and subsequent commits + gc still work."""
+    out = str(tmp_path / "expire")
+    job.run_extract(spark, pages_path, out, num_buckets=8, groups=4)
+    cat = Catalog(out)
+    before = {(r.url, r.text) for r in cat.read_table(spark).collect()}
+    n_snaps = len(cat.snapshots())
+    assert n_snaps >= 3
+    expired = cat.expire_snapshots(keep_last=2)
+    assert expired
+    snaps = cat.snapshots()
+    assert len(snaps) == 3  # squash base + 2 kept
+    assert snaps[0].get("runs") and len(snaps[0]["runs"]) == n_snaps - 2
+    # full read unchanged; totals preserved
+    after = {(r.url, r.text) for r in cat.read_table(spark).collect()}
+    assert after == before
+    assert cat.totals()["pages"] == len(before)
+    # time travel to the squash base works; to an expired id sees base only
+    base_id = snaps[0]["snapshot_id"]
+    assert cat.read_table(spark, as_of=base_id).count() > 0
+    # gc must NOT reclaim the squash base's runs
+    assert cat.gc_uncommitted() == []
+    assert after == {(r.url, r.text)
+                     for r in cat.read_table(spark).collect()}
+    # idempotent: nothing more to expire at the same horizon
+    assert cat.expire_snapshots(keep_last=2) == []

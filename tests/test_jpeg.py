@@ -121,3 +121,38 @@ def test_engine_extracts_jpeg_pages(spark, weights):
            engine.extract_df(df, weights=weights).collect()}
     truth = dict(zip(pages["url"], pages["text"]))
     assert out == truth
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(9, 40), st.integers(9, 40),
+       st.sampled_from(["444", "420"]))
+def test_fuzz_round_trip_bounded_error(seed, h, w, sub):
+    """Property: any uint8 RGB image round-trips encode→decode at q90 with
+    bounded error and exact shape — no crashes, no shape drift, for
+    arbitrary dims (incl. non-multiples of 8/16) and both subsamplings."""
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (quantization error on pure noise is unbounded
+    # by design — JPEG is a transform codec, not lossless)
+    base = rng.integers(0, 256, size=(4, 4, 3))
+    img = np.kron(base, np.ones((16, 16, 1))).astype(np.uint8)[:h, :w]
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling=sub))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert float(err.mean()) < 12.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_decoder_never_hangs_on_garbage(payload):
+    """Property: arbitrary bytes (with or without a JPEG SOI prefix) either
+    decode or raise — never hang, never return a malformed array."""
+    for buf in (payload, b"\xff\xd8\xff" + payload):
+        try:
+            out = J.decode_jpeg(buf)
+        except Exception:
+            continue
+        assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8

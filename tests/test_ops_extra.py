@@ -317,3 +317,18 @@ def test_html_strip_and_main_block(spark):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_fuzz_wav_round_trip():
+    """Property-ish sweep: PCM16 arrays of varied lengths/channels/rates
+    round-trip exactly through the WAV writer/parser."""
+    from tuatara_spark.ops import audio
+    rng = np.random.default_rng(4)
+    for n in (0, 1, 7, 1024):
+        for ch in (1, 2):
+            for rate in (8000, 48000):
+                s = (rng.standard_normal((n, ch)) * 12000).astype(np.int16)
+                r, c, pcm = audio.decode_wav(
+                    audio.encode_wav_pcm16(s if ch > 1 else s[:, 0], rate))
+                assert (r, c) == (rate, ch)
+                assert pcm.shape == (n, ch) and (pcm == s).all()

@@ -51,3 +51,31 @@ def test_spark_pdf_extract_op(spark):
     assert got["a"].n_chars == len("line one\nline two")
     assert got["b"].text == ""
     assert got["bad"].text is None and got["bad"].error.startswith("pdf:")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PDF_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_PDF_TEXT, max_size=6), st.booleans())
+def test_fuzz_pdf_text_round_trip(lines, compress):
+    """Property: any printable-ASCII line list round-trips the PDF writer/
+    extractor exactly — parens, backslashes, empty lines and all."""
+    buf = P.encode_pdf(lines, compress=compress)
+    assert P.extract_pdf_text(buf) == "\n".join(lines)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_pdf_garbage_never_hangs(payload):
+    for buf in (payload, b"%PDF-1.4\n" + payload):
+        try:
+            out = P.extract_pdf_text(buf)
+        except Exception:
+            continue
+        assert isinstance(out, str)

@@ -113,11 +113,18 @@ class Catalog:
             done.update(snap["buckets"])
         return done
 
+    @staticmethod
+    def _runs_of(snap: dict) -> list[str]:
+        """A normal snapshot references one run; a squash base (created by
+        expire_snapshots) references every run of the expired prefix."""
+        return snap.get("runs") or [snap["run"]]
+
     def committed_run_dirs(self, as_of: int | None = None) -> list[str]:
         snaps = self.snapshots()
         if as_of is not None:
             snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
-        return [os.path.join(self.data_dir, s["run"]) for s in snaps]
+        return [os.path.join(self.data_dir, r)
+                for s in snaps for r in self._runs_of(s)]
 
     def read_table(self, spark, as_of: int | None = None):
         """Union of all committed run dirs (part_id recovered via hive
@@ -194,10 +201,59 @@ class Catalog:
 
     def gc_uncommitted(self) -> list[str]:
         """Delete orphaned run dirs (crashed runs that never committed)."""
-        keep = {f"run_{s['snapshot_id']:06d}" for s in self.snapshots()}
+        keep = {r for s in self.snapshots() for r in self._runs_of(s)}
         removed = []
         for name in os.listdir(self.data_dir):
             if name.startswith("run_") and name not in keep:
                 shutil.rmtree(os.path.join(self.data_dir, name))
                 removed.append(name)
         return removed
+
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Iceberg-style snapshot expiry: retire time-travel points older
+        than the newest ``keep_last`` snapshots WITHOUT touching live data.
+
+        The expired prefix is squashed into a single base snapshot (same id
+        as the newest expired one, so the kept chain's parent pointer stays
+        valid) that references every expired run dir and carries the summed
+        totals; the older snapshot files and their per-bucket manifest dirs
+        are deleted. ``read_table()`` is unchanged (all runs stay
+        referenced); ``read_table(as_of=<expired id>)`` now sees history
+        only back to the squash base — exactly Iceberg's
+        ``expireSnapshots`` contract. Returns the expired snapshot ids."""
+        snaps = self.snapshots()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return []
+        cut = snaps[:-keep_last]
+        if len(cut) == 1 and cut[0].get("runs"):
+            return []  # prefix is already a squash base
+        totals: dict[str, int] = {}
+        for s in cut:
+            for k, v in s["totals"].items():
+                totals[k] = totals.get(k, 0) + v
+        base = {
+            "snapshot_id": cut[-1]["snapshot_id"],
+            "parent_id": None,
+            "runs": [r for s in cut for r in self._runs_of(s)],
+            "buckets": sorted({int(b) for s in cut for b in s["buckets"]}),
+            "totals": totals,
+            "squashed_of": [s["snapshot_id"] for s in cut],
+            "committed_at_unix": int(time.time()),
+        }
+        tmp = self._snapshot_path(base["snapshot_id"]) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(base, f)
+        os.rename(tmp, self._snapshot_path(base["snapshot_id"]))
+        expired = []
+        for s in cut[:-1]:
+            sid = s["snapshot_id"]
+            expired.append(sid)
+            p = self._snapshot_path(sid)
+            if os.path.exists(p):
+                os.unlink(p)
+            mdir = os.path.join(self.manifest_dir, str(sid))
+            if os.path.isdir(mdir):
+                shutil.rmtree(mdir)
+        return expired + [base["snapshot_id"]]
