@@ -80,17 +80,41 @@ _TOK_RE = re.compile(
     rb"|(?P<td>[-0-9.]+\s+[-0-9.]+\s+T[dD])", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
 _ARR_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
-_OCT_RE = re.compile(rb"\\([0-7]{1,3})")
+_ESC_MAP = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 
 
 def _unescape(raw: bytes) -> str:
-    def oct_sub(m):
-        return bytes([int(m.group(1), 8) & 0xFF])
-    raw = _OCT_RE.sub(oct_sub, raw)
-    raw = (raw.replace(b"\\n", b"\n").replace(b"\\r", b"\r")
-           .replace(b"\\t", b"\t").replace(b"\\(", b"(")
-           .replace(b"\\)", b")").replace(b"\\\\", b"\\"))
-    return raw.decode("latin-1")
+    """Single-pass literal-string unescape (T.81-era PDF 1.4 §3.2.3).
+    A pass of regex substitutions would mis-handle sequences like
+    ``\\\\0`` (escaped backslash followed by a digit — NOT an octal
+    escape); only a left-to-right scan gets the precedence right."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b != 0x5C:                      # not a backslash
+            out.append(b)
+            i += 1
+            continue
+        i += 1
+        if i >= n:                          # trailing '\' — ignored
+            break
+        c = raw[i]
+        if c in _ESC_MAP:
+            out.append(_ESC_MAP[c])
+            i += 1
+        elif 0x30 <= c <= 0x37:             # \d, \dd or \ddd octal
+            j = i
+            while j < min(i + 3, n) and 0x30 <= raw[j] <= 0x37:
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        elif c == 0x0A:                     # '\' + newline: continuation
+            i += 1
+        else:                               # \( \) \\ or unknown → literal
+            out.append(c)
+            i += 1
+    return out.decode("latin-1")
 
 
 def extract_pdf_text(buf) -> str:
