@@ -278,15 +278,28 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     right = banded.select(F.col("_id").alias("id_b"),
                           F.col("simhash").alias("sh_b"),
                           "chunk_idx", "chunk_val")
-    cand = (left.join(right, ["chunk_idx", "chunk_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-            .dropDuplicates(["id_a", "id_b"])
-            .repartition(_wide(df, verify_partitions)))
+    # Unlike the minhash verify (heavy per-pair set intersection), the
+    # simhash verify is ONE xor+popcount — so filter it BEFORE the
+    # distinct (shrinking the dedup shuffle to qualifying pairs only) and
+    # skip the explicit wide repartition (the dedup shuffle is already
+    # sized by spark.sql.shuffle.partitions; an extra exchange for a
+    # trivial filter was measured pure overhead).
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", ham)
+    if verify_partitions is not None:
+        banded = banded.repartition(verify_partitions,
+                                    "chunk_idx", "chunk_val")
+        left = banded.select(F.col("_id").alias("id_a"),
+                             F.col("simhash").alias("sh_a"),
+                             "chunk_idx", "chunk_val")
+        right = banded.select(F.col("_id").alias("id_b"),
+                              F.col("simhash").alias("sh_b"),
+                              "chunk_idx", "chunk_val")
+    return (left.join(right, ["chunk_idx", "chunk_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming")
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 # ------------------------------------------------------- n-gram Jaccard ----
