@@ -332,3 +332,18 @@ def test_fuzz_wav_round_trip():
                     audio.encode_wav_pcm16(s if ch > 1 else s[:, 0], rate))
                 assert (r, c) == (rate, ch)
                 assert pcm.shape == (n, ch) and (pcm == s).all()
+
+
+def test_cluster_ids_merges_chains(spark):
+    """a–b and b–c pairs must land a, b, c in ONE cluster (pairwise
+    keep-smallest would under-merge the chain), singletons self-cluster,
+    and two disjoint clusters stay apart."""
+    from tuatara_spark.ops import dedup as dd
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 7, 8, 9],
+                         "text": ["x"] * 6})
+    pairs = pd.DataFrame({"id_a": [1, 2, 8], "id_b": [2, 3, 9]})
+    out = {r.doc_id: r.cluster_id for r in dd.cluster_ids(
+        spark.createDataFrame(docs),
+        spark.createDataFrame(pairs)).collect()}
+    dd.release_caches()
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 8}

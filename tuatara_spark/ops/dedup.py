@@ -302,6 +302,52 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .dropDuplicates(["id_a", "id_b"]))
 
 
+# ------------------------------------------------- duplicate clustering ----
+
+def cluster_ids(df: DataFrame, pairs: DataFrame,
+                id_col: str = "doc_id", max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc
+    gets ``cluster_id`` = the smallest doc id reachable through pairs
+    (singletons cluster with themselves). This is the step after pair
+    generation in a real corpus dedup — keep one representative per
+    CLUSTER, not per pair (pairwise keep-smallest under-merges chains
+    a–b, b–c where a–c was never emitted).
+
+    Algorithm: iterative min-label propagation to fixpoint (the classic
+    MapReduce connected-components formulation — Rastogi et al.,
+    "Finding Connected Components in MapReduce", ICDE'13 describe the
+    family; this is the simple O(diameter)-round variant). Each round is
+    one join + groupBy on narrow (node, label) rows; near-dup graphs have
+    tiny diameters (dup clusters are dense), so rounds stay in the low
+    single digits. Convergence is checked with a count of changed labels;
+    intermediates persist per round and release at the end.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    edges = _persist(edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
+    labels = _persist(df.select(F.col(id_col).alias("node"),
+                                F.col(id_col).alias("label")))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges.src == labels.node)
+               .groupBy("dst").agg(F.min("label").alias("nbr_label")))
+        new = _persist(
+            labels.join(nbr, labels.node == nbr.dst, "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_label", "label"))
+                    .alias("label")))
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col),
+                        F.col("label").alias("cluster_id"))
+    # materialization contract: caller consumes out, then release_caches()
+    return out
+
+
 # ------------------------------------------------------- n-gram Jaccard ----
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -85,3 +85,45 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.md5(text_col).alias("text_md5"),
         F.expr(f"array_min(transform({grams}, g -> md5(g)))")
         .alias("min_kgram_md5"))
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` most frequent whitespace tokens
+    (lowercased) with document frequencies — the tokenizer-building /
+    stopword-mining primitive. Rank ties break lexicographically so the
+    cut is deterministic.
+
+    Scale: explode → ONE groupBy(token) with map-side partial counts →
+    global top-k via orderBy+limit (TakeOrdered on the tiny distinct-token
+    aggregate, never a full sort of the corpus)."""
+    tok = df.select(
+        F.col(id_col).alias("_row"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("token"))
+    counts = (tok.filter(F.col("token") != "")
+              .groupBy("token")
+              .agg(F.count("*").alias("tf"),
+                   F.countDistinct("_row").alias("df")))
+    return (counts.orderBy(F.col("tf").desc(), F.col("token"))
+            .limit(top_k))
+
+
+def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase scheme+host, strip
+    fragments, strip common tracking query params (utm_*, fbclid, gclid),
+    drop a trailing slash on the path. Pure Catalyst (parse_url +
+    regexp), no UDF. Adds ``url_canon``."""
+    c = F.col(url_col)
+    c = F.regexp_replace(c, r"#.*$", "")                  # fragment
+    c = F.regexp_replace(
+        c, r"([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"[?&]+$", "")                # dangling ? / &
+    c = F.regexp_replace(c, r"\?&+", "?")                 # ?&x → ?x
+    c = F.regexp_replace(c, r"&&+", "&")                  # x&&y → x&y
+    # lowercase scheme://host only (path/query stay case-sensitive)
+    c = F.concat(F.lower(F.regexp_extract(c, r"^([^:/?#]+://[^/?#]*)", 1)),
+                 F.regexp_replace(c, r"^[^:/?#]+://[^/?#]*", ""))
+    c = F.regexp_replace(c, r"/\?", "?")                 # path-final /?
+    c = F.regexp_replace(c, r"/$", "")
+    return df.withColumn("url_canon", c)

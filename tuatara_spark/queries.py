@@ -599,6 +599,45 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_cluster_ids(spark, sf_dir):
+    """Near-dup CLUSTERING (the step after pair generation): connected
+    components over the lossless 3-gram-Jaccard pair graph via iterative
+    min-label propagation — every doc labeled with the smallest doc id in
+    its duplicate cluster. Exactly SQL-checkable because the pair graph is
+    the lossless prefix-filtered join and the transitive closure is a
+    recursive CTE in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    out = dedup.cluster_ids(docs, pairs)
+    return out.orderBy("doc_id")
+
+
+_CLUSTER_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) < 3 THEN [lower(text)]
+              ELSE list_distinct([substr(lower(text), i, 3)
+                                  for i in range(1, length(lower(text)) - 1)])
+         END AS grams
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+        / (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams))) >= 0.5),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT doc_id AS n, doc_id AS l FROM documents
+  UNION
+  SELECT e.d AS n, reach.l AS l FROM reach JOIN e ON e.s = reach.n
+)
+SELECT n AS doc_id, min(l) AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 def q_minhash_recall_gate(spark, sf_dir):
     """Driver-visible gate for MinHash banding (whose pairs are xxhash64-
     based, hence not directly SQL-checkable): every pair with TRUE 5-gram
@@ -765,6 +804,67 @@ SELECT doc_id, md5(text) AS text_md5,
                            for i in range(1, length(lower(text)) - 8 + 2)])
        END AS min_kgram_md5
 FROM documents ORDER BY doc_id
+"""
+
+
+def q_vocabulary_documents(spark, sf_dir):
+    """Corpus vocabulary: top-50 whitespace tokens with term and document
+    frequencies (tokenizer-building primitive; deterministic tie-break)."""
+    return textstats.vocabulary(_docs(spark, sf_dir), top_k=50)
+
+
+_VOCAB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok WHERE token <> ''
+GROUP BY token ORDER BY tf DESC, token LIMIT 50
+"""
+
+
+def q_canonical_url_docs(spark, sf_dir):
+    """URL canonicalization for crawl dedup: urls synthesized from doc_id
+    (mixed-case hosts, tracking params, fragments, trailing slashes — the
+    same construction in both engines), canonicalized by the pure-Catalyst
+    regex chain; the oracle mirrors it in RE2 (\\1 backrefs, 'g' flag)."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('HTTP', CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END,"
+        " '://Site', cast(doc_id % 7 AS string), '.Example.COM/'"
+        ", CASE WHEN doc_id % 3 = 0 THEN 'Dir/Page/' ELSE 'p' END"
+        ", CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&id=' ELSE '?id=' END"
+        ", cast(doc_id AS string)"
+        ", CASE WHEN doc_id % 5 = 0 THEN '&fbclid=xyz' ELSE '' END"
+        ", CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url")
+    return (textstats.canonical_url(docs)
+            .select("doc_id", "url", "url_canon").orderBy("doc_id"))
+
+
+_CANON_URL_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END
+         || '://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/'
+         || CASE WHEN doc_id % 3 = 0 THEN 'Dir/Page/' ELSE 'p' END
+         || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&id=' ELSE '?id=' END
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '&fbclid=xyz' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+c1 AS (SELECT doc_id, url,
+  regexp_replace(url, '#.*$', '', 'g') AS c FROM u),
+c2 AS (SELECT doc_id, url,
+  regexp_replace(c, '([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '\1', 'g') AS c FROM c1),
+c3 AS (SELECT doc_id, url, regexp_replace(c, '[?&]+$', '', 'g') AS c FROM c2),
+c4 AS (SELECT doc_id, url, regexp_replace(c, '\?&+', '?', 'g') AS c FROM c3),
+c5 AS (SELECT doc_id, url, regexp_replace(c, '&&+', '&', 'g') AS c FROM c4),
+c6 AS (SELECT doc_id, url,
+  lower(regexp_extract(c, '^([^:/?#]+://[^/?#]*)', 1))
+  || regexp_replace(c, '^[^:/?#]+://[^/?#]*', '', 'g') AS c FROM c5),
+c7 AS (SELECT doc_id, url, regexp_replace(c, '/\?', '?', 'g') AS c FROM c6),
+c8 AS (SELECT doc_id, url, regexp_replace(c, '/$', '', 'g') AS c FROM c7)
+SELECT doc_id, url, c AS url_canon FROM c8 ORDER BY doc_id
 """
 
 
@@ -1412,8 +1512,11 @@ REGISTRY: dict[str, tuple] = {
     "hourly_histogram_events": (q_hourly_histogram_events, _HOURLY_SQL),
     "dedup_exact_groups": (q_dedup_exact_groups, _DEDUP_EXACT_SQL),
     "dedup_keep_first_ids": (q_dedup_keep_first_ids, _DEDUP_KEEP_SQL),
+    "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
     "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
     "token_count_regex": (q_token_count_regex, _TOKEN_REGEX_SQL),
+    "vocabulary_documents": (q_vocabulary_documents, _VOCAB_SQL),
+    "canonical_url_docs": (q_canonical_url_docs, _CANON_URL_SQL),
     "quality_score_documents": (q_quality_score_documents, _QUALITY_SQL),
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
     "fingerprint_documents": (q_fingerprint_documents, _FINGERPRINT_SQL),
