@@ -347,3 +347,44 @@ def test_cluster_ids_merges_chains(spark):
         spark.createDataFrame(pairs)).collect()}
     dd.release_caches()
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 8}
+
+
+def test_asof_and_range_join_edges(spark):
+    """As-of: same-instant right row IS visible (>=), no-prior row → NULL,
+    latest-of-several wins. Range join: start inclusive, end exclusive,
+    cross-bucket intervals matched (no bucket-boundary misses)."""
+    import datetime as dt
+    from tuatara_spark.ops import joins
+    T = lambda s: dt.datetime(2024, 1, 1, *s)
+    left = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [10, 10, 10],
+        "ts": [T((0, 30)), T((2, 0)), T((0, 5))],
+    })
+    right = pd.DataFrame({
+        "user_id": [10, 10, 10],
+        "ts": [T((0, 10)), T((0, 30)), T((1, 0))],
+        "value": [1.0, 2.0, 3.0],
+    })
+    out = {r.event_id: r.value_asof for r in joins.asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        key="user_id", ts="ts").collect()}
+    assert out[1] == 2.0          # same-instant right row visible (>=)
+    assert out[2] == 3.0          # latest prior wins
+    assert out[3] is None         # 0:05 precedes every right row → NULL
+
+    points = pd.DataFrame({
+        "click_id": [1, 2, 3, 4],
+        "user_id": [10] * 4,
+        "ts": [T((1, 0)), T((2, 59, 59)), T((3, 0)), T((0, 59, 59))],
+    })
+    iv = pd.DataFrame({
+        "iv_id": [100],
+        "user_id": [10],
+        "start": [T((1, 0))],
+        "end": [T((3, 0))],      # [1:00, 3:00): crosses two hour buckets
+    })
+    got = sorted((r.click_id, r.iv_id) for r in joins.range_join(
+        spark.createDataFrame(points), spark.createDataFrame(iv),
+        key="user_id", bucket_width=3600).collect())
+    assert got == [(1, 100), (2, 100)]   # start incl, end excl, pre-start out

@@ -599,6 +599,71 @@ ORDER BY doc_id
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of (backward) join — a temporal operator Spark lacks natively,
+    built from union + per-key window carry-forward (ops/joins.py): every
+    click gets the value of the same user's LATEST view at-or-before the
+    click. Oracle: DuckDB's NATIVE ``ASOF LEFT JOIN`` — the two engines
+    implement the operator independently and must agree row-for-row."""
+    from tuatara_spark.ops import joins
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = joins.asof_join(clicks, views, key="user_id", ts="ts",
+                          payload_cols=("value",))
+    return (out.select("event_id",
+                       F.floor(F.col("value_asof") * 1e4 + F.lit(0.5))
+                       .cast("long").alias("v_e4"))
+            .orderBy("event_id"))
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT l.event_id,
+       CAST(floor(r.value * 10000 + 0.5) AS BIGINT) AS v_e4
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+"""
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range (interval) join without a theta/cartesian join: clicks join
+    to per-user 2-hour windows opened by purchases via interval bucketing
+    (ops/joins.py — intervals explode into covering buckets, equi-join on
+    (user, bucket), predicate filters). Oracle: the plain inequality join
+    in SQL — tractable at oracle scale, exactly what the bucketed plan
+    must reproduce."""
+    from tuatara_spark.ops import joins
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    iv = (ev.filter(F.col("event_type") == "purchase")
+          .select(F.col("event_id").alias("iv_id"), "user_id",
+                  F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end")))
+    out = joins.range_join(clicks, iv, key="user_id", point="ts",
+                           start="start", end="end", bucket_width=3600)
+    return out.select("click_id", "iv_id").orderBy("click_id", "iv_id")
+
+
+_RANGE_SQL = """
+WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+iv AS (SELECT event_id AS iv_id, user_id, ts AS s,
+              ts + INTERVAL 2 HOUR AS e
+       FROM events WHERE event_type = 'purchase')
+SELECT click_id, iv_id
+FROM l JOIN iv ON l.user_id = iv.user_id
+               AND iv.s <= l.ts AND l.ts < iv.e
+ORDER BY click_id, iv_id
+"""
+
+
 def q_dedup_cluster_ids(spark, sf_dir):
     """Near-dup CLUSTERING (the step after pair generation): connected
     components over the lossless 3-gram-Jaccard pair graph via iterative
@@ -1513,6 +1578,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_groups": (q_dedup_exact_groups, _DEDUP_EXACT_SQL),
     "dedup_keep_first_ids": (q_dedup_keep_first_ids, _DEDUP_KEEP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
+    "asof_join_events": (q_asof_join_events, _ASOF_SQL),
+    "range_join_events": (q_range_join_events, _RANGE_SQL),
     "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
     "token_count_regex": (q_token_count_regex, _TOKEN_REGEX_SQL),
     "vocabulary_documents": (q_vocabulary_documents, _VOCAB_SQL),
