@@ -53,6 +53,30 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
     return combined.filter(F.col("_side") == 1).drop("_side")
 
 
+def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_seconds: int = 1800) -> DataFrame:
+    """Assign inactivity-gap sessions per key: a new session starts when
+    the gap to the previous event exceeds ``gap_seconds``. Adds
+    ``session_idx`` (0-based per key, by event time) — lag + cumulative
+    sum of session-start flags, the standard relational sessionization.
+
+    Scale: one shuffle on the key; the two windows share the same
+    partitioning/ordering so Catalyst evaluates them in one Window node.
+    (Streaming twin: ``F.session_window`` in streaming.windowed_counts'
+    style — this is the batch/backfill form.)"""
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev))
+           > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1)
+
+
 def range_join(left: DataFrame, intervals: DataFrame, key: str,
                point: str = "ts", start: str = "start", end: str = "end",
                bucket_width: int = 3600) -> DataFrame:

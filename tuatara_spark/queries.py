@@ -664,6 +664,45 @@ ORDER BY click_id, iv_id
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Inactivity-gap sessionization (1-hour gap) per user — lag + running
+    sum of session starts — aggregated to per-session stats. Gap math uses
+    truncated epoch seconds in BOTH engines (Spark unix_timestamp
+    truncates; the oracle casts epoch to BIGINT) so boundaries agree
+    exactly."""
+    from tuatara_spark.ops import joins
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    s = joins.sessionize(ev, key="user_id", ts="ts", gap_seconds=3600)
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 (F.unix_timestamp(F.max("ts"))
+                  - F.unix_timestamp(F.min("ts"))).alias("dur_s"))
+            .orderBy("user_id", "session_idx"))
+
+
+_SESSION_SQL = """
+WITH t AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS prev_ep
+  FROM events),
+f AS (
+  SELECT user_id, ts, ep,
+         CASE WHEN prev_ep IS NULL OR ep - prev_ep > 3600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM t),
+s AS (
+  SELECT user_id, ts, ep,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_idx
+  FROM f)
+SELECT user_id, session_idx, count(*) AS n_events,
+       max(ep) - min(ep) AS dur_s
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
+"""
+
+
 def q_dedup_cluster_ids(spark, sf_dir):
     """Near-dup CLUSTERING (the step after pair generation): connected
     components over the lossless 3-gram-Jaccard pair graph via iterative
@@ -1580,6 +1619,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
     "asof_join_events": (q_asof_join_events, _ASOF_SQL),
     "range_join_events": (q_range_join_events, _RANGE_SQL),
+    "sessionize_events": (q_sessionize_events, _SESSION_SQL),
     "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
     "token_count_regex": (q_token_count_regex, _TOKEN_REGEX_SQL),
     "vocabulary_documents": (q_vocabulary_documents, _VOCAB_SQL),
