@@ -217,3 +217,36 @@ def test_expire_snapshots(spark, pages_path, tmp_path):
                      for r in cat.read_table(spark).collect()}
     # idempotent: nothing more to expire at the same horizon
     assert cat.expire_snapshots(keep_last=2) == []
+
+
+def test_schema_evolution_added_column(spark, pages_path, tmp_path):
+    """Additive schema evolution (Iceberg add-column semantics): a later
+    run writing an extra column unions with older runs — old rows read
+    NULL for the new column, old columns unchanged."""
+    out = str(tmp_path / "evolve")
+    job.run_extract(spark, pages_path, out, num_buckets=4, groups=1)
+    cat = Catalog(out)
+    base = cat.read_table(spark)
+    n0 = base.count()
+    # simulate a newer job version committing a run with an extra column
+    sid, run_dir = cat.new_run()
+    (base.limit(5).withColumn("quality", F.lit(0.5))
+     .write.partitionBy("part_id").parquet(run_dir))
+    cat.commit(sid, [], {}, {"pages": 5})
+    evolved = cat.read_table(spark)
+    assert "quality" in evolved.columns
+    assert evolved.count() == n0 + 5
+    assert evolved.filter(F.col("quality").isNull()).count() == n0
+    assert evolved.filter(F.col("quality") == 0.5).count() == 5
+
+
+def test_engine_empty_input(spark, weights):
+    """Empty input DataFrame → empty output with the full schema, no
+    failed tasks (a 10^12-row job will see empty buckets)."""
+    from tuatara_spark import engine
+    pages = fx.make_pages(2, seed=3)
+    df = spark.createDataFrame(pages).filter(F.col("url") == "nope")
+    out = engine.extract_df(df, weights=weights)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields[-5:]] == \
+        ["spans", "text", "n_regions", "n_chars", "error"]

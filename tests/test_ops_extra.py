@@ -388,3 +388,21 @@ def test_asof_and_range_join_edges(spark):
         spark.createDataFrame(points), spark.createDataFrame(iv),
         key="user_id", bucket_width=3600).collect())
     assert got == [(1, 100), (2, 100)]   # start incl, end excl, pre-start out
+
+
+def test_top_terms_ranking_and_exact_score(spark):
+    """top_terms: rarity dominates frequency; ties break lexicographically;
+    the score is exact integer arithmetic (tf * 1e6 div df)."""
+    from tuatara_spark.ops import textstats
+    docs = spark.createDataFrame(
+        [(1, "common common common rare common"),
+         (2, "common zeta alpha"),
+         (3, "common other words here")],
+        ["doc_id", "text"])
+    out = {(r.doc_id, r.rank): r for r in textstats.top_terms(docs, k=2).collect()}
+    # doc 1: 'common' (tf=4, df=3 → 4_000_000 div 3 = 1_333_333) outranks
+    # 'rare' (tf=1, df=1 → 1_000_000); pin the exact integer scores.
+    assert out[(1, 1)].token == "common" and out[(1, 1)].score == 1_333_333
+    assert out[(1, 2)].token == "rare" and out[(1, 2)].score == 1_000_000
+    # doc 2: alpha and zeta tie (tf=1, df=1) — lexicographic break
+    assert out[(2, 1)].token == "alpha" and out[(2, 2)].token == "zeta"

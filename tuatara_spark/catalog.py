@@ -135,13 +135,20 @@ class Catalog:
         ``as_of`` reads the table AS OF a snapshot id (Iceberg-style time
         travel): only runs committed at or before that snapshot are
         visible — later commits never rewrite earlier run dirs, so the
-        historical view is exact."""
+        historical view is exact.
+
+        Additive schema evolution: runs committed by newer job versions
+        may carry EXTRA columns; ``allowMissingColumns`` fills them with
+        NULL for older runs (Iceberg add-column semantics). Dropping or
+        retyping a column is NOT supported — unionByName fails fast on a
+        type conflict rather than silently coercing."""
         dirs = self.committed_run_dirs(as_of)
         if not dirs:
             return None
         df = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
-            df = df.unionByName(spark.read.parquet(d))
+            df = df.unionByName(spark.read.parquet(d),
+                                allowMissingColumns=True)
         return df
 
     def totals(self) -> dict:

@@ -127,3 +127,34 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     c = F.regexp_replace(c, r"/\?", "?")                 # path-final /?
     c = F.regexp_replace(c, r"/$", "")
     return df.withColumn("url_canon", c)
+
+
+def top_terms(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms: rank tokens by term
+    frequency × corpus rarity, scored as ``floor(tf · 10^6 / df)`` —
+    INTEGER-exact tf-idf-style ranking (no float logarithm, so the score
+    is bit-identical across engines; ulp differences in ln() would make
+    an oracle flaky). Ties break lexicographically.
+
+    Scale: token explode → (doc, token) counts (map-side partial) →
+    broadcast-size document-frequency join keyed on token → per-doc
+    window top-k over the small per-doc distinct-token set."""
+    from pyspark.sql import Window
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("token")).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # `div` is Spark's integer division — exact long arithmetic end to
+    # end, never routed through an IEEE double (all values positive, so
+    # truncation == floor == DuckDB's `//`).
+    scored = (tf.join(dfreq, "token")
+              .withColumn("score", F.expr("tf * 1000000L div df")))
+    wnd = (Window.partitionBy(id_col)
+           .orderBy(F.col("score").desc(), F.col("token")))
+    return (scored.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") <= k)
+            .select(id_col, F.col("_rn").alias("rank"), "token",
+                    "tf", "df", "score"))

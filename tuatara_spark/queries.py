@@ -927,6 +927,34 @@ GROUP BY token ORDER BY tf DESC, token LIMIT 50
 """
 
 
+def q_top_terms_docs(spark, sf_dir):
+    """Per-document top-3 characteristic terms, ranked by an INTEGER-exact
+    tf-idf-style score ``tf * 10^6 div df`` (no float logarithm — ulp
+    differences in ln() across engines would make the oracle flaky).
+    Scale shape: token explode → map-side-combined (doc,token) counts →
+    document-frequency join on token → per-doc window top-k."""
+    return (textstats.top_terms(_docs(spark, sf_dir), k=3)
+            .orderBy("doc_id", "rank"))
+
+
+_TOP_TERMS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf
+       FROM tok WHERE token <> '' GROUP BY doc_id, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                  (tf.tf * 1000000) // dfq.df AS score
+           FROM tf JOIN dfq USING (token))
+SELECT doc_id, rank, token, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_canonical_url_docs(spark, sf_dir):
     """URL canonicalization for crawl dedup: urls synthesized from doc_id
     (mixed-case hosts, tracking params, fragments, trailing slashes — the
@@ -1623,6 +1651,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count_documents": (q_token_count_documents, _TOKEN_SQL),
     "token_count_regex": (q_token_count_regex, _TOKEN_REGEX_SQL),
     "vocabulary_documents": (q_vocabulary_documents, _VOCAB_SQL),
+    "top_terms_docs": (q_top_terms_docs, _TOP_TERMS_SQL),
     "canonical_url_docs": (q_canonical_url_docs, _CANON_URL_SQL),
     "quality_score_documents": (q_quality_score_documents, _QUALITY_SQL),
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
