@@ -406,3 +406,23 @@ def test_top_terms_ranking_and_exact_score(spark):
     assert out[(1, 2)].token == "rare" and out[(1, 2)].score == 1_000_000
     # doc 2: alpha and zeta tie (tf=1, df=1) — lexicographic break
     assert out[(2, 1)].token == "alpha" and out[(2, 2)].token == "zeta"
+
+
+def test_main_chain_merges_adjacent_content(spark):
+    """main_chain: two adjacent mid-size paragraphs outscore one larger
+    isolated block; a no-content doc yields no row; linky blocks never
+    chain."""
+    from tuatara_spark.ops import htmlx
+    pages = [
+        # chain {0,1} (25+25=50) must beat isolated block 3 (len 40)
+        ("a", "<p>" + "x" * 25 + "</p><p>" + "y" * 25 + "</p>"
+              "<div><a>1</a><a>2</a><a>3</a></div><p>" + "z" * 40 + "</p>"),
+        # every block below min_score → doc absent from output
+        ("b", "<p>tiny</p><div><a>l</a>link</div>"),
+    ]
+    out = {r.url: r for r in htmlx.main_chain(
+        spark.createDataFrame(pages, ["url", "html"])).collect()}
+    assert set(out) == {"a"}
+    r = out["a"]
+    assert (r.chain_start, r.chain_len, r.chain_score) == (0, 2, 50)
+    assert r.chain_text == "x" * 25 + " " + "y" * 25

@@ -65,6 +65,21 @@ def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
     colocated), exactly ONE candidate row per url crosses the shuffle. A
     window (no partial agg) would shuffle every block of every document.
     """
+    scored = _scored_blocks(df, col, key_col, link_penalty)
+    # max score, ties → FIRST block: lexicographic max of (score, -idx)
+    best = (scored.groupBy(key_col)
+            .agg(F.max_by(
+                F.struct("block_idx", "block_text", "score"),
+                F.struct(F.col("score").alias("s"),
+                         (-F.col("block_idx")).alias("ni"))).alias("_b")))
+    return best.select(key_col, "_b.block_idx", "_b.block_text",
+                       "_b.score")
+
+
+def _scored_blocks(df: DataFrame, col: str, key_col: str,
+                   link_penalty: int) -> DataFrame:
+    """Shared block splitter + integer text/link-density scorer (the
+    exploded first half of main_block)."""
     blocks = F.split(F.col(col), r"(?i)</(?:p|div|td|li|article|section)>")
     exploded = (df.select(F.col(key_col),
                           F.posexplode(blocks).alias("block_idx", "_raw")))
@@ -75,17 +90,61 @@ def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
     n_links = F.size(F.split(F.col("_raw"), r"(?i)<a\b")) - 1
     txt = F.regexp_replace(txt, TAG_RE, " ")
     txt = F.trim(F.regexp_replace(txt, WS_RE, " "))
-    scored = (exploded
-              .withColumn("block_text", txt)
-              .withColumn("score",
-                          F.length("block_text")
-                          - F.lit(link_penalty) * n_links)
-              .drop("_raw"))
-    # max score, ties → FIRST block: lexicographic max of (score, -idx)
-    best = (scored.groupBy(key_col)
+    return (exploded.withColumn("block_text", txt)
+            .withColumn("score",
+                        F.length("block_text")
+                        - F.lit(link_penalty) * n_links)
+            .drop("_raw"))
+
+
+def main_chain(df: DataFrame, col: str = "html", key_col: str = "url",
+               link_penalty: int = 10, min_score: int = 20) -> DataFrame:
+    """Readability/boilerpipe-style block CHAINING: main content is
+    usually a contiguous RUN of content-dense blocks (article paragraphs),
+    not a single block — so classify each block as content
+    (``score >= min_score``, the same integer text−link_penalty·links
+    score as main_block), merge ADJACENT content blocks into chains
+    (gaps-and-islands: ``block_idx − row_number`` is constant within a
+    run), and keep the chain with the highest total score per document
+    (ties → earliest chain). This is the block-fusion step of the
+    published boilerpipe heuristic (Kohlschütter et al., WSDM'10) on top
+    of main_block's density classifier.
+
+    Returns (key, chain_start, chain_len, chain_text, chain_score);
+    documents with no content block produce no row (both this and the
+    SQL oracle drop them identically).
+
+    All arithmetic is integer, the in-chain concatenation is ordered by
+    block_idx (array_sort on (idx, text) structs — deterministic, never
+    a bare collect_list), so the result is bit-exact across engines.
+
+    Shuffle shape (100 TB): one url-keyed shuffle for the island window —
+    unavoidable for run-detection, but the extraction job already
+    partitions by url-hash (job.py), so in-pipeline the exchange is
+    reused; block rows per url are bounded by page size (the engine's
+    large-page salting covers the skew tail). The final argmax is again
+    map-side-combinable groupBy/max_by: one chain row per url crosses the
+    last shuffle. The per-chain ``transform`` HOF only projects a struct
+    field over a handful of elements — not a hot path."""
+    from pyspark.sql import Window
+    scored = _scored_blocks(df, col, key_col, link_penalty)
+    content = scored.filter(F.col("score") >= min_score)
+    w = Window.partitionBy(key_col).orderBy("block_idx")
+    isl = content.withColumn(
+        "_island", F.col("block_idx") - F.row_number().over(w))
+    chains = (isl.groupBy(key_col, "_island")
+              .agg(F.min("block_idx").alias("chain_start"),
+                   F.count("*").alias("chain_len"),
+                   F.sum("score").alias("chain_score"),
+                   F.concat_ws(" ", F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("block_idx", "block_text"))),
+                       lambda s: s.block_text)).alias("chain_text")))
+    best = (chains.groupBy(key_col)
             .agg(F.max_by(
-                F.struct("block_idx", "block_text", "score"),
-                F.struct(F.col("score").alias("s"),
-                         (-F.col("block_idx")).alias("ni"))).alias("_b")))
-    return best.select(key_col, "_b.block_idx", "_b.block_text",
-                       "_b.score")
+                F.struct("chain_start", "chain_len", "chain_text",
+                         "chain_score"),
+                F.struct(F.col("chain_score").alias("s"),
+                         (-F.col("chain_start")).alias("ni"))).alias("_c")))
+    return best.select(key_col, "_c.chain_start", "_c.chain_len",
+                       "_c.chain_text", "_c.chain_score")

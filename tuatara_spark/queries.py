@@ -1398,6 +1398,90 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+# Multi-paragraph page for the CHAINING heuristic: nav + linky promo
+# (boiler), TWO adjacent article paragraphs (the true chain), a linky ad
+# block, then one short isolated paragraph the chain must beat.
+_CHAIN_PRE = ('<html><body><nav><a href="/">Home</a> <a href="/a">About'
+              '</a></nav><div>Promo <a href="/s">x</a> <a href="/t">y</a>'
+              '</div><p>')
+_CHAIN_MID1 = '</p><p>'
+_CHAIN_MID2 = (' tail</p><div><a href="/1">a</a> <a href="/2">b</a> '
+               '<a href="/3">c</a> ad</div><p>')
+_CHAIN_POST = '</p><footer><a href="/c">contact</a></footer></body></html>'
+
+
+def q_html_main_chain_docs(spark, sf_dir):
+    """Readability-style block chaining (ops/htmlx.py main_chain): the
+    main content is the best contiguous RUN of content-dense blocks, not
+    one block — gaps-and-islands over the density classifier, total-score
+    argmax per doc. On the synthesized pages the two adjacent article
+    paragraphs must win as one chain (chain_len=2) over the isolated
+    short paragraph and every linky boiler block."""
+    from tuatara_spark.ops import htmlx
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.concat(F.lit(_CHAIN_PRE), F.col("text"),
+                             F.lit(_CHAIN_MID1),
+                             F.substring("text", 1, 60),
+                             F.lit(_CHAIN_MID2),
+                             F.substring("text", 1, 30),
+                             F.lit(_CHAIN_POST)).alias("html")))
+    out = htmlx.main_chain(docs, key_col="doc_id")
+    return (out.select("doc_id", "chain_start", "chain_len", "chain_text",
+                       "chain_score").orderBy("doc_id"))
+
+
+def _html_main_chain_sql():
+    from tuatara_spark.ops import htmlx
+    pre = _CHAIN_PRE.replace("'", "''")
+    mid1 = _CHAIN_MID1.replace("'", "''")
+    mid2 = _CHAIN_MID2.replace("'", "''")
+    post = _CHAIN_POST.replace("'", "''")
+    txt = "raw"
+    for tag in htmlx.BOILER_BLOCKS:
+        txt = f"regexp_replace({txt}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
+    txt = f"regexp_replace({txt}, '<!--.*?-->', ' ', 'g')"
+    txt = f"regexp_replace({txt}, '<[^>]*>', ' ', 'g')"
+    txt = rf"trim(regexp_replace({txt}, '\s+', ' ', 'g'))"
+    return f"""
+WITH pages AS (
+  SELECT doc_id, '{pre}' || text || '{mid1}' || substr(text, 1, 60)
+         || '{mid2}' || substr(text, 1, 30) || '{post}' AS html
+  FROM documents),
+blocks AS (
+  SELECT doc_id, i - 1 AS block_idx,
+         regexp_split_to_array(html,
+             '(?i)</(?:p|div|td|li|article|section)>')[i] AS raw
+  FROM pages, LATERAL (
+    SELECT unnest(range(1, len(regexp_split_to_array(html,
+        '(?i)</(?:p|div|td|li|article|section)>')) + 1)) AS i)),
+scored AS (
+  SELECT doc_id, block_idx, {txt} AS block_text,
+         CAST(length({txt})
+              - 10 * len(regexp_extract_all(raw, '(?i)<a\\b'))
+           AS INT) AS score
+  FROM blocks),
+content AS (SELECT * FROM scored WHERE score >= 20),
+isl AS (
+  SELECT *, block_idx - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY block_idx) AS island
+  FROM content),
+chains AS (
+  SELECT doc_id, island,
+         min(block_idx) AS chain_start,
+         CAST(count(*) AS BIGINT) AS chain_len,
+         CAST(sum(score) AS BIGINT) AS chain_score,
+         string_agg(block_text, ' ' ORDER BY block_idx) AS chain_text
+  FROM isl GROUP BY doc_id, island),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY chain_score DESC, chain_start) AS rn
+  FROM chains)
+SELECT doc_id, chain_start, chain_len, chain_text, chain_score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing with a FIRST-PRINCIPLES oracle: synthesize per-doc
     PCM16 square waves (amplitude A = 1000 + doc_id%7·100 alternating ±A,
@@ -1681,6 +1765,8 @@ REGISTRY: dict[str, tuple] = {
     "html_strip_docs": (q_html_strip_docs, _html_strip_sql()),
     "html_main_block_docs": (q_html_main_block_docs,
                              _html_main_block_sql()),
+    "html_main_chain_docs": (q_html_main_chain_docs,
+                             _html_main_chain_sql()),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
 }
 
