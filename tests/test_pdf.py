@@ -61,13 +61,33 @@ _PDF_TEXT = st.text(
     max_size=60)
 
 
-@settings(max_examples=50, deadline=None)
-@given(st.lists(_PDF_TEXT, max_size=6), st.booleans())
-def test_fuzz_pdf_text_round_trip(lines, compress):
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_PDF_TEXT, max_size=6), st.booleans(),
+       st.sampled_from([None, "hex", "a85", "rle"]), st.booleans(),
+       st.booleans())
+def test_fuzz_pdf_text_round_trip(lines, compress, wrap, hexs, xrs):
     """Property: any printable-ASCII line list round-trips the PDF writer/
-    extractor exactly — parens, backslashes, empty lines and all."""
-    buf = P.encode_pdf(lines, compress=compress)
+    extractor exactly — parens, backslashes, empty lines — across every
+    container variant (filter chains, hex strings, 1.5 xref streams)."""
+    buf = P.encode_pdf(lines, compress=compress, wrap_filter=wrap,
+                       hex_strings=hexs, xref_stream=xrs)
     assert P.extract_pdf_text(buf) == "\n".join(lines)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_pdf_filters_round_trip(blob):
+    """Property: every stream filter is a lossless codec on arbitrary
+    bytes (runs, binary, empty)."""
+    for name, (enc, dec) in P._FILTERS.items():
+        assert dec(enc(blob)) == blob, name
+
+
+def test_unknown_filter_raises_cleanly():
+    buf = P.encode_pdf(["x"]).replace(b"/FlateDecode", b"/DCTDecode  ")
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="DCTDecode"):
+        P.extract_pdf_text(buf)
 
 
 @settings(max_examples=50, deadline=None)

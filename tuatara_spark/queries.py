@@ -1287,10 +1287,12 @@ FROM m ORDER BY url
 def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse gate (north_rule's literal operator list): the
     cleaned doc text is wrapped at 4 chars/line (the SAME transform as the
-    OCR flagship), written as a REAL one-page Flate-compressed PDF
-    (ref/pdf.py encoder), then extracted back through the PDF text layer.
-    The oracle is the shared _OCR_ORACLE string transform — text must
-    round-trip the PDF container byte-identically."""
+    OCR flagship), written as a REAL one-page PDF (ref/pdf.py encoder)
+    whose container varies deterministically by doc_id — flate + a second
+    wrap filter chain (hex/a85/rle), literal vs hex show strings, classic
+    xref table vs PDF 1.5 xref stream — then extracted back through the
+    PDF text layer. The oracle is the shared _OCR_ORACLE string transform
+    — text must round-trip EVERY container variant byte-identically."""
     _ship_package(spark)
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(_N_OCR_DOCS)
             .selectExpr("cast(doc_id as string) AS url",
@@ -1299,9 +1301,14 @@ def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def render(batches):
         from tuatara_spark.ref import pdf as P
         for pdf_ in batches:
-            payloads = [P.encode_pdf([t[i:i + 4]
-                                      for i in range(0, len(t or ""), 4)])
-                        for t in pdf_["t"]]
+            payloads = []
+            for u, t in zip(pdf_["url"], pdf_["t"]):
+                did = int(u)
+                payloads.append(P.encode_pdf(
+                    [t[i:i + 4] for i in range(0, len(t or ""), 4)],
+                    wrap_filter=(None, "hex", "a85", "rle")[did % 4],
+                    hex_strings=bool(did % 2),
+                    xref_stream=(did % 3 == 0)))
             yield pd.DataFrame({"url": pdf_["url"], "html": payloads})
 
     pdfs = docs.mapInPandas(render, "url string, html binary")
