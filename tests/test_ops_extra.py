@@ -219,15 +219,15 @@ def test_wav_pcm_round_trip_and_meta(spark):
     stereo = (rng.standard_normal((3000, 2)) * 8000).astype(np.int16)
     b_mono = audio.encode_wav_pcm16(mono, 16000)
     b_st = audio.encode_wav_pcm16(stereo, 44100)
-    r, ch, pcm = audio.decode_wav(b_mono)
-    assert (r, ch) == (16000, 1) and (pcm[:, 0] == mono).all()
-    r, ch, pcm = audio.decode_wav(b_st)
+    r, ch, pcm, fmt = audio.decode_wav(b_mono)
+    assert (r, ch, fmt) == (16000, 1, "wav_pcm16") and (pcm[:, 0] == mono).all()
+    r, ch, pcm, fmt = audio.decode_wav(b_st)
     assert (r, ch) == (44100, 2) and (pcm == stereo).all()
     # unknown chunk before fmt (odd length → word-aligned skip)
     extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
     body = b"WAVE" + extra + b_mono[12:]   # [12:] = original chunk list
     patched = b"RIFF" + struct.pack("<I", len(body)) + body
-    r, ch, pcm = audio.decode_wav(patched)
+    r, ch, pcm, _ = audio.decode_wav(patched)
     assert r == 16000 and (pcm[:, 0] == mono).all()
     # non-PCM format tag → NotImplementedError (stub path)
     mutated = bytearray(b_mono)
@@ -328,7 +328,7 @@ def test_fuzz_wav_round_trip():
         for ch in (1, 2):
             for rate in (8000, 48000):
                 s = (rng.standard_normal((n, ch)) * 12000).astype(np.int16)
-                r, c, pcm = audio.decode_wav(
+                r, c, pcm, _ = audio.decode_wav(
                     audio.encode_wav_pcm16(s if ch > 1 else s[:, 0], rate))
                 assert (r, c) == (rate, ch)
                 assert pcm.shape == (n, ch) and (pcm == s).all()
@@ -426,3 +426,45 @@ def test_main_chain_merges_adjacent_content(spark):
     r = out["a"]
     assert (r.chain_start, r.chain_len, r.chain_score) == (0, 2, 50)
     assert r.chain_text == "x" * 25 + " " + "y" * 25
+
+
+def test_wav_all_encodings_round_trip_and_units(spark):
+    """pcm8/pcm16/pcm24/f32/f64 (plain + EXTENSIBLE headers) round-trip in
+    native units; extract_audio_meta reports rms/peak in PCM16-equivalent
+    units so the same waveform scores identically at every encoding."""
+    from tuatara_spark.ops import audio
+    rng = np.random.default_rng(11)
+    n = 2000
+    cases = [
+        ("pcm8", rng.integers(-128, 128, n).astype(np.int16)),
+        ("pcm16", (rng.standard_normal(n) * 8000).astype(np.int16)),
+        ("pcm24", rng.integers(-(2**23), 2**23, n).astype(np.int32)),
+        ("f32", (rng.standard_normal(n) * 0.25).astype(np.float32)),
+        ("f64", (rng.standard_normal(n) * 0.25).astype(np.float64)),
+    ]
+    for fmt, src in cases:
+        for ext in (False, True):
+            r, c, pcm, label = audio.decode_wav(
+                audio.encode_wav(src, 22050, fmt, extensible=ext))
+            assert (r, c, label) == (22050, 1, f"wav_{fmt}")
+            assert (pcm[:, 0] == src).all(), fmt
+    # the same square wave at every encoding → same PCM16-unit peak/rms
+    amp, amp8 = 1200, 1200 // 256
+    def square(a, dtype):
+        s = np.empty(n, dtype)
+        s[0::2], s[1::2] = a, -a
+        return s
+    payloads = {
+        "p16": audio.encode_wav(square(amp, np.int16), 16000, "pcm16"),
+        "p8": audio.encode_wav(square(amp8, np.int16), 16000, "pcm8"),
+        "p24": audio.encode_wav(square(amp * 256, np.int32), 16000, "pcm24"),
+        "f32": audio.encode_wav(square(amp / 32767.0, np.float32),
+                                16000, "f32"),
+    }
+    df = spark.createDataFrame(pd.DataFrame(
+        {"url": list(payloads), "html": list(payloads.values())}))
+    got = {r.url: r for r in audio.extract_audio_meta(df).collect()}
+    for u in ("p16", "p24", "f32"):
+        assert got[u].peak == amp, u
+        assert abs(got[u].rms - amp) < 0.01, u
+    assert got["p8"].peak == amp8 * 256

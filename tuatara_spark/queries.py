@@ -1491,13 +1491,18 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 
 def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing with a FIRST-PRINCIPLES oracle: synthesize per-doc
-    PCM16 square waves (amplitude A = 1000 + doc_id%7·100 alternating ±A,
-    n = 8000 + doc_id%5·1000 samples @16 kHz), decode via the pure-NumPy
-    RIFF/WAVE parser (ops/audio.py), and extract metadata + RMS/peak. A
-    square wave's RMS is EXACTLY its amplitude (A² is exact in float64 at
-    these magnitudes), so every output column is computable from doc_id
-    alone in ANSI SQL — matching proves synth → WAV encode → Spark decode
-    → features exact end-to-end."""
+    square waves (amplitude A = 1000 + doc_id%7·100 in PCM16 units,
+    n = 8000 + doc_id%5·1000 samples @16 kHz) at an ENCODING picked by
+    doc_id%4 (pcm16 / pcm8 / pcm24 / f32, EXTENSIBLE header when
+    doc_id%5==0), decode via the pure-NumPy RIFF/WAVE parser
+    (ops/audio.py), and extract metadata + RMS/peak in PCM16-equivalent
+    units. A square wave's RMS is EXACTLY its amplitude, and each
+    encoding's unit conversion is exact (pcm24: ·256/256; f32:
+    A/32767·32767 rounds back within 3e-4) — so every output column is
+    computable from doc_id alone in ANSI SQL; matching proves synth →
+    WAV encode (4 encodings) → Spark decode → unit-normalized features
+    exact end-to-end. pcm8 quantizes amplitude to (A div 256)·256, which
+    the SQL reproduces."""
     _ship_package(spark)
     from tuatara_spark.ops import audio
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(32)
@@ -1508,11 +1513,18 @@ def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                amp = 1000 + (int(did) % 7) * 100
-                n = 8000 + (int(did) % 5) * 1000
-                s = np_.empty(n, dtype=np_.int16)
-                s[0::2], s[1::2] = amp, -amp
-                payloads.append(audio.encode_wav_pcm16(s, 16000))
+                did = int(did)
+                amp = 1000 + (did % 7) * 100
+                n = 8000 + (did % 5) * 1000
+                enc = ("pcm16", "pcm8", "pcm24", "f32")[did % 4]
+                a_nat, dt = {"pcm16": (amp, np_.int16),
+                             "pcm8": (amp // 256, np_.int16),
+                             "pcm24": (amp * 256, np_.int32),
+                             "f32": (amp / 32767.0, np_.float32)}[enc]
+                s = np_.empty(n, dtype=dt)
+                s[0::2], s[1::2] = a_nat, -a_nat
+                payloads.append(audio.encode_wav(
+                    s, 16000, enc, extensible=(did % 5 == 0)))
             yield pd.DataFrame({"url": pdf["doc_id"].astype(str),
                                 "html": payloads})
 
@@ -1529,10 +1541,14 @@ def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIO_META_SQL = """
 WITH c AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
 m AS (SELECT CAST(doc_id AS VARCHAR) AS url,
-             1000 + (doc_id % 7) * 100 AS a,
+             CASE doc_id % 4 WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'wav_pcm8'
+                  WHEN 2 THEN 'wav_pcm24' ELSE 'wav_f32' END AS format,
+             CASE WHEN doc_id % 4 = 1
+                  THEN ((1000 + (doc_id % 7) * 100) // 256) * 256
+                  ELSE 1000 + (doc_id % 7) * 100 END AS a,
              8000 + (doc_id % 5) * 1000 AS n
       FROM c)
-SELECT url, 'wav_pcm16' AS format, 16000 AS sample_rate, 1 AS n_channels,
+SELECT url, format, 16000 AS sample_rate, 1 AS n_channels,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n // 16 AS BIGINT) AS duration_ms,
        CAST(a * 100 AS BIGINT) AS rms_e2, CAST(a AS INT) AS peak
