@@ -156,3 +156,46 @@ def test_fuzz_decoder_never_hangs_on_garbage(payload):
         except Exception:
             continue
         assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+
+
+@pytest.mark.parametrize("shape,sub,ri", [
+    ((64, 64, 3), "444", 0), ((33, 49, 3), "420", 0),
+    ((17, 23), "444", 0), ((48, 80, 3), "420", 4), ((19, 37), "444", 3),
+])
+def test_progressive_decode_bit_identical(shape, sub, ri):
+    """SOF2 progressive encodes the SAME quantized coefficients through
+    the multi-scan script (DC first/refine, AC spectral bands at two SA
+    levels, EOB/ZRL/correction-bit paths) — so progressive decode must
+    equal baseline decode bit-for-bit, including with restart markers."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    img = ((img.astype(np.int32) + np.roll(img, 1, 0)
+            + np.roll(img, 1, 1)) // 3).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, restart_interval=ri,
+                                       subsampling=sub))
+    prog = J.decode_jpeg(J.encode_jpeg(img, restart_interval=ri,
+                                       subsampling=sub, progressive=True))
+    assert (base == prog).all()
+
+
+def test_16bit_quant_tables():
+    """Pq=1 DQT segments (16-bit entries) decode identically to the same
+    table written 8-bit."""
+    img = _gradient_rgb(40, 56)
+    buf = J.encode_jpeg(img, quality=90)
+    # rewrite each 8-bit DQT as a 16-bit one (same values, big-endian)
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] == 0xDB:
+            (seglen,) = np.frombuffer(buf[pos + 2:pos + 4], ">u2")
+            seg = buf[pos + 4:pos + 2 + seglen]
+            tq, entries = seg[0] & 0xF, np.frombuffer(seg[1:65], np.uint8)
+            payload = bytes([0x10 | tq]) + entries.astype(">u2").tobytes()
+            out += b"\xff\xdb" + int(len(payload) + 2).to_bytes(2, "big") \
+                + payload
+            pos += 2 + seglen
+        else:
+            out.append(buf[pos])
+            pos += 1
+    assert (J.decode_jpeg(bytes(out)) == J.decode_jpeg(buf)).all()

@@ -155,11 +155,14 @@ def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ocr_extract_jpeg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG ingest gate: the same flagship flow, but pages take a LOSSY
-    baseline-JPEG hop (render → encode_jpeg q95 → ref/jpeg.py decode →
-    full extraction). The oracle is the SAME pure string transform — the
-    extractor must reproduce the cleaned text byte-identically THROUGH the
-    codec (q95 error stays ≲2 grey levels, far inside the <128 ink
-    threshold; tests/test_jpeg.py pins the threshold-survival invariant)."""
+    JPEG hop (render → encode_jpeg q95 → ref/jpeg.py decode → full
+    extraction), BASELINE for half the pages and PROGRESSIVE (SOF2
+    multi-scan, chosen by ink-sum parity so the split is stable under any
+    partitioning) for the other half. The oracle is the SAME pure string
+    transform — the extractor must reproduce the cleaned text
+    byte-identically THROUGH both codec modes (q95 error stays ≲2 grey
+    levels, far inside the <128 ink threshold; tests/test_jpeg.py pins
+    the threshold-survival and progressive-bit-identity invariants)."""
     _ship_package(spark)
     n_parts = max(1, min(spark.sparkContext.defaultParallelism,
                          _N_OCR_DOCS // 4))
@@ -175,7 +178,8 @@ def q_ocr_extract_jpeg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jpeg_roundtrip(img):
     from tuatara_spark.ref import jpeg as J
-    return J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    prog = bool(int(img.sum()) & 1)     # content parity: stable split
+    return J.decode_jpeg(J.encode_jpeg(img, quality=95, progressive=prog))
 
 
 # Oracle: render wraps lines at 4 glyphs (256² page, s=4) → the extracted

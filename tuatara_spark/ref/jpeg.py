@@ -4,13 +4,20 @@ sandbox has no image codec library — SURVEY.md §0.3); this un-stubs the
 highest-frequency real-ingest gap the way ref/png.py un-stubbed PNG in
 round 2.
 
-Scope (exactly what Common-Crawl-style baseline ingest needs):
-  decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-          4:4:4 / 4:2:2 / 4:2:0 subsampling, restart intervals, APPn/COM
-          skip, 0xFF00 byte-stuffing.
-  encode: baseline 4:4:4 with the T.81 Annex K example quantization and
-          Huffman tables (enough to build deterministic test fixtures and
-          thumbnails; not an optimizing encoder).
+Scope (exactly what Common-Crawl-style ingest needs):
+  decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+          spectral selection + successive approximation per T.81 Annex
+          G), 8-bit, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
+          subsampling, 8- and 16-bit quantization tables, restart
+          intervals, APPn/COM skip, 0xFF00 byte-stuffing. All scans
+          accumulate into per-component coefficient arrays; dequant +
+          IDCT run ONCE at EOI as a single vectorized einsum per
+          component (also the fast path for baseline).
+  encode: baseline or progressive 4:4:4/4:2:0 with the T.81 Annex K
+          example quantization and Huffman tables (enough to build
+          deterministic test fixtures and thumbnails; not an optimizing
+          encoder). The progressive scan script exercises DC+AC first
+          and refinement scans at two successive-approximation levels.
 
 Decoder upsampling is nearest-neighbor (pixel replication) — T.81 leaves
 upsampling filter choice to the decoder; round trips are self-consistent.
@@ -216,7 +223,10 @@ class _HuffDecoder:
 
 
 def decode_jpeg(buf) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → (H, W, 3) uint8 RGB
+    (grayscale replicated). Every scan accumulates quantized coefficients
+    (zigzag order) into per-component arrays; dequant + IDCT happen once
+    at the end, vectorized."""
     # cast('B'): Arrow buffers expose a SIGNED char memoryview — indexing
     # would yield -1 for 0xFF and break every marker comparison
     data = memoryview(buf).cast("B")
@@ -229,8 +239,11 @@ def decode_jpeg(buf) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None   # per comp: (bh, bw, 64) zigzag
+    n_scans = 0
 
-    while pos < len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         marker = data[pos + 1]
@@ -241,17 +254,22 @@ def decode_jpeg(buf) -> np.ndarray:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit, Pq=1: 16-bit entries)
             sp = 0
             while sp < len(seg):
                 pq, tq = seg[sp] >> 4, seg[sp] & 0xF
-                if pq != 0:
-                    raise ValueError("jpeg: 16-bit quant tables unsupported")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(seg[sp + 1:sp + 65], np.uint8)
+                if pq == 0:
+                    tbl[ZIGZAG] = np.frombuffer(seg[sp + 1:sp + 65],
+                                                np.uint8)
+                    sp += 65
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(seg[sp + 1:sp + 129],
+                                                ">u2").astype(np.int32)
+                    sp += 129
                 qt[tq] = tbl.reshape(8, 8)
-                sp += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -259,10 +277,10 @@ def decode_jpeg(buf) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 1 + 5 + c * 3)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential (SOF0) "
-                             "supported")
+            raise ValueError("jpeg: only baseline/extended sequential and "
+                             "progressive DCT (SOF0/1/2) supported")
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
@@ -276,73 +294,223 @@ def decode_jpeg(buf) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            if coefs is None:
+                coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                  dtype=np.int32) for c in comps]
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, td_ta = seg[1 + c * 2], seg[2 + c * 2]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append((comp, td_ta >> 4, td_ta & 0xF))
-            pos += seglen
-            return _decode_scan(data, pos, h, w, scan, qt, huff_dc,
-                                huff_ac, restart_interval)
+                ci = next(i for i, x in enumerate(comps) if x["id"] == cs)
+                scan.append((ci, td_ta >> 4, td_ta & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _entropy_scan(
+                data, pos + seglen, comps, coefs, scan, huff_dc, huff_ac,
+                ss, se, ah, al, restart_interval, h, w, hmax, vmax,
+                mcux, mcuy, progressive)
+            n_scans += 1
+            continue
         pos += seglen
-    raise ValueError("jpeg: no scan data")
+    if coefs is None or not n_scans:
+        raise ValueError("jpeg: no scan data")
+    return _reconstruct(comps, coefs, qt, h, w)
 
 
-def _decode_scan(data, pos, h, w, scan, qt, huff_dc, huff_ac,
-                 restart_interval) -> np.ndarray:
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+def _next_marker(data, pos: int) -> int:
+    """Skip past any residual entropy bytes to the next real marker
+    (not a stuffed 0xFF00, not RSTn)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and \
+                not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _entropy_scan(data, pos, comps, coefs, scan, huff_dc, huff_ac,
+                  ss, se, ah, al, restart_interval, h, w, hmax, vmax,
+                  mcux, mcuy, progressive) -> int:
+    """Decode ONE entropy-coded scan into the coefficient arrays and
+    return the position of the next marker. Handles all four progressive
+    scan kinds (T.81 G.1.2) plus full baseline scans; non-interleaved
+    scans walk the component's own ceil-dim block grid."""
     br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
 
-    planes = []
-    for comp, _, _ in scan:
-        pw, ph = mcux * 8 * comp["h"], mcuy * 8 * comp["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-    pred = [0] * len(scan)
-    coef = np.zeros(64, dtype=np.float64)
+    def decode_dc_first(ci, td, blk):
+        nonlocal pred
+        t = huff_dc[td].decode(br)
+        diff = _extend(br.receive(t), t) if t else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
 
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and \
-                    n_mcu % restart_interval == 0:
-                br.align_restart()
-                pred = [0] * len(scan)
-            n_mcu += 1
-            for ci, (comp, td, ta) in enumerate(scan):
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        coef[:] = 0.0
-                        t = huff_dc[td].decode(br)
-                        diff = _extend(br.receive(t), t) if t else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = huff_ac[ta].decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            coef[ZIGZAG[k]] = _extend(br.receive(s), s)
+    def decode_dc_refine(blk):
+        if br.read_bit():
+            blk[0] |= p1
+
+    def decode_block_full(ci, td, ta, blk):
+        nonlocal pred
+        t = huff_dc[td].decode(br)
+        diff = _extend(br.receive(t), t) if t else 0
+        pred[ci] += diff
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = huff_ac[ta].decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            blk[k] = _extend(br.receive(s), s)
+            k += 1
+
+    def decode_ac_first(ta, blk):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = huff_ac[ta].decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:                     # EOBn: run of 2^r + ext
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += 16                        # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def decode_ac_refine(ta, blk):
+        # G.1.2.3: interleave newly-nonzero coefficients with correction
+        # bits for already-nonzero ones; EOB region still carries
+        # correction bits for every nonzero coefficient.
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = huff_ac[ta].decode(br)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.receive(r)
+                        break                   # EOB region handled below
+                else:
+                    val = p1 if br.read_bit() else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else -p1
+                    else:
+                        if r == 0:
+                            if s:
+                                blk[k] = val
                             k += 1
-                        block = coef.reshape(8, 8) * qt[comp["tq"]]
-                        px = _DCT.T @ block @ _DCT
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                k += 1
+            eobrun -= 1
 
-    # upsample to full res (nearest), crop, level-shift
+    def restart():
+        nonlocal pred, eobrun
+        br.align_restart()
+        pred = [0] * len(comps)
+        eobrun = 0
+
+    n_unit = 0
+    if len(scan) > 1:
+        # interleaved MCU order (multi-component scans: full baseline
+        # scans and progressive DC scans)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_unit and \
+                        n_unit % restart_interval == 0:
+                    restart()
+                n_unit += 1
+                for ci, td, ta in scan:
+                    comp = comps[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = coefs[ci][my * comp["v"] + by,
+                                            mx * comp["h"] + bx]
+                            if not progressive:
+                                decode_block_full(ci, td, ta, blk)
+                            elif ss == 0 and ah == 0:
+                                decode_dc_first(ci, td, blk)
+                            else:
+                                decode_dc_refine(blk)
+    else:
+        # single-component scans are ALWAYS non-interleaved (T.81 A.2):
+        # MCU = one data unit over the component's own ceil-dim grid
+        (ci, td, ta) = scan[0]
+        comp = comps[ci]
+        ubw = (-(-(w * comp["h"]) // hmax) + 7) // 8
+        ubh = (-(-(h * comp["v"]) // vmax) + 7) // 8
+        for by in range(ubh):
+            for bx in range(ubw):
+                if restart_interval and n_unit and \
+                        n_unit % restart_interval == 0:
+                    restart()
+                n_unit += 1
+                blk = coefs[ci][by, bx]
+                if not progressive:
+                    decode_block_full(ci, td, ta, blk)
+                elif ss == 0:
+                    if ah == 0:
+                        decode_dc_first(ci, td, blk)
+                    else:
+                        decode_dc_refine(blk)
+                elif ah == 0:
+                    decode_ac_first(ta, blk)
+                else:
+                    decode_ac_refine(ta, blk)
+    return _next_marker(data, br.pos)
+
+
+def _reconstruct(comps, coefs, qt, h, w) -> np.ndarray:
+    """Dequantize + IDCT every component in one vectorized shot, then
+    upsample (nearest), crop, level-shift, color-convert."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out = []
-    for (comp, _, _), plane in zip(scan, planes):
+    for comp, zz in zip(comps, coefs):
+        bh, bw = zz.shape[:2]
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[comp["tq"]]
+        px = np.einsum("ji,xyjk,kl->xyil", _DCT, blocks, _DCT)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
@@ -409,11 +577,16 @@ def _box2(p: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
-    """(H, W, 3) or (H, W) uint8 → baseline JFIF bytes.
+                subsampling: str = "444",
+                progressive: bool = False) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → baseline or progressive JFIF bytes.
     ``subsampling``: "444" (default) or "420" (2×2 box-mean chroma).
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (also
-    exercises the decoder's F.2.1.3.1 restart path)."""
+    exercises the decoder's F.2.1.3.1 restart path). ``progressive``
+    emits SOF2 with a multi-scan script (DC first/refine + per-component
+    AC spectral bands at two successive-approximation levels) encoding
+    the SAME quantized coefficients — progressive decode must therefore
+    reproduce the baseline decode bit-for-bit."""
     img = np.asarray(img)
     gray = img.ndim == 2
     if gray:
@@ -509,27 +682,40 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             bw.write(v if v >= 0 else v + (1 << s) - 1, s)
             run = 0
 
-    n_rst = 0
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and \
-                    n_mcu % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + (n_rst & 7)])
-                n_rst += 1
-                pred = [0] * n_comp
-            n_mcu += 1
-            for ci in range(n_comp):
-                hs, vs = samp[ci]
-                for by_ in range(vs):
-                    for bx_ in range(hs):
-                        blk = dcts[ci][my * vs + by_, mx * hs + bx_]
-                        emit_block(blk.reshape(-1)[ZIGZAG], ci)
-    bw.flush()
-
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos_seg(comps_in_scan: list[int], ss: int, se: int, ah: int,
+                al: int) -> bytes:
+        sos = bytes([len(comps_in_scan)])
+        for c in comps_in_scan:
+            sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        return seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+    if progressive:
+        scans_out = _progressive_scans(
+            dcts, grids, samp, n_comp, h, w, mcux, mcuy,
+            enc_dc, enc_ac, restart_interval, sos_seg)
+    else:
+        n_rst = 0
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_mcu and \
+                        n_mcu % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (n_rst & 7)])
+                    n_rst += 1
+                    pred = [0] * n_comp
+                n_mcu += 1
+                for ci in range(n_comp):
+                    hs, vs = samp[ci]
+                    for by_ in range(vs):
+                        for bx_ in range(hs):
+                            blk = dcts[ci][my * vs + by_, mx * hs + bx_]
+                            emit_block(blk.reshape(-1)[ZIGZAG], ci)
+        bw.flush()
+        scans_out = sos_seg(list(range(n_comp)), 0, 63, 0, 0) + bytes(bw.out)
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -537,25 +723,173 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         zz = np.empty(64, dtype=np.uint8)
         zz[:] = q.reshape(-1)[ZIGZAG]
         out += seg(0xDB, bytes([i]) + zz.tobytes())
-    if restart_interval:
-        out_dri = struct.pack(">H", restart_interval)
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for c in range(n_comp):
         hs, vs = samp[c]
         sof += struct.pack(">BBB", c + 1, (hs << 4) | vs, min(c, 1))
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     hts = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
     if n_comp == 3:
         hts += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
     for tid, (bits, vals) in hts:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xDD, out_dri)
-    sos = bytes([n_comp])
-    for c in range(n_comp):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += bw.out
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += scans_out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _progressive_scans(dcts, grids, samp, n_comp, h, w, mcux, mcuy,
+                       enc_dc, enc_ac, restart_interval, sos_seg) -> bytes:
+    """Emit the progressive scan script over the already-quantized
+    coefficient grids: interleaved DC first (Al=1) + refine, then
+    per-component AC spectral bands at two successive-approximation
+    levels, first scans followed by refinement scans (T.81 Annex G
+    encoder side). Encodes the exact coefficients the baseline path
+    encodes, so decode is bit-identical to baseline decode.
+
+    EOB runs are capped at 1 (plain EOB): the Annex K tables carry no
+    EOBn>0 symbols, and cap-1 is spec-valid — the decoder still accepts
+    general EOBn from other encoders."""
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    # zigzag-order coefficient grids + per-component used (ceil) dims
+    zzs = []
+    ubs = []
+    for ci in range(n_comp):
+        gby, gbx = grids[ci]
+        zzs.append(dcts[ci].reshape(gby, gbx, 64)[..., ZIGZAG])
+        hs, vs = samp[ci]
+        ubs.append(((-(-(h * vs) // vmax) + 7) // 8,
+                    (-(-(w * hs) // hmax) + 7) // 8))
+
+    out = bytearray()
+
+    def run_scan(comps_in_scan, ss, se, ah, al, body) -> None:
+        bw = _BitWriter()
+        st = {"pred": [0] * n_comp, "n_rst": 0, "n_unit": 0}
+
+        def maybe_restart():
+            if restart_interval and st["n_unit"] and \
+                    st["n_unit"] % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (st["n_rst"] & 7)])
+                st["n_rst"] += 1
+                st["pred"] = [0] * n_comp
+            st["n_unit"] += 1
+
+        if len(comps_in_scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci in comps_in_scan:
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                body(bw, st, ci,
+                                     zzs[ci][my * vs + by, mx * hs + bx])
+        else:
+            ci = comps_in_scan[0]
+            ubh, ubw = ubs[ci]
+            for by in range(ubh):
+                for bx in range(ubw):
+                    maybe_restart()
+                    body(bw, st, ci, zzs[ci][by, bx])
+        bw.flush()
+        out.extend(sos_seg(comps_in_scan, ss, se, ah, al))
+        out.extend(bw.out)
+
+    def dc_first(al):
+        def body(bw, st, ci, zz):
+            ti = min(ci, 1)
+            v = int(zz[0]) >> al                 # DC point transform
+            diff = v - st["pred"][ci]
+            st["pred"][ci] = v
+            t = _category(diff)
+            code, ln = enc_dc[ti][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return body
+
+    def dc_refine(al):
+        def body(bw, st, ci, zz):
+            bw.write((int(zz[0]) >> al) & 1, 1)
+        return body
+
+    def ac_first(ss, se, al):
+        def body(bw, st, ci, zz):
+            ti = min(ci, 1)
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                tv = (v >> al) if v >= 0 else -((-v) >> al)  # trunc to 0
+                if tv == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = enc_ac[ti][0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                s = _category(tv)
+                code, ln = enc_ac[ti][(r << 4) | s]
+                bw.write(code, ln)
+                bw.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                r = 0
+            if r:
+                code, ln = enc_ac[ti][0x00]      # EOB (run capped at 1)
+                bw.write(code, ln)
+        return body
+
+    def ac_refine(ss, se, al):
+        def body(bw, st, ci, zz):
+            ti = min(ci, 1)
+            tvs = [(-int(v) >> al if v < 0 else int(v) >> al)
+                   for v in zz[ss:se + 1]]       # |coef| at this level
+            eob = -1                             # last NEWLY-nonzero pos
+            for i, tv in enumerate(tvs):
+                if tv == 1:
+                    eob = i
+            r = 0
+            br_bits: list[int] = []
+            for i, tv in enumerate(tvs):
+                if tv == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    code, ln = enc_ac[ti][0xF0]
+                    bw.write(code, ln)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    r -= 16
+                if tv > 1:                       # history: correction bit
+                    br_bits.append(tv & 1)
+                    continue
+                code, ln = enc_ac[ti][(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)  # sign
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r or br_bits:
+                code, ln = enc_ac[ti][0x00]      # EOB covering the tail
+                bw.write(code, ln)
+                for b in br_bits:
+                    bw.write(b, 1)
+        return body
+
+    allc = list(range(n_comp))
+    run_scan(allc, 0, 0, 0, 1, dc_first(1))
+    run_scan([0], 1, 5, 0, 2, ac_first(1, 5, 2))
+    for ci in range(1, n_comp):
+        run_scan([ci], 1, 63, 0, 1, ac_first(1, 63, 1))
+    run_scan([0], 6, 63, 0, 2, ac_first(6, 63, 2))
+    run_scan([0], 1, 63, 2, 1, ac_refine(1, 63, 1))
+    run_scan(allc, 0, 0, 1, 0, dc_refine(0))
+    run_scan([0], 1, 63, 1, 0, ac_refine(1, 63, 0))
+    for ci in range(1, n_comp):
+        run_scan([ci], 1, 63, 1, 0, ac_refine(1, 63, 0))
     return bytes(out)
