@@ -147,3 +147,54 @@ def test_encode_png_roundtrip_and_viz_dump(weights, tmp_path):
     with open(path, "rb") as f:
         out = decode_png(f.read())
     np.testing.assert_array_equal(out, viz.annotate_page(img, spans))
+
+
+def test_all_depths_palette_and_adam7_round_trip():
+    """Full spec matrix: gray at 1/2/4/8/16 bit, RGB 8/16, palette at
+    1/2/4/8 bit — each plain AND Adam7-interlaced — round-trips exactly
+    (1-bit gray is the scanned-document format the OCR pipeline cares
+    about; 16-bit reduces to the high byte by construction v·257)."""
+    import numpy as np
+    from tuatara_spark.ref import png as P
+    rng = np.random.default_rng(5)
+    for il in (False, True):
+        for d in (1, 2, 4, 8, 16):
+            if d < 8:
+                step = 255 // ((1 << d) - 1)
+                g = (rng.integers(0, 1 << d, (37, 53)) * step) \
+                    .astype(np.uint8)
+            else:
+                g = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+            out = P.decode_png(P.encode_png(g, bit_depth=d, color_type=0,
+                                            interlace=il))
+            assert (out[..., 0] == g).all() and (out[..., 2] == g).all()
+        for d in (8, 16):
+            img = rng.integers(0, 256, (23, 41, 3), dtype=np.uint8)
+            out = P.decode_png(P.encode_png(img, bit_depth=d,
+                                            color_type=2, interlace=il))
+            assert (out == img).all()
+        for d in (1, 2, 4, 8):
+            colors = rng.integers(0, 256, (1 << d, 3), dtype=np.uint8)
+            img = colors[rng.integers(0, 1 << d, (19, 29))]
+            out = P.decode_png(P.encode_png(img, bit_depth=d,
+                                            color_type=3, interlace=il))
+            assert (out == img).all()
+    # Adam7 with empty passes (images smaller than the pass grid)
+    for h, w in ((1, 1), (2, 3), (7, 5), (8, 8)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (P.decode_png(P.encode_png(img, interlace=True))
+                == img).all()
+
+
+def test_binary_page_as_1bit_png_extracts(weights):
+    """A rendered binary page shipped as a 1-bit interlaced PNG (the
+    scanned-doc wire format) must extract byte-identically."""
+    import numpy as np
+    from tuatara_spark.ref import png as P, pipeline as pl
+    img, lines = fx.render_page("Scan", 256, 256, 4)
+    buf = P.encode_png(img[..., 0], bit_depth=1, color_type=0,
+                       interlace=True)
+    out = P.decode_png(buf)
+    assert (out == img).all()
+    r = pl.extract_page(out, weights)
+    assert r["text"] == "\n".join(lines)
