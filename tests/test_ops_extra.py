@@ -468,3 +468,30 @@ def test_wav_all_encodings_round_trip_and_units(spark):
         assert got[u].peak == amp, u
         assert abs(got[u].rms - amp) < 0.01, u
     assert got["p8"].peak == amp8 * 256
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule flips on its crafted counterexample; a clean
+    50-word doc with stop words passes everything."""
+    from tuatara_spark.ops import textstats
+    good = ("the cat and the dog have words to say about that house with "
+            + " ".join(f"word{i}" for i in range(40)))
+    docs = spark.createDataFrame([
+        (0, good),
+        (1, "short doc with the and of"),                     # word count
+        (2, "the of and " + "a " * 60),                       # mean wlen < 3
+        (3, "the of and " + "# # # # # # # " + "w " * 50),    # symbols
+        (4, "the of and " + "1 2 3 4 5 6 7 8 9 10 " * 6),     # alpha ratio
+        (5, " ".join(f"word{i}" for i in range(60))),         # no stop words
+        (6, "the of and\n" + "\n".join("- b" for _ in range(30))),  # bullets
+        (7, "the of and\n" + "\n".join("trailing..." for _ in range(9))),
+    ], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textstats.gopher_quality(docs).collect()}
+    assert rows[0].gopher_pass
+    assert not rows[1].ok_word_count
+    assert not rows[2].ok_mean_wlen
+    assert not rows[3].ok_symbol_ratio
+    assert not rows[4].ok_alpha_ratio
+    assert not rows[5].ok_stop_words
+    assert not rows[6].ok_bullets
+    assert not rows[7].ok_ellipsis and rows[7].n_ellipsis_lines == 9

@@ -129,6 +129,62 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("url_canon", c)
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_wlen: int = 3, max_mean_wlen: int = 10)\
+        -> DataFrame:
+    """Gopher-rules document quality gate (the PUBLISHED pretraining-data
+    heuristics of Rae et al. 2021, "Scaling Language Models", table A1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (#/… ≤ 1/10), ≥80% words containing an alphabetic character, ≥2
+    distinct required stop words, ≤90% bullet-started and ≤30%
+    ellipsis-ended lines.
+
+    Everything is computed on the raw string with regexp counts — no
+    explode, no shuffle, one embarrassingly parallel projection — and
+    every ratio test uses CROSS-MULTIPLIED integer comparisons (e.g.
+    mean word length ∈ [3,10] ⟺ 3·n_words ≤ n_chars ≤ 10·n_words), so
+    the gate is bit-exact across engines and never touches a float."""
+    t = F.col(text_col)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_alpha = F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*"))
+    n_sym = (F.regexp_count(t, F.lit("#"))
+             + F.regexp_count(t, F.lit(r"\.\.\.")))
+    n_stop = sum(
+        F.when(t.rlike(rf"\b{wd}\b"), 1).otherwise(0)
+        for wd in ("the", "be", "to", "of", "and", "that", "have", "with"))
+    n_lines = F.size(F.split(t, "\n"))
+    n_bullet = F.regexp_count(t, F.lit(r"(?m)^\s*[-*•]"))
+    n_ellip = F.regexp_count(t, F.lit(r"(?m)\.\.\.$"))
+    out = (df.select(
+        F.col(id_col), n_words.alias("n_words"), n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha_words"), n_sym.alias("n_symbols"),
+        n_stop.alias("n_stop_words"), n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"), n_ellip.alias("n_ellipsis_lines"))
+        .withColumn("ok_word_count",
+                    (F.col("n_words") >= min_words)
+                    & (F.col("n_words") <= max_words))
+        .withColumn("ok_mean_wlen",
+                    (F.col("n_chars") >= min_mean_wlen * F.col("n_words"))
+                    & (F.col("n_chars") <= max_mean_wlen * F.col("n_words")))
+        .withColumn("ok_symbol_ratio",
+                    F.col("n_symbols") * 10 <= F.col("n_words"))
+        .withColumn("ok_alpha_ratio",
+                    F.col("n_alpha_words") * 10 >= F.col("n_words") * 8)
+        .withColumn("ok_stop_words", F.col("n_stop_words") >= 2)
+        .withColumn("ok_bullets",
+                    F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9)
+        .withColumn("ok_ellipsis",
+                    F.col("n_ellipsis_lines") * 10 <= F.col("n_lines") * 3))
+    flags = [c for c in out.columns if c.startswith("ok_")]
+    cond = F.col(flags[0])
+    for c in flags[1:]:
+        cond = cond & F.col(c)
+    return out.withColumn("gopher_pass", cond)
+
+
 def top_terms(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Per-document top-k characteristic terms: rank tokens by term

@@ -931,6 +931,53 @@ GROUP BY token ORDER BY tf DESC, token LIMIT 50
 """
 
 
+def q_gopher_quality_docs(spark, sf_dir):
+    """Gopher-rules pretraining quality gate (Rae et al. 2021 heuristics,
+    ops/textstats.py): raw-string regexp counts + cross-multiplied
+    integer ratio tests — no explode, no shuffle, no floats. The oracle
+    recomputes every counter and flag in RE2/ANSI SQL."""
+    return (textstats.gopher_quality(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+_GOPHER_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_chars,
+         len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+         (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bbe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END
+         ) AS n_stop_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS n_bullet_lines,
+         len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ellipsis_lines
+  FROM documents),
+f AS (
+  SELECT *,
+         n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+         n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS ok_mean_wlen,
+         n_symbols * 10 <= n_words AS ok_symbol_ratio,
+         n_alpha_words * 10 >= n_words * 8 AS ok_alpha_ratio,
+         n_stop_words >= 2 AS ok_stop_words,
+         n_bullet_lines * 10 <= n_lines * 9 AS ok_bullets,
+         n_ellipsis_lines * 10 <= n_lines * 3 AS ok_ellipsis
+  FROM m)
+SELECT *, ok_word_count AND ok_mean_wlen AND ok_symbol_ratio
+          AND ok_alpha_ratio AND ok_stop_words AND ok_bullets
+          AND ok_ellipsis AS gopher_pass
+FROM f ORDER BY doc_id
+"""
+
+
 def q_top_terms_docs(spark, sf_dir):
     """Per-document top-3 characteristic terms, ranked by an INTEGER-exact
     tf-idf-style score ``tf * 10^6 div df`` (no float logarithm — ulp
@@ -1763,6 +1810,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count_regex": (q_token_count_regex, _TOKEN_REGEX_SQL),
     "vocabulary_documents": (q_vocabulary_documents, _VOCAB_SQL),
     "top_terms_docs": (q_top_terms_docs, _TOP_TERMS_SQL),
+    "gopher_quality_docs": (q_gopher_quality_docs, _GOPHER_SQL),
     "canonical_url_docs": (q_canonical_url_docs, _CANON_URL_SQL),
     "quality_score_documents": (q_quality_score_documents, _QUALITY_SQL),
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
