@@ -495,3 +495,30 @@ def test_gopher_quality_rules(spark):
     assert not rows[5].ok_stop_words
     assert not rows[6].ok_bullets
     assert not rows[7].ok_ellipsis and rows[7].n_ellipsis_lines == 9
+
+
+def test_html_entities_and_metadata(spark):
+    """Entity decode happens AFTER the tag strip (&lt;b&gt; surfaces as
+    literal '<b>'); page_metadata pulls title/lang/canonical/robots with
+    quote/case variants and returns empty-string/false when absent."""
+    from tuatara_spark.ops import htmlx
+    pages = [
+        ("a", "<p>Q&amp;A &lt;b&gt; &quot;x&quot;&nbsp;&mdash;&hellip;</p>"),
+        ("b", '<HTML LANG="en-GB"><head><title>T1</title>'
+              '<meta name=robots content="NOINDEX">'
+              '<link rel=canonical href="https://e.x/c"></head>'
+              "<body><p>hi</p></body></html>"),
+        ("c", "<html><body>no head at all</body></html>"),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+    stripped = {r.url: r.main_text
+                for r in htmlx.strip_boilerplate(df).collect()}
+    assert stripped["a"] == 'Q&A <b> "x" —…'
+    meta = {r.url: r for r in htmlx.page_metadata(df).collect()}
+    b = meta["b"]
+    assert (b.title, b.lang_attr, b.canonical_href) == \
+        ("T1", "en-GB", "https://e.x/c")
+    assert b.noindex and not b.nofollow
+    c = meta["c"]
+    assert (c.title, c.lang_attr, c.canonical_href) == ("", "", "")
+    assert not c.noindex and not c.nofollow

@@ -35,18 +35,61 @@ def _block_re(tag: str) -> str:
     return f"(?is)<{tag}\\b.*?</{tag}>"
 
 
+# the HTML named character references that actually occur in crawl text
+# (full numeric &#NNN; decoding needs computed chr() — not expressible as
+# a pure regexp chain, handled identically by neither engine, so out of
+# scope for the Catalyst path)
+ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+            ("&mdash;", "—"), ("&ndash;", "–"), ("&hellip;", "…"))
+
+
 def strip_boilerplate(df: DataFrame, col: str = "html",
-                      out_col: str = "main_text") -> DataFrame:
+                      out_col: str = "main_text",
+                      decode_entities: bool = True) -> DataFrame:
     """Boilerplate strip: drop script/style/nav/header/footer/aside blocks
-    and comments, strip remaining tags, collapse whitespace. Pure
-    Catalyst; one projection, no shuffle."""
+    and comments, strip remaining tags, decode the common named character
+    references, collapse whitespace. Pure Catalyst; one projection, no
+    shuffle. Entity decode runs AFTER the tag strip (order matters:
+    ``&lt;b&gt;`` must surface as literal "<b>", never re-parse as a
+    tag)."""
     c = F.col(col)
     for tag in BOILER_BLOCKS:
         c = F.regexp_replace(c, _block_re(tag), " ")
     c = F.regexp_replace(c, COMMENT_RE, " ")
     c = F.regexp_replace(c, TAG_RE, " ")
+    if decode_entities:
+        for ent, rep in ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.trim(F.regexp_replace(c, WS_RE, " "))
     return df.withColumn(out_col, c)
+
+
+def page_metadata(df: DataFrame, col: str = "html",
+                  key_col: str = "url") -> DataFrame:
+    """Crawl-metadata extractor: <title>, <html lang=…>, the canonical
+    link URL, and robots noindex/nofollow flags — the fields a crawl
+    pipeline needs before extraction (dedup on canonical URLs, drop
+    noindex pages, route by language). One shuffle-free projection of
+    case-insensitive regexp_extract/rlike; empty string when a field is
+    absent (Spark's regexp_extract no-match convention, mirrored in the
+    oracle with coalesce)."""
+    c = F.col(col)
+    meta_robots = (r'(?is)<meta\s[^>]*name\s*=\s*["\']?robots["\']?'
+                   r'[^>]*content\s*=\s*["\']([^"\'>]*)')
+    return df.select(
+        F.col(key_col),
+        F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title>", 1)
+        .alias("title"),
+        F.regexp_extract(c, r'(?is)<html\s[^>]*lang\s*=\s*["\']?'
+                            r'([A-Za-z-]+)', 1).alias("lang_attr"),
+        F.regexp_extract(c, r'(?is)<link\s[^>]*rel\s*=\s*["\']?canonical'
+                            r'["\']?[^>]*href\s*=\s*["\']([^"\'>]+)', 1)
+        .alias("canonical_href"),
+        F.regexp_extract(c, meta_robots, 1).rlike("(?i)noindex")
+        .alias("noindex"),
+        F.regexp_extract(c, meta_robots, 1).rlike("(?i)nofollow")
+        .alias("nofollow"))
 
 
 def main_block(df: DataFrame, col: str = "html", key_col: str = "url",

@@ -1376,7 +1376,10 @@ def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_PRE = ('<html><head><title>T</title><style>.x{color:red}</style>'
              '</head><body><nav><a href="/">Home</a> <a href="/a">About'
              '</a></nav><div>Subscribe <a href="/s">now</a></div><p>')
-_HTML_POST = ('</p><footer><a href="/c">contact</a> (c) 2026</footer>'
+# entity-laden tail: named character references must decode AFTER the tag
+# strip (&lt;b&gt; surfaces as literal "<b>", never re-parsed as a tag)
+_HTML_POST = ('&nbsp;&mdash; Q&amp;A &lt;b&gt; &quot;q&quot;&hellip;'
+              '</p><footer><a href="/c">contact</a> (c) 2026</footer>'
               '</body></html>')
 
 
@@ -1405,6 +1408,9 @@ def _html_strip_sql():
         c = f"regexp_replace({c}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
     c = f"regexp_replace({c}, '<!--.*?-->', ' ', 'g')"
     c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in htmlx.ENTITIES:
+        c = (f"replace({c}, '{ent.replace(chr(39), chr(39) * 2)}', "
+             f"'{rep.replace(chr(39), chr(39) * 2)}')")
     c = rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
     return (f"SELECT doc_id, {c} AS main_text FROM documents "
             "ORDER BY doc_id")
@@ -1537,6 +1543,44 @@ ranked AS (
   FROM chains)
 SELECT doc_id, chain_start, chain_len, chain_text, chain_score
 FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_html_metadata_docs(spark, sf_dir):
+    """Crawl-metadata extraction (ops/htmlx.py page_metadata): title,
+    html-lang attribute, canonical link, robots noindex/nofollow — fields
+    synthesized deterministically from doc_id, so every output column has
+    a FIRST-PRINCIPLES SQL oracle computed from doc_id alone (matching
+    proves the regexp extractors, not just consistency)."""
+    from tuatara_spark.ops import htmlx
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('<HTML Lang=', CASE doc_id % 3 WHEN 0 THEN '\"en-US\"' "
+        "WHEN 1 THEN 'de' ELSE '''fr''' END, '><head><title>Doc ',"
+        " cast(doc_id AS string), ' &amp; more</title>',"
+        " CASE WHEN doc_id % 4 = 0 THEN"
+        "  '<meta name=robots content=\"NoIndex, nofollow\">'"
+        " WHEN doc_id % 4 = 1 THEN"
+        "  '<meta name=\"robots\" content=\"nofollow\">' ELSE '' END,"
+        " CASE WHEN doc_id % 2 = 0 THEN concat("
+        "  '<link rel=canonical href=\"https://ex.com/p/',"
+        "  cast(doc_id AS string), '\">') ELSE '' END,"
+        " '</head><body><p>', text, '</p></body></html>') AS html")
+    return (htmlx.page_metadata(docs, key_col="doc_id")
+            .orderBy("doc_id"))
+
+
+_HTML_METADATA_SQL = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; more' AS title,
+       CASE doc_id % 3 WHEN 0 THEN 'en-US' WHEN 1 THEN 'de'
+            ELSE 'fr' END AS lang_attr,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS canonical_href,
+       doc_id % 4 = 0 AS noindex,
+       doc_id % 4 IN (0, 1) AS nofollow
+FROM documents ORDER BY doc_id
 """
 
 
@@ -1842,6 +1886,7 @@ REGISTRY: dict[str, tuple] = {
                              _html_main_block_sql()),
     "html_main_chain_docs": (q_html_main_chain_docs,
                              _html_main_chain_sql()),
+    "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
 }
 
