@@ -522,3 +522,25 @@ def test_html_entities_and_metadata(spark):
     c = meta["c"]
     assert (c.title, c.lang_attr, c.canonical_href) == ("", "", "")
     assert not c.noindex and not c.nofollow
+
+
+def test_scene_changes_real_frames(spark):
+    """scene_changes on rendered (non-solid) frames matches a NumPy
+    brute-force SAD; a repeated frame yields sad=0 / no cut, a content
+    change yields a cut; junk payloads are skipped."""
+    from tuatara_spark.ops import multimodal
+    f1, _ = fx.render_page("a", 128, 128, 4)
+    f2, _ = fx.render_page("z", 128, 128, 4)
+    clip = multimodal.encode_tpgv([f1, f1, f2])
+    df = spark.createDataFrame(
+        pd.DataFrame([{"url": "v", "html": clip},
+                      {"url": "junk", "html": b"NOPE"}]))
+    rows = {r.frame_idx: r for r in
+            multimodal.scene_changes(df, thr_e2=100).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].sad == 0 and not rows[1].is_cut
+    want = int(np.abs(f2.astype(np.int64) - f1.astype(np.int64)).sum())
+    assert rows[2].sad == want
+    npx = 128 * 128 * 3
+    assert rows[2].mean_diff_e4 == want * 10_000 // npx
+    assert rows[2].is_cut == (want * 100 >= 100 * npx)

@@ -17,7 +17,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BinaryType, FloatType, IntegerType, StringType,
+from pyspark.sql.types import (BinaryType, BooleanType, FloatType,
+                               IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from tuatara_spark import fixtures as fx
@@ -171,6 +172,57 @@ def frame_sample(df: DataFrame, every_k: int = 2, col: str = "html",
                                 "frame": frames, "mean_luma": lumas})
 
     return df.select(key_col, col).mapInPandas(fn, FRAME_SCHEMA)
+
+
+SCENE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("sad", LongType()),
+    StructField("mean_diff_e4", LongType()),
+    StructField("is_cut", BooleanType()),
+])
+
+
+def scene_changes(df: DataFrame, thr_e2: int = 2000, col: str = "html",
+                  key_col: str = "url") -> DataFrame:
+    """Scene-cut detection over TPGV video payloads: per-pixel sum of
+    absolute luma differences (SAD) between consecutive frames, one row
+    per frame transition. ALL integer arithmetic — ``sad`` is the exact
+    uint8 SAD, ``mean_diff_e4 = sad·10^4 div n_px``, and the cut test is
+    the cross-multiplied ``sad·100 ≥ thr_e2·n_px`` (thr_e2 = mean-luma
+    threshold ×100) — so a first-principles oracle can reproduce every
+    column. Arrow-batched mapInPandas; non-TPGV payloads are skipped."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, sads, means, cuts = [], [], [], [], []
+            for key, buf in zip(pdf[key_col], pdf[col]):
+                buf = bytes(buf)
+                if buf[:4] != TPGV_MAGIC:
+                    continue
+                n = int.from_bytes(buf[4:6], "little")
+                off = 6
+                prev = None
+                for i in range(n):
+                    h = int.from_bytes(buf[off + 4:off + 6], "little")
+                    w = int.from_bytes(buf[off + 6:off + 8], "little")
+                    end = off + 8 + h * w * 3
+                    img = fx.decode_tpage(buf[off:end]).astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(img - prev).sum())
+                        npx = h * w * 3
+                        urls.append(key)
+                        idxs.append(i)
+                        sads.append(sad)
+                        means.append(sad * 10_000 // npx)
+                        cuts.append(sad * 100 >= thr_e2 * npx)
+                    prev = img
+                    off = end
+            yield pd.DataFrame({"url": urls, "frame_idx": idxs,
+                                "sad": sads, "mean_diff_e4": means,
+                                "is_cut": cuts})
+
+    return df.select(key_col, col).mapInPandas(fn, SCENE_SCHEMA)
 
 
 FEATURES_SCHEMA = StructType([

@@ -1584,6 +1584,59 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_scene_changes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection with a FIRST-PRINCIPLES oracle: per-doc
+    TPGV clips of 4 + doc_id%3 SOLID-gray 16×16 frames at luma
+    v_i = (doc_id·31 + (i div 3)·97 + i) mod 256 — consecutive-frame SAD
+    is then exactly |v_i − v_{i−1}|·768, so every output column (sad,
+    mean_diff_e4, is_cut at mean≥20 luma) is computable from doc_id in
+    ANSI SQL. Matching proves synth → TPGV encode → Spark decode →
+    integer SAD/threshold end-to-end."""
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(32)
+            .select("doc_id"))
+
+    def render(batches):
+        import numpy as np_
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [np_.full((16, 16, 3),
+                                   (did * 31 + (i // 3) * 97 + i) % 256,
+                                   dtype=np_.uint8)
+                          for i in range(4 + did % 3)]
+                payloads.append(multimodal.encode_tpgv(frames))
+            yield pd.DataFrame({"url": pdf["doc_id"].astype(str),
+                                "html": payloads})
+
+    clips = docs.mapInPandas(render, "url string, html binary")
+    out = multimodal.scene_changes(clips, thr_e2=2000)
+    return (out.select(F.col("url").cast("long").alias("doc_id"),
+                       "frame_idx", "sad", "mean_diff_e4", "is_cut")
+            .orderBy("doc_id", "frame_idx"))
+
+
+_SCENE_SQL = """
+WITH c AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
+fr AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         (doc_id * 31 + (i // 3) * 97 + i) % 256 AS v
+  FROM c, LATERAL (SELECT unnest(range(0, 4 + doc_id % 3)) AS i)),
+d AS (
+  SELECT doc_id, frame_idx,
+         abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+           AS dv
+  FROM fr)
+SELECT doc_id, frame_idx,
+       CAST(dv * 768 AS BIGINT) AS sad,
+       CAST(dv * 10000 AS BIGINT) AS mean_diff_e4,
+       dv >= 20 AS is_cut
+FROM d WHERE dv IS NOT NULL
+ORDER BY doc_id, frame_idx
+"""
+
+
 def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing with a FIRST-PRINCIPLES oracle: synthesize per-doc
     square waves (amplitude A = 1000 + doc_id%7·100 in PCM16 units,
@@ -1888,6 +1941,7 @@ REGISTRY: dict[str, tuple] = {
                              _html_main_chain_sql()),
     "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
+    "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
 }
 
 
