@@ -544,3 +544,18 @@ def test_scene_changes_real_frames(spark):
     npx = 128 * 128 * 3
     assert rows[2].mean_diff_e4 == want * 10_000 // npx
     assert rows[2].is_cut == (want * 100 >= 100 * npx)
+
+
+def test_crawl_pipeline_dedup_noindex_interaction(spark):
+    """Composed crawl pipeline: when the NEWER snapshot of a canonical
+    url is noindex-dropped, the older snapshot must win the keep-latest
+    dedup (winner parity check over the synthesized corpus)."""
+    from tuatara_spark.queries import q_crawl_pipeline_docs
+    rows = q_crawl_pipeline_docs(spark, "/root/testdata/sf0.001").collect()
+    by_pair = {r.doc_id // 2: r.doc_id for r in rows}
+    for k, winner in by_pair.items():
+        newer = 2 * k + 1
+        assert winner == (2 * k if newer % 5 == 0 else newer)
+    # every kept winner is indexable and pairs are unique
+    assert all(w % 5 != 0 for w in by_pair.values())
+    assert len(by_pair) == len(rows)

@@ -1051,6 +1051,112 @@ SELECT doc_id, url, c AS url_canon FROM c8 ORDER BY doc_id
 """
 
 
+def _strip_sql_expr(c: str) -> str:
+    """DuckDB expression mirroring htmlx.strip_boilerplate over ``c``."""
+    from tuatara_spark.ops import htmlx
+    for tag in htmlx.BOILER_BLOCKS:
+        c = f"regexp_replace({c}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
+    c = f"regexp_replace({c}, '<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in htmlx.ENTITIES:
+        c = (f"replace({c}, '{ent.replace(chr(39), chr(39) * 2)}', "
+             f"'{rep.replace(chr(39), chr(39) * 2)}')")
+    return rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+
+
+def _canon_sql_expr(c: str) -> str:
+    """DuckDB expression mirroring textstats.canonical_url over ``c``
+    (RE2 \\1 backref where Spark uses Java's $1)."""
+    c = f"regexp_replace({c}, '#.*$', '', 'g')"
+    c = (f"regexp_replace({c}, "
+         r"'([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '\1', 'g')")
+    c = f"regexp_replace({c}, '[?&]+$', '', 'g')"
+    c = rf"regexp_replace({c}, '\?&+', '?', 'g')"
+    c = f"regexp_replace({c}, '&&+', '&', 'g')"
+    c = (f"(lower(regexp_extract({c}, '^([^:/?#]+://[^/?#]*)', 1)) || "
+         f"regexp_replace({c}, '^[^:/?#]+://[^/?#]*', '', 'g'))")
+    c = rf"regexp_replace({c}, '/\?', '?', 'g')"
+    return f"regexp_replace({c}, '/$', '', 'g')"
+
+
+_CRAWL_URL_SPARK = (
+    "concat('https://Site', cast((doc_id div 2) % 50 AS string),"
+    " '.Example.com/page/', cast(doc_id div 2 AS string),"
+    " CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=7' ELSE '?id=7' END,"
+    " CASE WHEN doc_id % 6 = 1 THEN '#frag' ELSE '' END)")
+_CRAWL_HTML_SPARK = (
+    "concat('<html lang=\"en\"><head><title>P</title>',"
+    " CASE WHEN doc_id % 5 = 0 THEN"
+    "  '<meta name=\"robots\" content=\"noindex\">' ELSE '' END,"
+    " '</head><body><nav><a href=\"/\">N</a></nav><p>', text,"
+    " ' &amp; tail</p></body></html>')")
+
+
+def q_crawl_pipeline_docs(spark, sf_dir):
+    """The north_rule pipeline COMPOSED end-to-end in one query: crawl
+    pages (url with tracking noise + fragment, html with robots meta) →
+    page_metadata noindex drop → canonical_url → keep-LATEST snapshot
+    per canonical url (max_by on (warc_ts, doc_id) — crawl dedup) →
+    boilerplate strip with entity decode → minimum-length quality gate.
+    Every stage is individually oracle-green; this entry proves the
+    COMPOSITION byte-exactly (dedup winners shift when the newer
+    snapshot is noindex-dropped — the interaction the oracle checks).
+
+    Scale shape: metadata/canon/strip are shuffle-free projections; the
+    only shuffles are the doc_id join (co-partitioned) and ONE
+    map-side-combined groupBy/max_by on url_canon — one winner row per
+    canonical url crosses it."""
+    from tuatara_spark.ops import htmlx, textstats
+    base = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "doc_id AS warc_ts",
+        f"{_CRAWL_URL_SPARK} AS url", f"{_CRAWL_HTML_SPARK} AS html")
+    meta = htmlx.page_metadata(base, key_col="doc_id") \
+        .select("doc_id", "noindex")
+    kept = base.join(meta, "doc_id").filter(~F.col("noindex"))
+    canon = textstats.canonical_url(kept)
+    latest = (canon.groupBy("url_canon")
+              .agg(F.max_by(F.struct("doc_id", "html"),
+                            F.struct("warc_ts", "doc_id")).alias("_r")))
+    flat = latest.select("url_canon", "_r.doc_id", "_r.html")
+    out = (htmlx.strip_boilerplate(flat)
+           .withColumn("n_words",
+                       F.size(F.split(F.trim("main_text"), r"\s+")))
+           .filter(F.col("n_words") >= 5)
+           .select("url_canon", "doc_id", "main_text", "n_words"))
+    return out.orderBy("doc_id")
+
+
+def _crawl_pipeline_sql():
+    url = (
+        "'https://Site' || CAST((doc_id // 2) % 50 AS VARCHAR)"
+        " || '.Example.com/page/' || CAST(doc_id // 2 AS VARCHAR)"
+        " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=7'"
+        "    ELSE '?id=7' END"
+        " || CASE WHEN doc_id % 6 = 1 THEN '#frag' ELSE '' END")
+    html = (
+        "'<html lang=\"en\"><head><title>P</title>'"
+        " || CASE WHEN doc_id % 5 = 0 THEN"
+        " '<meta name=\"robots\" content=\"noindex\">' ELSE '' END"
+        " || '</head><body><nav><a href=\"/\">N</a></nav><p>' || text"
+        " || ' &amp; tail</p></body></html>'")
+    return f"""
+WITH kept AS (
+  SELECT doc_id, {_canon_sql_expr(url)} AS url_canon
+  FROM documents WHERE doc_id % 5 <> 0),
+win AS (
+  SELECT url_canon, max(doc_id) AS doc_id   -- warc_ts == doc_id here
+  FROM kept GROUP BY url_canon),
+strip AS (
+  SELECT w.url_canon, w.doc_id, {_strip_sql_expr(html)} AS main_text
+  FROM win w JOIN documents USING (doc_id))
+SELECT url_canon, doc_id, main_text,
+       len(regexp_split_to_array(trim(main_text), '\\s+')) AS n_words
+FROM strip
+WHERE len(regexp_split_to_array(trim(main_text), '\\s+')) >= 5
+ORDER BY doc_id
+"""
+
+
 _ANN_QUERY_VEC = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(64)]
 
 
@@ -1940,6 +2046,7 @@ REGISTRY: dict[str, tuple] = {
     "html_main_chain_docs": (q_html_main_chain_docs,
                              _html_main_chain_sql()),
     "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
+    "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
     "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
 }
