@@ -155,6 +155,9 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("ivf_cell_batched", _ivf_cell_batched),
         ("dedup_exact_groups", Q.q_dedup_exact_groups),
         ("quality_score_documents", Q.q_quality_score_documents),
+        ("gopher_quality_docs", Q.q_gopher_quality_docs),
+        ("html_main_chain_docs", Q.q_html_main_chain_docs),
+        ("crawl_pipeline_docs", Q.q_crawl_pipeline_docs),
         ("reading_order_events", Q.q_reading_order_events),
         ("ocr_extract_docs", Q.q_ocr_extract_docs),
     ]
