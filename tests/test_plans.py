@@ -125,3 +125,39 @@ def test_segment_revenue_join_is_broadcast(spark):
                                                "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_new_text_html_ops_stay_jvm_side(spark):
+    """Round-3 continuation ops claimed pure-Catalyst must contain no
+    Python evaluation node; main_block/main_chain argmaxes must be
+    partial-aggregated (map-side combine) and never cartesian."""
+    import pandas as pd
+    from tuatara_spark.ops import htmlx, textstats
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(30),
+         "text": [f"the quick brown fox {i} jumps of and" for i in range(30)],
+         "url": [f"https://S{i}.Ex.com/p?utm_source=x&id={i}#f"
+                 for i in range(30)],
+         "html": [f"<nav><a href='/'>n</a></nav><p>body {i} text here"
+                  f"</p><p>more {i}</p>" for i in range(30)]}))
+    plans = {
+        "top_terms": _explain(textstats.top_terms(docs)),
+        "gopher": _explain(textstats.gopher_quality(docs)),
+        "canon": _explain(textstats.canonical_url(docs)),
+        "strip": _explain(htmlx.strip_boilerplate(docs)),
+        "metadata": _explain(htmlx.page_metadata(docs)),
+        "block": _explain(htmlx.main_block(docs)),
+        "chain": _explain(htmlx.main_chain(docs)),
+    }
+    for name, plan in plans.items():
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "Cartesian" not in plan, name
+    # shuffle-free projections: no exchange at all
+    for name in ("gopher", "canon", "strip", "metadata"):
+        assert "Exchange" not in plans[name], name
+    # the block argmax is a partial-aggregated groupBy (one candidate row
+    # per url crosses the shuffle), not a window over every block
+    assert "partial_max_by" in plans["block"].lower() or \
+        "HashAggregate" in plans["block"]
+    assert "Window" not in plans["block"]
