@@ -99,3 +99,17 @@ def test_fuzz_pdf_garbage_never_hangs(payload):
         except Exception:
             continue
         assert isinstance(out, str)
+
+
+def test_objstm_content_never_scanned():
+    """An ObjStm whose decompressed bytes happen to contain BT..(x) Tj..ET
+    must NOT contribute text (object streams hold serialized objects,
+    never content streams)."""
+    import zlib as _z
+    decoy = _z.compress(b"1 0 BT (DECOY) Tj ET")
+    objstm = (b"9 0 obj\n<< /Type /ObjStm /N 1 /First 8 /Filter "
+              b"/FlateDecode /Length " + str(len(decoy)).encode()
+              + b" >>\nstream\n" + decoy + b"\nendstream\nendobj\n")
+    buf = P.encode_pdf(["real text"])
+    patched = buf.replace(b"%PDF-1.4\n", b"%PDF-1.5\n" + objstm)
+    assert P.extract_pdf_text(patched) == "real text"

@@ -10,9 +10,11 @@ heuristics") alongside ops/htmlx.py.
 Scope is the text-extraction slice a crawl pipeline needs: walk stream
 objects (no xref required — objects are self-delimiting), run each
 stream's filter chain in spec order, reconstruct reading order from
-text-object line moves. PDF 1.5 cross-reference STREAMS are handled by
-skipping them during the scan (/Type /XRef — their inflated binary must
-not be mistaken for content). NOT a renderer: fonts/encodings beyond the
+text-object line moves. PDF 1.5 cross-reference and object STREAMS are
+handled by skipping them during the scan (/Type /XRef, /Type /ObjStm —
+their inflated binary/serialized-object payloads must not be mistaken
+for content; content streams cannot live inside an ObjStm, so no text is
+lost). NOT a renderer: fonts/encodings beyond the
 standard-Latin strings and image filters (DCT/LZW/JBIG2) are out of
 scope and raise cleanly (→ error rows upstream).
 
@@ -218,7 +220,11 @@ _TOK_RE = re.compile(
     rb"|(?P<td>[-0-9.]+\s+[-0-9.]+\s+T[dD])", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
 _ARR_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
-_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+# structural PDF 1.5 stream types whose (binary / serialized-object)
+# content must never be scanned for BT/ET text: cross-reference streams
+# and object streams (content streams cannot live inside an ObjStm —
+# streams are barred from object streams — so skipping loses no text)
+_SKIP_TYPE_RE = re.compile(rb"/Type\s*/(XRef|ObjStm)\b")
 
 
 def _hex_str(raw: bytes) -> str:
@@ -279,7 +285,7 @@ def extract_pdf_text(buf) -> str:
     n_streams = 0
     for m in _STREAM_RE.finditer(data):
         hdr, stream = m.group(1), m.group(2)
-        if _XREF_TYPE_RE.search(hdr):   # PDF 1.5 xref stream: binary, skip
+        if _SKIP_TYPE_RE.search(hdr):   # PDF 1.5 XRef/ObjStm: never text
             continue
         stream = _decode_stream(hdr, stream)
         n_streams += 1
