@@ -199,3 +199,27 @@ def test_16bit_quant_tables():
             out.append(buf[pos])
             pos += 1
     assert (J.decode_jpeg(bytes(out)) == J.decode_jpeg(buf)).all()
+
+
+def test_fuzz_progressive_mutations_never_hang():
+    """Byte-level corruption of a valid progressive file must decode or
+    raise — never hang/crash the worker (web JPEGs arrive truncated and
+    bit-flipped)."""
+    rng = np.random.default_rng(12)
+    img = _gradient_rgb(32, 48)
+    buf = bytearray(J.encode_jpeg(img, progressive=True))
+    for _ in range(60):
+        mutated = bytearray(buf)
+        for _ in range(int(rng.integers(1, 6))):
+            mutated[int(rng.integers(2, len(buf)))] = int(rng.integers(256))
+        try:
+            out = J.decode_jpeg(bytes(mutated))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except Exception:
+            pass
+    # truncations at every region boundary
+    for cut in (2, 20, len(buf) // 4, len(buf) // 2, len(buf) - 3):
+        try:
+            J.decode_jpeg(bytes(buf[:cut]))
+        except Exception:
+            pass
