@@ -559,3 +559,22 @@ def test_crawl_pipeline_dedup_noindex_interaction(spark):
     # every kept winner is indexable and pairs are unique
     assert all(w % 5 != 0 for w in by_pair.values())
     assert len(by_pair) == len(rows)
+
+
+def test_redact_pii_order_and_counts(spark):
+    """redact_pii: typed tokens replace each span; counts follow
+    replacement order (no double counting once a span is redacted);
+    clean text passes through untouched."""
+    from tuatara_spark.ops import textstats
+    docs = spark.createDataFrame([
+        (0, "write to a.b+c@ex-1.co or b@x.io from 192.168.0.1"),
+        (1, "call +1 (415) 555-0123 now"),
+        (2, "clean text with no pii at all"),
+    ], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textstats.redact_pii(docs).collect()}
+    assert rows[0].n_email == 2 and rows[0].n_ipv4 == 1
+    assert rows[0].redacted == "write to <EMAIL> or <EMAIL> from <IPV4>"
+    assert rows[1].n_phone == 1 and "<PHONE>" in rows[1].redacted
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
+    assert r2.redacted == "clean text with no pii at all"

@@ -129,6 +129,34 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("url_canon", c)
 
 
+# PII span patterns (the C4/Gopher-style pretraining scrub set) — one
+# regex dialect that means the same thing in Java (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d[\d()\- ]{7,}\d"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Pretraining-corpus PII scrub: replace email / IPv4 / phone spans
+    with typed tokens (<EMAIL>/<IPV4>/<PHONE>) and report per-kind match
+    counts. Patterns apply in declaration order (an IPv4 inside an
+    already-redacted email can't double-count). Pure Catalyst projection
+    — no shuffle, no Python."""
+    red = F.col(text_col)
+    cols = [F.col(id_col)]
+    for kind, pat in PII_PATTERNS:
+        # counts run on the PROGRESSIVELY redacted text so the numbers
+        # are consistent with replacement order (an IPv4-looking span
+        # inside an already-redacted email is not double-counted)
+        cols.append(F.regexp_count(red, F.lit(pat)).alias(f"n_{kind}"))
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.select(*cols, red.alias("redacted"))
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    min_words: int = 50, max_words: int = 100_000,

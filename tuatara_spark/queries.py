@@ -931,6 +931,53 @@ GROUP BY token ORDER BY tf DESC, token LIMIT 50
 """
 
 
+_PII_TAIL_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' mail user',"
+    "   cast(doc_id AS string), '@Ex-ample.co') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' host 10.0.',"
+    "   cast(doc_id % 200 AS string), '.7') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1 (415) 555-01',"
+    "   cast(doc_id % 10 AS string), '2') ELSE '' END)")
+_PII_TAIL_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' mail user'"
+    "    || CAST(doc_id AS VARCHAR) || '@Ex-ample.co' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' host 10.0.'"
+    "    || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (415) 555-01'"
+    "    || CAST(doc_id % 10 AS VARCHAR) || '2' ELSE '' END")
+
+
+def q_redact_pii_docs(spark, sf_dir):
+    """PII scrub gate (ops/textstats.py redact_pii): emails / IPv4s /
+    phone spans planted deterministically by doc_id are replaced with
+    typed tokens and counted in replacement order. The oracle reruns the
+    identical progressive regex chain in RE2 — redacted text AND counts
+    must match byte-for-byte."""
+    docs = (_docs(spark, sf_dir)
+            .selectExpr("doc_id", f"{_PII_TAIL_SPARK} AS text"))
+    return textstats.redact_pii(docs).orderBy("doc_id")
+
+
+def _redact_pii_sql():
+    from tuatara_spark.ops import textstats as _ts
+    sql = f"WITH r0 AS (SELECT doc_id, {_PII_TAIL_DUCK} AS t FROM documents)"
+    prev = "r0"
+    counts = []
+    for i, (kind, pat) in enumerate(_ts.PII_PATTERNS, 1):
+        counts.append(f"n_{kind}")
+        keep = ", ".join(counts[:-1])
+        keep = f"{keep}, " if keep else ""
+        sql += (f", r{i} AS (SELECT doc_id, {keep}"
+                f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}, "
+                f"regexp_replace(t, '{pat}', '<{kind.upper()}>', 'g') AS t "
+                f"FROM {prev})")
+        prev = f"r{i}"
+    return (sql + f" SELECT doc_id, {', '.join(counts)}, t AS redacted "
+            f"FROM {prev} ORDER BY doc_id")
+
+
 def q_gopher_quality_docs(spark, sf_dir):
     """Gopher-rules pretraining quality gate (Rae et al. 2021 heuristics,
     ops/textstats.py): raw-string regexp counts + cross-multiplied
@@ -2014,6 +2061,7 @@ REGISTRY: dict[str, tuple] = {
     "vocabulary_documents": (q_vocabulary_documents, _VOCAB_SQL),
     "top_terms_docs": (q_top_terms_docs, _TOP_TERMS_SQL),
     "gopher_quality_docs": (q_gopher_quality_docs, _GOPHER_SQL),
+    "redact_pii_docs": (q_redact_pii_docs, _redact_pii_sql()),
     "canonical_url_docs": (q_canonical_url_docs, _CANON_URL_SQL),
     "quality_score_documents": (q_quality_score_documents, _QUALITY_SQL),
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
