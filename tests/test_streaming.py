@@ -136,3 +136,55 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
     # hour 11 and hour 12 stay OPEN/withheld
     assert (10, "view") not in got and (12, "view") not in got
     assert (11, "view") not in got
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming crawl dedup: a re-crawl of the same url within the
+    watermark horizon is dropped (state alive); after the watermark has
+    evicted the key, a much-later re-crawl re-emits — the documented
+    bounded-state trade-off."""
+    import pandas as pd
+    import uuid
+
+    in_dir = str(tmp_path / "dd_in")
+    os.makedirs(in_dir)
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    # file A: first crawls of u1/u2 + an in-horizon duplicate of u1
+    rows_a = [{"url": "u1", "ts": base},
+              {"url": "u2", "ts": base + pd.Timedelta(minutes=10)},
+              {"url": "u1", "ts": base + pd.Timedelta(minutes=20)}]
+    # file B: advances event time far past the horizon
+    rows_b = [{"url": "u3", "ts": base + pd.Timedelta(hours=10)}]
+    # file C: one more batch — state eviction lags the watermark by a
+    # batch, so THIS batch's cleanup (wm = 9:00) evicts u1
+    rows_c = [{"url": "u4", "ts": base + pd.Timedelta(minutes=605)}]
+    # file D: re-crawl of u1 AFTER eviction → re-emits
+    rows_d = [{"url": "u1", "ts": base + pd.Timedelta(hours=11)}]
+    now = time.time()
+    for name, rows, mt in (("a", rows_a, now - 400), ("b", rows_b, now - 300),
+                           ("c", rows_c, now - 200), ("d", rows_d, now - 100)):
+        p = os.path.join(in_dir, f"part-{name}.parquet")
+        pd.DataFrame(rows).to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True,
+            index=False)
+        os.utime(p, (mt, mt))
+
+    stream = (spark.readStream.schema("url string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    dd = st.dedup_stream(stream, watermark="1 hour")
+    sink = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (dd.writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.url, r.ts) for r in spark.table(sink).collect())
+    urls = [u for u, _ in got]
+    assert urls.count("u1") == 2            # first crawl + post-eviction
+    assert urls.count("u2") == 1 and urls.count("u3") == 1
+    assert urls.count("u4") == 1
+    # the in-horizon duplicate (minute 20) was dropped: kept u1 rows are
+    # the original and the hour-11 re-crawl
+    u1_ts = sorted(t for u, t in got if u == "u1")
+    assert u1_ts[0] == base.to_pydatetime()
+    assert u1_ts[1].hour == 11

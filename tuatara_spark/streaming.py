@@ -86,6 +86,22 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
                  F.sum("value").alias("sum_value")))
 
 
+def dedup_stream(stream: DataFrame, key_col: str = "url",
+                 time_col: str = "ts",
+                 watermark: str = "0 seconds") -> DataFrame:
+    """Streaming crawl dedup: keep the FIRST arrival per key, dropping
+    re-crawls that land within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state for a key is evicted once
+    the watermark passes its event time, so at 10^12 rows the state
+    store is bounded by keys-per-horizon, not keys-ever-seen; the
+    unbounded-state ``dropDuplicates`` would OOM a year-long stream).
+    Duplicates arriving AFTER eviction re-emit — the documented
+    at-least-once trade-off; the batch `crawl_pipeline` keep-latest pass
+    is the exact compactor downstream."""
+    return (stream.withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark([key_col]))
+
+
 def start_to_parquet(extracted: DataFrame, output_dir: str,
                      checkpoint_dir: str, trigger_available_now: bool = True):
     """Write the extraction stream to parquet with checkpointed
