@@ -26,10 +26,14 @@ from tuatara_spark import fixtures as fx
 _MAGICS = [
     (b"TPG1", "tpage"),
     (b"TPB1", "tpbit"),
+    (b"TPV1", "tpgv"),
     (b"\x89PNG", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"RIFF", "riff"),
     (b"GIF8", "gif"),
+    (b"%PDF-", "pdf"),
+    (b"<html", "html"),
+    (b"<!DOC", "html"),
 ]
 
 
