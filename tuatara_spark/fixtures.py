@@ -152,8 +152,8 @@ def decode_tpbit(buf: bytes) -> np.ndarray:
 def decode_payload(buf: bytes) -> np.ndarray:
     """Decode any supported page payload to an (H, W, 3) uint8 RGB array,
     dispatching on the magic (TPAGE/TPBIT rasters, real PNG — the
-    reference's own fixture format, examples/resume.cpp:9 — or baseline
-    JPEG). The returned array may be a READ-ONLY view (TPAGE: frombuffer;
+    reference's own fixture format, examples/resume.cpp:9 — real JPEG
+    baseline/progressive, or real GIF). The returned array may be a READ-ONLY view (TPAGE: frombuffer;
     TPBIT: stride-0 broadcast) — copy before mutating."""
     magic = bytes(buf[:4])
     if magic == TPAGE_MAGIC:
@@ -166,6 +166,9 @@ def decode_payload(buf: bytes) -> np.ndarray:
     if magic[:3] == b"\xff\xd8\xff":
         from tuatara_spark.ref.jpeg import decode_jpeg
         return decode_jpeg(buf)
+    if magic == b"GIF8":
+        from tuatara_spark.ref.gif import decode_gif
+        return decode_gif(buf)
     raise ValueError(f"unknown page payload magic {magic!r}")
 
 

@@ -84,21 +84,31 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
                 float(img.mean(dtype=np.float64)))
     if buf[:3] == b"\xff\xd8\xff":
         from tuatara_spark.ref.jpeg import decode_jpeg
-        img = decode_jpeg(buf)  # real decode: pure-NumPy baseline JPEG
+        img = decode_jpeg(buf)  # real decode: baseline + progressive
         return ("jpeg", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
-    for magic, name in _MAGICS[4:]:
-        if buf[: len(magic)] == magic:
-            # codec not available in this container — plumbing-only stub
-            raise NotImplementedError(f"{name} decode requires an image "
-                                      "codec not present in this environment")
+    if buf[:4] == b"GIF8":
+        from tuatara_spark.ref.gif import decode_gif
+        img = decode_gif(buf)   # real decode: pure-Python LZW (ref/gif.py)
+        return ("gif", img.shape[1], img.shape[0],
+                float(img.mean(dtype=np.float64)))
+    # formats this IMAGE-meta op does not decode: audio/video containers
+    # have their own operators; true codec gaps stay explicit stubs
+    for magic, name in ((b"RIFF", "riff (use ops.audio.extract_audio_meta)"),
+                        (b"TPV1", "tpgv (use frame_sample/scene_changes)"),
+                        (b"%PDF-", "pdf (use extract_pdf_text_col)")):
+        if buf[:len(magic)] == magic:
+            raise NotImplementedError(
+                f"{name}: not an image payload for this operator")
     return ("unknown", None, None, None)
 
 
 def extract_media_meta(df: DataFrame, col: str = "html",
                        key_col: str = "url") -> DataFrame:
     """Decode typed metadata from binary payloads (Arrow-batched
-    mapInPandas; TPAGE real, other formats stubbed)."""
+    mapInPandas). TPAGE/TPBIT/PNG/JPEG/GIF decode for real; audio/video/
+    pdf route to their own operators (stub rows here); junk → error
+    rows, never failed tasks."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

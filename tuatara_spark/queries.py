@@ -1976,17 +1976,30 @@ def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a FIRST-PRINCIPLES oracle: the ink bounding box follows from the page
     layout constants (mark at (4,4)-(19,15); glyph cells 28×20 px at
     44 + col·44 / 44 + row·52) and the ink ratio from the glyph bitmap
-    popcounts — none of it computed by running the pipeline."""
+    popcounts — none of it computed by running the pipeline. The WIRE
+    container varies by doc_id — TPBIT, interlaced 2-color GIF (LZW),
+    1-bit Adam7 PNG — all lossless for binary pages, so the analytic
+    oracle simultaneously pins all three codecs' decodes."""
     _ship_package(spark)
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(16)
             .selectExpr("cast(doc_id as string) AS url",
                         f"{CLEAN_SPARK} AS t"))
 
     def render(batches):
+        from tuatara_spark.ref import gif as G_, png as P_
         for pdf in batches:
-            payloads = [fx.encode_tpbit(fx.render_page(t or "", 256, 256,
-                                                       4)[0])
-                        for t in pdf["t"]]
+            payloads = []
+            for u, t in zip(pdf["url"], pdf["t"]):
+                img = fx.render_page(t or "", 256, 256, 4)[0]
+                k = int(u) % 3
+                if k == 0:
+                    payloads.append(fx.encode_tpbit(img))
+                elif k == 1:
+                    payloads.append(G_.encode_gif(img, interlace=True))
+                else:
+                    payloads.append(P_.encode_png(
+                        img[..., 0], bit_depth=1, color_type=0,
+                        interlace=True))
             yield pd.DataFrame({"url": pdf["url"], "html": payloads})
 
     pages = docs.mapInPandas(render, "url string, html binary")
