@@ -1,13 +1,14 @@
 """Multimodal-column operators: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with format sniffing; decode /
-feature-extract / resize / frame-sample run as Arrow-vectorized
-``mapInPandas`` stages. TPAGE/TPBIT rasters, PNG (pure-NumPy decoder,
-ref/png.py — the reference's own fixture format) and baseline JPEG
-(pure-NumPy codec, ref/jpeg.py) decode for real; audio / real-video codecs
-are NOT present in this container, so those branches are explicit
-deterministic stubs (NotImplementedError) while the Spark-side plumbing —
-schema, batching, partitioning — is real and tested.
+feature-extract / resize / frame-sample / scene-cut run as
+Arrow-vectorized ``mapInPandas`` stages. TPAGE/TPBIT rasters, PNG
+(ref/png.py, full spec matrix), JPEG (ref/jpeg.py, baseline +
+progressive), GIF (ref/gif.py, LZW) and WAV audio (ops/audio.py) all
+decode for real; only COMPRESSED audio (mp3/aac) and real video codecs
+remain explicit deterministic stubs (NotImplementedError) — no codec
+library exists in this container — while the Spark-side plumbing
+(schema, batching, partitioning) is real and tested.
 """
 
 from __future__ import annotations
