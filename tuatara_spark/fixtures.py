@@ -169,6 +169,9 @@ def decode_payload(buf: bytes) -> np.ndarray:
     if magic == b"GIF8":
         from tuatara_spark.ref.gif import decode_gif
         return decode_gif(buf)
+    if magic[:2] == b"BM":
+        from tuatara_spark.ref.bmp import decode_bmp
+        return decode_bmp(buf)
     raise ValueError(f"unknown page payload magic {magic!r}")
 
 

@@ -32,6 +32,7 @@ _MAGICS = [
     (b"\xff\xd8\xff", "jpeg"),
     (b"RIFF", "riff"),
     (b"GIF8", "gif"),
+    (b"BM", "bmp"),
     (b"%PDF-", "pdf"),
     (b"<html", "html"),
     (b"<!DOC", "html"),
@@ -92,6 +93,11 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         from tuatara_spark.ref.gif import decode_gif
         img = decode_gif(buf)   # real decode: pure-Python LZW (ref/gif.py)
         return ("gif", img.shape[1], img.shape[0],
+                float(img.mean(dtype=np.float64)))
+    if buf[:2] == b"BM":
+        from tuatara_spark.ref.bmp import decode_bmp
+        img = decode_bmp(buf)   # real decode: pure-NumPy BMP (ref/bmp.py)
+        return ("bmp", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
     # formats this IMAGE-meta op does not decode: audio/video containers
     # have their own operators; true codec gaps stay explicit stubs
