@@ -172,6 +172,9 @@ def decode_payload(buf: bytes) -> np.ndarray:
     if magic[:2] == b"BM":
         from tuatara_spark.ref.bmp import decode_bmp
         return decode_bmp(buf)
+    if magic in (b"II*\x00", b"MM\x00*"):
+        from tuatara_spark.ref.tiff import decode_tiff
+        return decode_tiff(buf)
     raise ValueError(f"unknown page payload magic {magic!r}")
 
 

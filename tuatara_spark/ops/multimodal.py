@@ -33,6 +33,8 @@ _MAGICS = [
     (b"RIFF", "riff"),
     (b"GIF8", "gif"),
     (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
     (b"%PDF-", "pdf"),
     (b"<html", "html"),
     (b"<!DOC", "html"),
@@ -98,6 +100,11 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         from tuatara_spark.ref.bmp import decode_bmp
         img = decode_bmp(buf)   # real decode: pure-NumPy BMP (ref/bmp.py)
         return ("bmp", img.shape[1], img.shape[0],
+                float(img.mean(dtype=np.float64)))
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from tuatara_spark.ref.tiff import decode_tiff
+        img = decode_tiff(buf)  # real decode: pure-NumPy TIFF (ref/tiff.py)
+        return ("tiff", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
     # formats this IMAGE-meta op does not decode: audio/video containers
     # have their own operators; true codec gaps stay explicit stubs
