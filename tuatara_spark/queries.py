@@ -1978,28 +1978,35 @@ def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     44 + col·44 / 44 + row·52) and the ink ratio from the glyph bitmap
     popcounts — none of it computed by running the pipeline. The WIRE
     container varies by doc_id — TPBIT, interlaced 2-color GIF (LZW),
-    1-bit Adam7 PNG — all lossless for binary pages, so the analytic
-    oracle simultaneously pins all three codecs' decodes."""
+    1-bit Adam7 PNG, 8-bit BMP, bilevel LZW TIFF — all lossless for
+    binary pages, so ONE analytic oracle simultaneously pins every
+    raster codec's decode."""
     _ship_package(spark)
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(16)
             .selectExpr("cast(doc_id as string) AS url",
                         f"{CLEAN_SPARK} AS t"))
 
     def render(batches):
-        from tuatara_spark.ref import gif as G_, png as P_
+        from tuatara_spark.ref import bmp as B_, gif as G_, png as P_
+        from tuatara_spark.ref import tiff as T_
         for pdf in batches:
             payloads = []
             for u, t in zip(pdf["url"], pdf["t"]):
                 img = fx.render_page(t or "", 256, 256, 4)[0]
-                k = int(u) % 3
+                k = int(u) % 5
                 if k == 0:
                     payloads.append(fx.encode_tpbit(img))
                 elif k == 1:
                     payloads.append(G_.encode_gif(img, interlace=True))
-                else:
+                elif k == 2:
                     payloads.append(P_.encode_png(
                         img[..., 0], bit_depth=1, color_type=0,
                         interlace=True))
+                elif k == 3:
+                    payloads.append(B_.encode_bmp(img, bpp=8))
+                else:
+                    payloads.append(T_.encode_tiff(
+                        img, "lzw", bilevel=True, rows_per_strip=64))
             yield pd.DataFrame({"url": pdf["url"], "html": payloads})
 
     pages = docs.mapInPandas(render, "url string, html binary")
