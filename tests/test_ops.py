@@ -125,12 +125,14 @@ def test_multimodal_meta_and_thumbnail(spark, weights):
         [{"url": "x", "html": b"\x89PNG\r\n" + b"0" * 10},
          {"url": "p", "html": b"%PDF-1.4 x"},
          {"url": "w", "html": b"RIFFxxxxWAVE"},
+         {"url": "wp", "html": b"RIFFxxxxWEBPdata"},
+         {"url": "r", "html": b"RIFFxxxxAVI LIST"},
          {"url": "h", "html": b"<html><body>y"},
          {"url": "v", "html": b"TPV1\x01\x00"}])])
     stats = {r.format: r.n_payloads
              for r in multimodal.media_stats(spark.createDataFrame(mixed)).collect()}
-    assert stats == {"tpage": 4, "png": 1, "pdf": 1, "riff": 1,
-                     "html": 1, "tpgv": 1}
+    assert stats == {"tpage": 4, "png": 1, "pdf": 1, "wav": 1,
+                     "webp": 1, "riff": 1, "html": 1, "tpgv": 1}
     # PNG and JPEG decode for real now (ref/png.py, ref/jpeg.py): a
     # MALFORMED payload of either must come back as an error row, a VALID
     # jpeg as a real decode, and a format with no codec (audio) as a stub

@@ -42,13 +42,21 @@ _MAGICS = [
 
 
 def sniff_format_col(col: str = "html") -> "F.Column":
-    """Format from magic bytes — native Catalyst, no UDF."""
+    """Format from magic bytes — native Catalyst, no UDF. RIFF payloads
+    are disambiguated by their form type at offset 9 (WAVE → wav,
+    WEBP → webp, anything else stays riff)."""
     c = F.col(col)
     expr = F.lit("unknown")
     for magic, name in reversed(_MAGICS):
         hexmagic = magic.hex()
         expr = F.when(F.hex(F.substring(c, 1, len(magic)))
                       == F.lit(hexmagic.upper()), F.lit(name)).otherwise(expr)
+    is_riff = F.hex(F.substring(c, 1, 4)) == F.lit(b"RIFF".hex().upper())
+    form = F.hex(F.substring(c, 9, 4))
+    expr = F.when(is_riff & (form == F.lit(b"WAVE".hex().upper())),
+                  F.lit("wav")).otherwise(
+           F.when(is_riff & (form == F.lit(b"WEBP".hex().upper())),
+                  F.lit("webp")).otherwise(expr))
     return expr
 
 
@@ -108,6 +116,10 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
                 float(img.mean(dtype=np.float64)))
     # formats this IMAGE-meta op does not decode: audio/video containers
     # have their own operators; true codec gaps stay explicit stubs
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        raise NotImplementedError(
+            "webp: VP8/VP8L decode needs a codec library not present "
+            "in this environment")
     for magic, name in ((b"RIFF", "riff (use ops.audio.extract_audio_meta)"),
                         (b"TPV1", "tpgv (use frame_sample/scene_changes)"),
                         (b"%PDF-", "pdf (use extract_pdf_text_col)")):
