@@ -578,3 +578,47 @@ def test_redact_pii_order_and_counts(spark):
     r2 = rows[2]
     assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
     assert r2.redacted == "clean text with no pii at all"
+
+
+def test_adversarial_header_dims_rejected_fast():
+    """A payload whose header claims billions of pixels must raise
+    IMMEDIATELY (no multi-GB allocation, no hour-long MCU loop) — the
+    crawl-robustness guard shared by all ref codecs."""
+    import struct
+    import time as _t
+    import zlib as _z
+    from tuatara_spark.ref import bmp as B, gif as G, jpeg as J
+    from tuatara_spark.ref import png as P, tiff as T
+    t0 = _t.time()
+    # GIF: 65535x65535 logical screen
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0) + b"\x02\x00\x3b")
+    with pytest.raises(ValueError, match="implausible"):
+        G.decode_gif(gif)
+    # PNG: huge IHDR
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0)
+    png = (P.PNG_MAGIC + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+           + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", 0))
+    with pytest.raises(ValueError, match="implausible"):
+        P.decode_png(png)
+    # JPEG: 65535x65535 SOF0
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    jpg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+           + b"\xff\xd9")
+    with pytest.raises(ValueError, match="implausible"):
+        J.decode_jpeg(jpg)
+    # BMP: huge dims
+    bmp = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+           + struct.pack("<IiihHIIiiII", 40, 90000, 90000, 1, 24, 0, 0,
+                         0, 0, 0, 0))
+    with pytest.raises(ValueError, match="implausible"):
+        B.decode_bmp(bmp)
+    # TIFF: huge dims via LONG tags
+    ifd = bytearray(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 4))
+    for tag, val in ((256, 100000), (257, 100000), (273, 8), (279, 1)):
+        ifd += struct.pack("<HHII", tag, 4, 1, val)
+    ifd += struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="implausible"):
+        T.decode_tiff(bytes(ifd))
+    assert _t.time() - t0 < 5.0      # all five rejected without work

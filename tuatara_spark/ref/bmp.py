@@ -15,6 +15,8 @@ import struct
 
 import numpy as np
 
+from tuatara_spark.ref.guard import check_dims
+
 
 def decode_bmp(buf) -> np.ndarray:
     data = memoryview(buf).cast("B")
@@ -27,6 +29,7 @@ def decode_bmp(buf) -> np.ndarray:
     w, h, _planes, bpp, comp = struct.unpack_from("<iihHI", data, 18)
     top_down = h < 0
     h = abs(h)
+    check_dims(w, h, "bmp")
     if bpp not in (1, 4, 8, 24, 32):
         raise ValueError(f"BMP: {bpp}-bit unsupported")
     if comp not in (0, 1):                   # BI_RGB, BI_RLE8

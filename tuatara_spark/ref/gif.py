@@ -28,6 +28,8 @@ import struct
 
 import numpy as np
 
+from tuatara_spark.ref.guard import check_dims
+
 # interlaced GIF row order: (first row, step) per pass (spec appendix E)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -164,6 +166,7 @@ def decode_gif_frames(buf) -> list[np.ndarray]:
     if bytes(data[:6]) not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    check_dims(sw, sh, "gif")
     pos = 13
     gct = None
     if flags & 0x80:

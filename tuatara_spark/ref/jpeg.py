@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from tuatara_spark.ref.guard import check_dims
+
 # ---------------------------------------------------------------------------
 # Shared tables (ITU-T T.81 Annex K — published example tables)
 # ---------------------------------------------------------------------------
@@ -271,6 +273,7 @@ def decode_jpeg(buf) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            check_dims(w, h, "jpeg")
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
             for c in range(nc):

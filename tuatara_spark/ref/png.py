@@ -23,6 +23,8 @@ import zlib
 
 import numpy as np
 
+from tuatara_spark.ref.guard import check_dims
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # samples per pixel by color type
@@ -229,6 +231,7 @@ def decode_png(buf: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    check_dims(width, height, "png")
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if bit_depth not in _DEPTHS[color_type]:

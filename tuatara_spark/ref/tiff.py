@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from tuatara_spark.ref.guard import check_dims
+
 # tag ids (TIFF 6.0 §8)
 _WIDTH, _LENGTH, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
@@ -196,6 +198,7 @@ def decode_tiff(buf) -> np.ndarray:
             tags[tag] = [int(v) for v in vals]
     w = tags[_WIDTH][0]
     h = tags[_LENGTH][0]
+    check_dims(w, h, "tiff")
     bits = tags.get(_BITS, [1])
     spp = tags.get(_SPP, [1])[0]
     comp = tags.get(_COMP, [1])[0]
