@@ -161,3 +161,42 @@ def test_new_text_html_ops_stay_jvm_side(spark):
     assert "partial_max_by" in plans["block"].lower() or \
         "HashAggregate" in plans["block"]
     assert "Window" not in plans["block"]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located-join story, demonstrated: two tables bucketed and
+    sorted on the join key join with NO Exchange on either side — the
+    shuffle happened once at write time, which is the 100 TB trade for
+    any dimension joined repeatedly. (AQE is disabled for the explain:
+    it hides pre-execution plan shape.)"""
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_other")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS v")
+        other = spark.range(800).selectExpr("id AS doc_id", "id % 5 AS w")
+        (docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / "b_docs"))
+         .mode("overwrite").saveAsTable("b_docs"))
+        (other.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / "b_other"))
+         .mode("overwrite").saveAsTable("b_other"))
+        j = spark.table("b_docs").join(spark.table("b_other"), "doc_id")
+        plan = _explain(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 800
+        # contrast: the same join over plain parquet DOES exchange
+        docs.write.mode("overwrite").parquet(str(tmp_path / "p1"))
+        other.write.mode("overwrite").parquet(str(tmp_path / "p2"))
+        plain = (spark.read.parquet(str(tmp_path / "p1"))
+                 .join(spark.read.parquet(str(tmp_path / "p2")), "doc_id"))
+        assert "Exchange" in _explain(plain)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_other")
