@@ -1,0 +1,111 @@
+"""WARC/1.0 container source: round trips, record framing, HTTP codings,
+resync on corruption, and the Spark binaryFile reader path."""
+
+import gzip
+
+import pytest
+
+from tuatara_spark.sources import warc as W
+
+
+def _pages(n=5):
+    pages = []
+    for i in range(n):
+        pages.append({
+            "url": f"https://example.org/p/{i}",
+            "date": f"2026-01-01T0{i}:00:00Z",
+            "status": 200 if i % 2 == 0 else 301,
+            "reason": "OK" if i % 2 == 0 else "Moved Permanently",
+            "content_type": "text/html",
+            "body": f"<html><body>page {i} körper</body></html>".encode(),
+            "chunked": i % 3 == 1,
+            "gzip_body": i % 3 == 2,
+        })
+    return pages
+
+
+@pytest.mark.parametrize("per_record_gzip", [True, False])
+def test_round_trip(per_record_gzip):
+    pages = _pages()
+    blob = W.encode_warc(pages, per_record_gzip=per_record_gzip)
+    rows = W.warc_rows(blob, source="f0")
+    assert [r["error"] for r in rows] == [""] * len(pages)
+    assert len(rows) == len(pages)  # warcinfo/request/metadata filtered
+    for r, p in zip(rows, pages):
+        assert r["url"] == p["url"]
+        assert r["warc_ts"] == p["date"]
+        assert r["status"] == p["status"]
+        assert r["content_type"] == "text/html"
+        assert r["html"] == p["body"]  # codings undone exactly
+
+
+def test_gzip_member_split_is_per_record():
+    pages = _pages(3)
+    blob = W.encode_warc(pages, per_record_gzip=True)
+    members = list(W.split_gzip_members(blob))
+    # warcinfo + 3 × (request, response, metadata)
+    assert len(members) == 1 + 3 * 3
+    assert all(m.startswith(b"WARC/1.0\r\n") for m in members)
+
+
+def test_chunked_decoding_multi_chunk():
+    body = b"A" * 100 + b"B" * 100
+    block = W.http_response(200, "OK", {"Content-Type": "text/plain"},
+                            body, chunked=True)
+    assert b"Transfer-Encoding: chunked" in block
+    assert b"64\r\n" in block  # two 0x64-byte chunks
+    status, headers, got = W.parse_http_response(block)
+    assert (status, got) == (200, body)
+
+
+def test_content_encoding_gzip():
+    body = b"compress me " * 50
+    block = W.http_response(200, "OK", {}, body, gzip_body=True)
+    assert gzip.decompress(block.split(b"\r\n\r\n", 1)[1]) == body
+    _, headers, got = W.parse_http_response(block)
+    assert headers["content-encoding"] == "gzip"
+    assert got == body
+
+
+def test_resync_after_bad_content_length():
+    pages = _pages(3)
+    blob = W.encode_warc(pages, per_record_gzip=False)
+    # corrupt the FIRST response record's Content-Length digits
+    idx = blob.find(b"msgtype=response")
+    cl = blob.find(b"Content-Length: ", idx)
+    bad = blob[:cl + 16] + b"99999999" + blob[cl + 16:]
+    rows = W.warc_rows(bad, source="f0")
+    errors = [r for r in rows if r["error"]]
+    ok = [r for r in rows if not r["error"]]
+    assert errors, "corrupt frame must surface an error row"
+    # later records survive the resync
+    assert {r["url"] for r in ok} >= {pages[1]["url"], pages[2]["url"]}
+
+
+def test_truncation_never_raises():
+    blob = W.encode_warc(_pages(2), per_record_gzip=True)
+    for cut in range(0, len(blob), max(1, len(blob) // 23)):
+        rows = W.warc_rows(blob[:cut], source="t")  # must not raise
+        assert isinstance(rows, list)
+    # flipped bytes in the gzip stream must not raise either
+    for pos in range(8, len(blob), max(1, len(blob) // 17)):
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0xFF
+        assert isinstance(W.warc_rows(bytes(mutated), source="m"), list)
+
+
+def test_read_warc_spark(spark, tmp_path):
+    pages = _pages(4)
+    p1 = tmp_path / "a.warc.gz"
+    p2 = tmp_path / "b.warc"
+    p1.write_bytes(W.encode_warc(pages[:2], per_record_gzip=True))
+    p2.write_bytes(W.encode_warc(pages[2:], per_record_gzip=False))
+    df = W.read_warc(spark, str(tmp_path))
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {p["url"] for p in pages}
+    for p in pages:
+        r = rows[p["url"]]
+        assert r.error == ""
+        assert bytes(r.html) == p["body"]
+        assert r.status == p["status"]
+        assert r.source.endswith(("a.warc.gz", "b.warc"))

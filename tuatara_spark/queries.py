@@ -2048,6 +2048,97 @@ FROM ink ORDER BY url
 """
 
 
+def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container ingest (sources/warc.py): synthesize 4 Common-Crawl
+    style .warc(.gz) containers from the first 32 documents — each file
+    holds request+response+metadata record triples for 8 pages, half the
+    files per-record-gzip'd (the CC layout), half plain concatenation —
+    then parse them back through the real reader. Per doc the HTTP
+    response varies: content type (html wrapper vs text/plain), transfer
+    coding (identity / RFC 9112 chunked / Content-Encoding gzip), and
+    status (404 every 8th). The oracle reconstructs every output field
+    analytically from doc_id + the shared CLEAN expression, so the whole
+    container round trip (gzip member split → record framing → HTTP parse
+    → de-chunk → gunzip) is pinned exactly."""
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(32)
+            .selectExpr("doc_id", f"{CLEAN_SPARK} AS t",
+                        "cast(doc_id % 4 as int) AS file_id"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from datetime import datetime, timedelta
+
+        from tuatara_spark.sources import warc as W
+        pdf = pdf.sort_values("doc_id")
+        pages = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            doc_id = int(doc_id)
+            t = t or ""
+            html = doc_id % 2 == 0
+            body = (f"<html><body><p>{t}</p></body></html>" if html
+                    else t).encode()
+            pages.append({
+                "url": f"https://example.org/doc/{doc_id}",
+                "date": (datetime(2026, 1, 1)
+                         + timedelta(hours=doc_id)).strftime(
+                             "%Y-%m-%dT%H:%M:%SZ"),
+                "status": 404 if doc_id % 8 == 7 else 200,
+                "reason": "Not Found" if doc_id % 8 == 7 else "OK",
+                "content_type": "text/html" if html else "text/plain",
+                "body": body,
+                "chunked": doc_id % 3 == 1,
+                "gzip_body": doc_id % 3 == 2,
+            })
+        fid = int(pdf["file_id"].iloc[0])
+        blob = W.encode_warc(pages, per_record_gzip=(fid % 2 == 0))
+        return pd.DataFrame({"file_id": [fid], "content": [blob]})
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build, "file_id int, content binary")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tuatara_spark.sources import warc as W
+        cols = ["source", "url", "warc_ts", "status", "content_type",
+                "html", "error"]
+        for pdf in batches:
+            out: list[dict] = []
+            for fid, c in zip(pdf["file_id"], pdf["content"]):
+                out.extend(W.warc_rows(bytes(c), source=str(fid)))
+            yield pd.DataFrame(out, columns=cols)
+
+    from tuatara_spark.sources import warc as W
+    recs = files.mapInPandas(parse, W.WARC_SCHEMA)
+    return (recs.where(F.col("error") == "")
+            .select("url", "warc_ts",
+                    F.col("status").cast("int").alias("status"),
+                    "content_type",
+                    F.length("html").cast("long").alias("body_len"),
+                    F.decode("html", "UTF-8").alias("body_text"))
+            .orderBy("url"))
+
+
+_WARC_INGEST_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 32),
+b AS (
+  SELECT doc_id,
+         'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         strftime(TIMESTAMP '2026-01-01 00:00:00' + to_hours(doc_id),
+                  '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+         CASE WHEN doc_id % 8 = 7 THEN 404 ELSE 200 END AS status,
+         CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+              ELSE 'text/plain' END AS content_type,
+         CASE WHEN doc_id % 2 = 0
+              THEN '<html><body><p>' || t || '</p></body></html>'
+              ELSE t END AS body
+  FROM c)
+SELECT url, warc_ts, CAST(status AS INT) AS status, content_type,
+       CAST(length(body) AS BIGINT) AS body_len, body AS body_text
+FROM b ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2116,6 +2207,7 @@ REGISTRY: dict[str, tuple] = {
     "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
+    "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
 }
 

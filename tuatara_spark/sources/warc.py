@@ -1,0 +1,297 @@
+"""WARC/1.0 container source — Common Crawl's wire format.
+
+Clean-room implementation from PUBLIC specifications only:
+
+* ISO 28500 / the IIPC WARC-1.0 spec (record grammar: version line,
+  named headers, ``Content-Length`` block framing, CRLF CRLF record
+  separator);
+* RFC 9112 (HTTP/1.1 message framing; §7.1 chunked transfer coding);
+* RFC 1952 (gzip; multi-member streams — Common Crawl stores ONE gzip
+  member PER RECORD so byte-range readers can seek to a record without
+  decompressing the whole file).
+
+The reference pipeline (tuatara.cpp:12-36) consumes pre-extracted page
+images from a directory; at crawl scale the pages arrive inside WARC
+containers, so this module is the missing ingest edge: it maps
+``*.warc(.gz)`` files to the canonical ``(url, warc_ts, html)`` page
+table every other operator in this repo consumes (BASELINE.json
+input_hint).
+
+Scale notes (100 TB): Common Crawl ships ~1 GB .warc.gz files; one
+Spark task per file is the natural unit (the whole-file gzip stream is
+inherently sequential), so parallelism = file count — a 100 TB crawl is
+~100k files, far above any executor count. ``read_warc`` reads files
+via the ``binaryFile`` source and parses in an Arrow-batched
+``mapInPandas``; record rows stream out with only (url, ts, headers,
+body) — the container wrapper never crosses a shuffle. Malformed
+records become ERROR ROWS, never failed tasks: one corrupt record in a
+trillion-row crawl must not kill a stage, and the parser RESYNCS to the
+next ``WARC/1.0`` magic so a single bad Content-Length does not eat the
+rest of the file.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+CRLF = b"\r\n"
+_MAGIC = b"WARC/1.0" + CRLF
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixture/egress side)
+# ---------------------------------------------------------------------------
+
+def _record(rtype: str, headers: dict[str, str], block: bytes) -> bytes:
+    """One WARC record: version line, headers, blank line, block, and the
+    two CRLFs that terminate every record (WARC-1.0 §4)."""
+    lines = [b"WARC/1.0"]
+    merged = {"WARC-Type": rtype, **headers,
+              "Content-Length": str(len(block))}
+    for k, v in merged.items():
+        lines.append(f"{k}: {v}".encode())
+    return CRLF.join(lines) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def http_response(status: int, reason: str, headers: dict[str, str],
+                  body: bytes, *, chunked: bool = False,
+                  gzip_body: bool = False) -> bytes:
+    """Serialize an HTTP/1.1 response block (the payload of a WARC
+    ``response`` record). ``chunked`` applies RFC 9112 §7.1 transfer
+    coding; ``gzip_body`` applies Content-Encoding: gzip (mtime pinned to
+    0 so output is deterministic)."""
+    hdrs = dict(headers)
+    if gzip_body:
+        body = gzip.compress(body, mtime=0)
+        hdrs["Content-Encoding"] = "gzip"
+    if chunked:
+        hdrs["Transfer-Encoding"] = "chunked"
+        out = b""
+        # split into two chunks when possible so multi-chunk parsing is
+        # actually exercised, not just the 1-chunk degenerate case
+        cut = max(1, len(body) // 2) if body else 0
+        for piece in ([body[:cut], body[cut:]] if body else []):
+            if piece:
+                out += f"{len(piece):x}".encode() + CRLF + piece + CRLF
+        body = out + b"0" + CRLF + CRLF
+    else:
+        hdrs["Content-Length"] = str(len(body))
+    head = [f"HTTP/1.1 {status} {reason}".encode()]
+    for k, v in hdrs.items():
+        head.append(f"{k}: {v}".encode())
+    return CRLF.join(head) + CRLF + CRLF + body
+
+
+def encode_warc(pages: list[dict], *, per_record_gzip: bool = True) -> bytes:
+    """Serialize pages as a .warc(.gz) byte stream.
+
+    Each page dict: ``url``, ``date`` (ISO-8601 ``...Z``), ``status``,
+    ``content_type``, ``body`` (bytes), optional ``chunked`` /
+    ``gzip_body`` booleans. Emits the realistic record mix — a leading
+    ``warcinfo``, then per page a ``request`` + ``response`` +
+    ``metadata`` triple — so readers must FILTER BY WARC-Type rather
+    than assume response-only files. ``per_record_gzip=True`` emits one
+    gzip member per record (Common Crawl layout); ``False`` emits the
+    uncompressed concatenation."""
+    records: list[bytes] = []
+    info = b"software: tuatara-spark-fixture/1.0" + CRLF
+    records.append(_record("warcinfo", {
+        "WARC-Date": pages[0]["date"] if pages else "2026-01-01T00:00:00Z",
+        "Content-Type": "application/warc-fields",
+    }, info))
+    for p in pages:
+        req = (f"GET {p['url']} HTTP/1.1".encode() + CRLF
+               + b"Host: example.org" + CRLF + CRLF)
+        records.append(_record("request", {
+            "WARC-Target-URI": p["url"], "WARC-Date": p["date"],
+            "Content-Type": "application/http; msgtype=request",
+        }, req))
+        block = http_response(
+            p["status"], p.get("reason", "OK"),
+            {"Content-Type": p["content_type"]}, p["body"],
+            chunked=p.get("chunked", False),
+            gzip_body=p.get("gzip_body", False))
+        records.append(_record("response", {
+            "WARC-Target-URI": p["url"], "WARC-Date": p["date"],
+            "Content-Type": "application/http; msgtype=response",
+        }, block))
+        records.append(_record("metadata", {
+            "WARC-Target-URI": p["url"], "WARC-Date": p["date"],
+            "Content-Type": "application/warc-fields",
+        }, b"fetchTimeMs: 7" + CRLF))
+    if per_record_gzip:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream, yielding one bytes object
+    per member (RFC 1952 allows arbitrary concatenation; stdlib
+    ``gzip.decompress`` would flatten the boundaries we need)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(data[pos:])
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # no forward progress — corrupt tail
+            raise ValueError("gzip member made no progress")
+        pos += consumed
+
+
+def _decompress(data: bytes) -> bytes:
+    if data[:2] == _GZ_MAGIC:
+        return b"".join(split_gzip_members(data))
+    return data
+
+
+def _parse_headers(text: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in text.split(CRLF):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.decode("latin-1").strip().lower()] = \
+                v.decode("latin-1").strip()
+    return headers
+
+
+def iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes, str]]:
+    """Yield ``(warc_headers, block, error)`` per record from an
+    UNCOMPRESSED WARC stream. Framing is by ``Content-Length``; on a
+    broken frame the parser emits an error tuple and RESYNCS by scanning
+    for the next ``WARC/1.0`` version line."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(_MAGIC, pos)
+        if start < 0:
+            if data[pos:].strip():
+                yield {}, b"", "trailing bytes with no WARC/1.0 magic"
+            return
+        if start > pos and data[pos:start].strip():
+            yield {}, b"", "unframed bytes before next record"
+        head_end = data.find(CRLF + CRLF, start)
+        if head_end < 0:
+            yield {}, b"", "unterminated record header"
+            return
+        headers = _parse_headers(data[start + len(_MAGIC):head_end])
+        try:
+            length = int(headers["content-length"])
+            if length < 0 or head_end + 4 + length > n:
+                raise ValueError
+        except (KeyError, ValueError):
+            yield headers, b"", "bad or missing Content-Length"
+            pos = start + len(_MAGIC)  # resync after this magic
+            continue
+        block_start = head_end + 4
+        yield headers, data[block_start:block_start + length], ""
+        pos = block_start + length
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_token = body[pos:eol].split(b";")[0].strip()
+        size = int(size_token, 16)
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size > len(body):
+            raise ValueError("chunked body: truncated chunk")
+        out.append(body[pos:pos + size])
+        pos += size + 2  # skip chunk-data CRLF
+    return b"".join(out)
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Parse an HTTP/1.1 response block into (status, headers, body),
+    undoing chunked transfer coding and gzip content coding."""
+    head_end = block.find(CRLF + CRLF)
+    if head_end < 0:
+        raise ValueError("http block: no header terminator")
+    head = block[:head_end].split(CRLF)
+    status_line = head[0].split(None, 2)
+    if len(status_line) < 2 or not status_line[0].startswith(b"HTTP/"):
+        raise ValueError("http block: bad status line")
+    status = int(status_line[1])
+    headers = _parse_headers(CRLF.join(head[1:]))
+    body = block[head_end + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    if headers.get("content-encoding", "").lower() == "gzip":
+        body = gzip.decompress(body)
+    return status, headers, body
+
+
+def warc_rows(data: bytes, source: str = "") -> list[dict]:
+    """All response records of one WARC container as flat row dicts.
+    Corrupt records/blocks become rows with ``error`` set — the Spark
+    task never fails on bad input bytes."""
+    rows: list[dict] = []
+    try:
+        stream = _decompress(data)
+    except Exception as e:  # corrupt gzip container
+        return [{"source": source, "url": "", "warc_ts": "", "status": 0,
+                 "content_type": "", "html": b"",
+                 "error": f"container: {e}"}]
+    for headers, block, err in iter_records(stream):
+        if err:
+            rows.append({"source": source, "url": headers.get(
+                "warc-target-uri", ""), "warc_ts": headers.get(
+                "warc-date", ""), "status": 0, "content_type": "",
+                "html": b"", "error": err})
+            continue
+        if headers.get("warc-type") != "response":
+            continue  # request/metadata/warcinfo records
+        row = {"source": source,
+               "url": headers.get("warc-target-uri", ""),
+               "warc_ts": headers.get("warc-date", ""),
+               "status": 0, "content_type": "", "html": b"", "error": ""}
+        try:
+            status, http_headers, body = parse_http_response(block)
+            row.update(status=status, html=body,
+                       content_type=http_headers.get("content-type", ""))
+        except Exception as e:
+            row["error"] = f"http: {e}"
+        rows.append(row)
+    return rows
+
+
+WARC_SCHEMA = ("source string, url string, warc_ts string, status int, "
+               "content_type string, html binary, error string")
+
+
+def read_warc(spark, path: str):
+    """``*.warc(.gz)`` files → DataFrame(source, url, warc_ts, status,
+    content_type, html, error) — the canonical page table.
+
+    One ``binaryFile`` row per file (CC-sized ~1 GB units), parsed in an
+    Arrow-batched ``mapInPandas``; downstream repartition() spreads
+    records when per-file row counts are skewed."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                out.extend(warc_rows(bytes(c), source=p))
+            yield pd.DataFrame(
+                out, columns=["source", "url", "warc_ts", "status",
+                              "content_type", "html", "error"])
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
