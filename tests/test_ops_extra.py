@@ -622,3 +622,42 @@ def test_adversarial_header_dims_rejected_fast():
     with pytest.raises(ValueError, match="implausible"):
         T.decode_tiff(bytes(ifd))
     assert _t.time() - t0 < 5.0      # all five rejected without work
+
+
+def test_segment_dedup_semantics(spark):
+    from tuatara_spark.ops import dedup
+    rows = [
+        # "x y z" chunk repeats across docs 1 and 2 -> dropped from both
+        (1, "x y z a b c"),
+        (2, "x y z d e f"),
+        # doc 3: "g h i" also occurs as doc 5's whole text -> cross-doc drop
+        (3, "g h i j k l"),
+        # doc 4: same segment twice WITHIN one doc counts globally -> both go
+        (4, "m n o m n o"),
+        # doc 5: everything repeated -> rebuilt empty but row kept
+        (5, "g h i"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.segment_dedup(df, seg_tokens=3, min_count=2).collect()}
+    assert out[1].text_dedup == "a b c" and out[1].n_kept == 1
+    assert out[2].text_dedup == "d e f"
+    assert out[3].text_dedup == "j k l" and out[3].n_kept == 1
+    assert out[4].text_dedup == "" and out[4].n_kept == 0
+    assert out[5].text_dedup == "" and out[5].n_segs == 1
+    # tail chunk shorter than seg_tokens is its own segment
+    df2 = spark.createDataFrame([(1, "a b c d"), (2, "d")],
+                                "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            dedup.segment_dedup(df2, seg_tokens=3, min_count=2).collect()}
+    assert out2[1].n_segs == 2 and out2[1].text_dedup == "a b c"
+    assert out2[2].text_dedup == ""
+
+
+def test_segment_dedup_drop_join_is_broadcast(spark):
+    from tuatara_spark.ops import dedup
+    df = spark.createDataFrame([(i, "w x y z") for i in range(50)],
+                               "doc_id long, text string")
+    plan = dedup.segment_dedup(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan

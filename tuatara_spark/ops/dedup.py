@@ -409,3 +409,57 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def segment_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seg_tokens: int = 8,
+                  min_count: int = 2,
+                  broadcast_drop: bool = True) -> DataFrame:
+    """C4-style repeated-segment removal (Raffel et al. 2020 §2.2 drop any
+    three-sentence span occurring more than once in the corpus; CCNet's
+    line-level analogue): split each document into non-overlapping
+    ``seg_tokens``-token segments, count each segment's GLOBAL occurrences
+    (within-document repeats count too), and rebuild every document
+    keeping only segments seen fewer than ``min_count`` times.
+
+    Returns (id_col, n_segs, n_kept, text_dedup) with documents whose
+    segments ALL drop kept as empty strings — a row per input document,
+    always.
+
+    Pure Catalyst: tokenize + chunk are shuffle-free ``transform`` /
+    ``slice`` HOFs over the token array; the only shuffles are the
+    segment-count groupBy (map-side partial aggregation — one row per
+    DISTINCT segment crosses the wire) and the per-document rebuild.
+    Scale: the drop list holds only segments with count ≥ min_count —
+    boilerplate is a small fraction of distinct segments, so it
+    broadcasts (C4 reports ~0.02% of spans dropped); set
+    ``broadcast_drop=False`` to fall back to a shuffle anti-join when a
+    pathological corpus makes it large. The left_anti + groupBy rebuild
+    reuses the explode's (id, seg_idx) partitioning."""
+    k = int(seg_tokens)
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    # guard: sequence(0, -1) would generate a DESCENDING range
+    segs = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.posexplode(segs)
+                         .alias("seg_idx", "seg"))
+    drop = (exploded.groupBy("seg").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count).select("seg"))
+    if broadcast_drop:
+        drop = F.broadcast(drop)
+    kept = exploded.join(drop, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("seg_idx", "seg"))), lambda s: s["seg"]),
+            " ").alias("text_dedup"))
+    totals = df.select(F.col(id_col), nseg.alias("n_segs"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col, "n_segs",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))

@@ -2117,6 +2117,41 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-segment removal over the whole corpus
+    (ops/dedup.segment_dedup): 3-token segments seen ≥2 times globally
+    are dropped and every document is rebuilt in order — planted exact
+    duplicates guarantee drops at every sf. Fully exact: segment chunking,
+    the global count, the anti-join, and the ordered rebuild all have
+    ANSI-SQL equivalents."""
+    out = dedup.segment_dedup(_docs(spark, sf_dir), seg_tokens=3,
+                              min_count=2)
+    return (out.select("doc_id", "n_segs", "n_kept",
+                       F.substring("text_dedup", 1, 32).alias("head"))
+            .orderBy("doc_id"))
+
+
+_SEGMENT_DEDUP_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS tk FROM t),
+seg AS (SELECT doc_id, CAST((pos - 1) // 3 AS BIGINT) AS seg_idx,
+               string_agg(tk, ' ' ORDER BY pos) AS seg
+        FROM tok GROUP BY doc_id, seg_idx),
+drp AS (SELECT seg FROM seg GROUP BY seg HAVING count(*) >= 2),
+kept AS (SELECT doc_id, seg_idx, seg FROM seg
+         WHERE seg NOT IN (SELECT seg FROM drp)),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(ceil(len(toks) / 3.0) AS INT) AS n_segs FROM t)
+SELECT tot.doc_id, n_segs,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       substr(coalesce(text_dedup, ''), 1, 32) AS head
+FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+"""
+
+
 _WARC_INGEST_SQL = f"""
 WITH c AS (
   SELECT doc_id, {CLEAN_DUCK} AS t
@@ -2208,6 +2243,7 @@ REGISTRY: dict[str, tuple] = {
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
+    "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
 }
 
