@@ -1,0 +1,101 @@
+"""Charset sniffing + decoding of raw crawl payload bytes → text.
+
+The step between WARC ingest (``sources/warc.py`` yields ``html`` as raw
+BYTES) and every text operator in this repo: real crawls are a mix of
+UTF-8, Latin-1 and UTF-16 with and without BOMs, and mis-decoding is
+permanent corpus damage. Detection follows the WHATWG encoding-sniffing
+order (public spec): byte-order mark first, then a ``<meta charset=…>`` /
+``http-equiv`` scan of the head, then the UTF-8 default. The meta scan
+reads the bytes through an ISO-8859-1 view — the lossless byte→char
+mapping — so it is safe on arbitrary binary.
+
+Everything is PURE CATALYST: Spark's ``decode`` takes only literal
+charset names, so the per-row variable charset is a CASE over the
+supported branches, each a JVM-side ``decode`` — no Python in the path,
+whole-stage codegen, and (for the BOM/meta branches the oracle exercises)
+exactly reproducible analytically. At 10^12 rows this is a shuffle-free
+projection on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# labels are OUR canonical names; the decode CASE maps them to JVM charsets
+UTF8, UTF8_BOM = "utf-8", "utf-8-bom"
+UTF16LE, UTF16BE = "utf-16le", "utf-16be"
+LATIN1, CP1252 = "iso-8859-1", "windows-1252"
+
+_META_RE = r'(?i)charset\s*=\s*["\']?([A-Za-z0-9_\-]+)'
+_MAX = 2147483647
+
+
+def charset_col(bin_col: str = "html") -> F.Column:
+    """WHATWG-ordered charset sniff: BOM > meta tag > UTF-8 default."""
+    c = F.col(bin_col)
+    meta = F.lower(F.regexp_extract(
+        F.decode(F.substring(c, 1, 4096), "ISO-8859-1"), _META_RE, 1))
+    return (
+        F.when(F.hex(F.substring(c, 1, 3)) == "EFBBBF", F.lit(UTF8_BOM))
+        .when(F.hex(F.substring(c, 1, 2)) == "FFFE", F.lit(UTF16LE))
+        .when(F.hex(F.substring(c, 1, 2)) == "FEFF", F.lit(UTF16BE))
+        .when(meta.isin("utf-8", "utf8"), F.lit(UTF8))
+        .when(meta.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1"),
+              F.lit(LATIN1))
+        .when(meta.isin("windows-1252", "cp1252"), F.lit(CP1252))
+        .otherwise(F.lit(UTF8)))
+
+
+# cp1252 differs from ISO-8859-1 only in 0x80–0x9F; Spark 4's decode()
+# rejects non-allowlisted charsets, so map that range with translate()
+# over the lossless Latin-1 view (the 5 undefined bytes stay as C1 chars)
+_CP1252_SRC = "".join(chr(b) for b in range(0x80, 0xA0)
+                      if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D))
+_CP1252_DST = bytes(b for b in range(0x80, 0xA0)
+                    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+                    ).decode("cp1252")
+
+# Spark 4's decode() THROWS on malformed input (MALFORMED_CHARACTER_CODING)
+# — at 10^12 rows one broken page must not kill a task, so every branch
+# below is total: UTF-8 goes through make_valid_utf8 (U+FFFD repair),
+# Latin-1/cp1252 accept every byte, and UTF-16 is pre-validated with a
+# surrogate-pairing regex over the hex view (invalid rows → NULL text, the
+# explicit undecodable signal). The hex doubling only costs on the rare
+# UTF-16 rows — the branch is lazy per row.
+_U16_UNIT = "(?:[0-9A-CE-F][0-9A-F]|D[0-7])"
+_VALID_U16LE = f"^(?:..{_U16_UNIT}|..D[89AB]..D[C-F])*$"
+_VALID_U16BE = f"^(?:{_U16_UNIT}..|D[89AB]..D[C-F]..)*$"
+
+
+def decoded_col(bin_col: str, cs: F.Column) -> F.Column:
+    """Total (never-throwing) decode of bytes under the sniffed charset:
+    UTF-8 malformed sequences become U+FFFD, invalid UTF-16 (odd length /
+    broken surrogate pairs) becomes NULL. Java's UTF-16 decoder consumes
+    the BOM and picks endianness itself, so both UTF-16 branches share
+    it; the UTF-8 BOM is stripped explicitly."""
+    c = F.col(bin_col)
+    utf8 = F.make_valid_utf8(c.cast("string"))
+    utf8_bom = F.make_valid_utf8(F.substring(c, 4, _MAX).cast("string"))
+    body_hex = F.hex(F.substring(c, 3, _MAX))  # after the 2-byte BOM
+    u16_ok = (F.length(c) % 2 == 0) & F.when(
+        cs == UTF16LE, body_hex.rlike(_VALID_U16LE)).otherwise(
+        body_hex.rlike(_VALID_U16BE))
+    utf16 = F.when(u16_ok, F.decode(c, "UTF-16")).otherwise(F.lit(None))
+    return (
+        F.when(cs == UTF8_BOM, utf8_bom)
+        .when(cs.isin(UTF16LE, UTF16BE), utf16)
+        .when(cs == LATIN1, F.decode(c, "ISO-8859-1"))
+        .when(cs == CP1252,
+              F.translate(F.decode(c, "ISO-8859-1"),
+                          _CP1252_SRC, _CP1252_DST))
+        .otherwise(utf8))
+
+
+def sniff_decode(df: DataFrame, bin_col: str = "html",
+                 out_col: str = "text",
+                 charset_out: str = "charset") -> DataFrame:
+    """(… html:binary …) → + (charset:string, text:string). One
+    projection, no shuffle, no Python."""
+    cs = charset_col(bin_col)
+    return (df.withColumn(charset_out, cs)
+            .withColumn(out_col, decoded_col(bin_col, F.col(charset_out))))

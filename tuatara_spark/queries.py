@@ -2117,6 +2117,67 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_charset_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode (ops/encoding.py): synthesize payload BYTES
+    in five real crawl encodings — UTF-8 via meta tag, UTF-8 with BOM,
+    ISO-8859-1 via meta tag, UTF-16LE and UTF-16BE via BOM, each carrying
+    non-ASCII content (é € ±) — then sniff and decode them back. BOTH
+    directions are pure Catalyst (encode/decode/regexp CASE, shuffle-free
+    projections); the oracle states the expected decoded text analytically
+    per doc_id, so a wrong sniff order, unstripped BOM, or wrong-endian
+    decode all hash-mismatch."""
+    from tuatara_spark.ops import encoding
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(40)
+            .selectExpr("doc_id", "cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS t"))
+    k = F.col("doc_id") % 5
+    s_utf = F.concat(
+        F.lit('<html><head><meta charset="utf-8"></head><body>'),
+        F.col("t"), F.lit(" é€</body></html>"))
+    s_plain = F.concat(F.lit("<html><body>"), F.col("t"),
+                       F.lit(" é€</body></html>"))
+    s_lat = F.concat(
+        F.lit('<html><head><meta charset="iso-8859-1"></head><body>'),
+        F.col("t"), F.lit(" é±</body></html>"))
+    payload = (
+        F.when(k == 0, F.encode(s_utf, "UTF-8"))
+        .when(k == 1, F.concat(F.lit(b"\xef\xbb\xbf"),
+                               F.encode(s_plain, "UTF-8")))
+        .when(k == 2, F.encode(s_lat, "ISO-8859-1"))
+        .when(k == 3, F.concat(F.lit(b"\xff\xfe"),
+                               F.encode(s_plain, "UTF-16LE")))
+        .otherwise(F.concat(F.lit(b"\xfe\xff"),
+                            F.encode(s_plain, "UTF-16BE"))))
+    pages = docs.select("url", payload.alias("html"))
+    out = encoding.sniff_decode(pages)
+    return (out.select("url", "charset", "text",
+                       F.length("text").alias("n_chars"))
+            .orderBy("url"))
+
+
+_CHARSET_SQL = f"""
+WITH c AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 40),
+b AS (
+  SELECT url, doc_id % 5 AS k,
+    CASE doc_id % 5
+      WHEN 0 THEN '<html><head><meta charset="utf-8"></head><body>'
+                  || t || ' é€</body></html>'
+      WHEN 2 THEN '<html><head><meta charset="iso-8859-1"></head><body>'
+                  || t || ' é±</body></html>'
+      ELSE '<html><body>' || t || ' é€</body></html>'
+    END AS text
+  FROM c)
+SELECT url,
+       CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+              WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-16le'
+              ELSE 'utf-16be' END AS charset,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM b ORDER BY url
+"""
+
+
 def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style repeated-segment removal over the whole corpus
     (ops/dedup.segment_dedup): 3-token segments seen ≥2 times globally
@@ -2244,6 +2305,7 @@ REGISTRY: dict[str, tuple] = {
     "frame_sample_docs": (q_frame_sample_docs, _frame_sample_sql()),
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
+    "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
 }
 
