@@ -1,0 +1,92 @@
+"""Training-data assembly ops: deterministic sampling, sequence packing,
+hashed-linear scoring — semantics + plan shape."""
+
+import pandas as pd
+
+from tuatara_spark.ops import training
+
+
+def test_deterministic_sample_reproducible_and_calibrated(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in
+         training.deterministic_sample(df, 0.3, salt="sA").collect()}
+    b = {r.doc_id for r in
+         training.deterministic_sample(df, 0.3, salt="sA").collect()}
+    assert a == b                          # run-to-run identical
+    assert abs(len(a) / 20000 - 0.3) < 0.02   # calibrated rate
+    c = {r.doc_id for r in
+         training.deterministic_sample(df, 0.3, salt="sB").collect()}
+    assert c != a                          # salt changes the subsample
+    # nesting property: rate 0.1 sample is a SUBSET of rate 0.3 (same salt)
+    d = {r.doc_id for r in
+         training.deterministic_sample(df, 0.1, salt="sA").collect()}
+    assert d <= a
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = training.stratified_sample(df, {"en": 0.1, "de": 0.8},
+                                     default_rate=0.0)
+    counts = {r.lang: r.c for r in
+              out.groupBy("lang").agg(
+                  __import__("pyspark.sql.functions", fromlist=["count"])
+                  .count("*").alias("c")).collect()}
+    assert abs(counts["en"] / 5000 - 0.1) < 0.03
+    assert abs(counts["de"] / 5000 - 0.8) < 0.03
+
+
+def test_sample_plan_is_shuffle_free(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = training.deterministic_sample(df, 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_pack_sequences_exact_layout(spark):
+    # 5 docs of 3 tokens each, seq_len 4: offsets 0,3,6,9,12
+    rows = [(i, "a b c") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           training.pack_sequences(df, seq_len=4).collect()}
+    assert [out[i].offset for i in range(5)] == [0, 3, 6, 9, 12]
+    assert [out[i].seq_id for i in range(5)] == [0, 0, 1, 2, 3]
+    # docs 1 (tokens 3..5) and 2 (tokens 6..8) straddle a 4-token
+    # boundary; docs 3 (9..11) and 4 (12..14) sit inside one sequence
+    assert [out[i].crosses_boundary for i in range(5)] == \
+        [False, True, True, False, False]
+
+
+def test_pack_sequences_block_decomposition_matches_global(spark):
+    # ragged doc lengths across MANY blocks (block_size=8) must equal the
+    # trivially-computed global prefix sum
+    rows = [(i, " ".join(["t"] * (1 + (i * 7) % 13))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.offset for r in
+           training.pack_sequences(df, seq_len=16, block_size=8).collect()}
+    acc = 0
+    for i in range(100):
+        assert out[i] == acc, i
+        acc += 1 + (i * 7) % 13
+
+
+def test_pack_block_offsets_join_is_broadcast(spark):
+    df = spark.createDataFrame([(i, "a b") for i in range(50)],
+                               "doc_id long, text string")
+    plan = training.pack_sequences(df, seq_len=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_hashed_linear_score_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           training.hashed_linear_score(df).collect()}
+    assert out[1].score_sum == out[2].score_sum   # same text, same score
+    assert out[1].n_tokens == 2
+    assert -500 <= out[3].score_sum <= 499        # single token in range
+    assert out[3].score_e3 == out[3].score_sum * 1000

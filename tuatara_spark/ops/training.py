@@ -1,0 +1,126 @@
+"""Training-data assembly operators: deterministic sampling, sequence
+packing, and hashed-linear quality scoring.
+
+The last mile of an LLM data pipeline after extraction/dedup/filtering:
+pick a reproducible subsample, score documents with a cheap model, and
+lay documents out into fixed-length training sequences. All three are
+pure Catalyst and exactly reproducible in ANSI SQL — the portability
+trick is md5 (lowercase hex in both Spark and DuckDB) instead of the
+engine-private xxhash64, so even the "random" choices are oracle-exact.
+
+Scale notes (100 TB):
+
+* ``deterministic_sample`` is a shuffle-free filter on the scan — the
+  md5-prefix comparison is pure projection, so sampling composes with
+  predicate pushdown and costs one pass. Being hash-keyed (not rand()),
+  re-runs and retried tasks select the SAME rows — a correctness
+  requirement for resumable jobs, not a convenience.
+* ``pack_sequences`` needs a GLOBAL token prefix-sum; a naive
+  ``Window.orderBy`` collapses to a single partition. Here: per-block
+  cumsum (window partitioned by block id) + a block-totals rollup joined
+  back — the block-totals table has rows/block_size entries (millions of
+  docs → thousands of rows), so its own window is trivially small and
+  the doc-side work stays fully parallel. One narrow shuffle.
+* ``hashed_linear_score`` is the fastText-style bag-of-hashed-ngrams
+  linear model (Joulin et al. 2016; the DCLM/FineWeb quality-filter
+  shape): explode tokens → bucket → weight → sum. Weights are a
+  DETERMINISTIC function of the bucket id (mixed-congruential), so no
+  weight table needs to ship — at 10^12 rows the join against a learned
+  weight table would broadcast instead; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _md5_unit(col: F.Column, salt: str) -> F.Column:
+    """First 8 md5 hex digits of (value||salt) as an integer in
+    [0, 16^8) — portable to ANSI SQL verbatim."""
+    return F.conv(F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8), 16, 10) \
+        .cast("long")
+
+
+def deterministic_sample(df: DataFrame, rate: float,
+                         key_col: str = "doc_id",
+                         salt: str = "s1") -> DataFrame:
+    """Keep a row iff md5(key||salt) lands under ``rate`` — reproducible
+    across runs, engines, retries and cluster sizes."""
+    thr = int(rate * 16 ** 8)
+    return df.where(_md5_unit(F.col(key_col), salt) < F.lit(thr))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strat_col: str = "lang", key_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "s1") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    upweight low-resource langs by keeping them at higher rates). The
+    rate map is a CASE expression — no join, still shuffle-free."""
+    thr = F.lit(int(default_rate * 16 ** 8))
+    for k, r in sorted(rates.items()):
+        thr = F.when(F.col(strat_col) == k,
+                     F.lit(int(r * 16 ** 8))).otherwise(thr)
+    return df.where(_md5_unit(F.col(key_col), salt) < thr)
+
+
+def pack_sequences(df: DataFrame, seq_len: int,
+                   order_col: str = "doc_id", text_col: str = "text",
+                   block_size: int = 4096) -> DataFrame:
+    """Concatenation-style sequence packing: documents in ``order_col``
+    order are laid end-to-end into ``seq_len``-token training sequences;
+    each doc learns its global token offset, its first sequence id, and
+    whether it straddles a boundary. Scalable prefix-sum: per-block
+    window + tiny block-totals window (see module docstring)."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    base = df.select(F.col(order_col).alias("_k"),
+                     n_tok.alias("n_tokens"),
+                     (F.col(order_col) / block_size).cast("long")
+                     .alias("_blk"))
+    w_in = (Window.partitionBy("_blk").orderBy("_k")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    blk_tot = base.groupBy("_blk").agg(F.sum("n_tokens").alias("_bt"))
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    blk_off = blk_tot.select(
+        "_blk", F.coalesce(F.sum("_bt").over(w_blk), F.lit(0))
+        .alias("_boff"))
+    out = (base
+           .withColumn("_in", F.coalesce(F.sum("n_tokens").over(w_in),
+                                         F.lit(0)))
+           .join(F.broadcast(blk_off), "_blk")
+           .withColumn("offset", (F.col("_boff") + F.col("_in"))
+                       .cast("long")))
+    seq_first = F.floor(F.col("offset") / seq_len).cast("long")
+    seq_last = F.floor((F.col("offset") + F.greatest(F.col("n_tokens"),
+                                                     F.lit(1)) - 1)
+                       / seq_len).cast("long")
+    return out.select(
+        F.col("_k").alias(order_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"), "offset",
+        seq_first.alias("seq_id"),
+        (seq_last > seq_first).alias("crosses_boundary"))
+
+
+def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n_buckets: int = 1 << 16,
+                        salt: str = "w0") -> DataFrame:
+    """fastText-shaped quality score: mean over tokens of a per-bucket
+    weight in [-500, 499] (integer — exact in both engines), bucket =
+    md5(token||salt) mod n_buckets, weight = mixed-congruential transform
+    of the bucket. Returns (id, n_tokens, score_sum, score_e3)."""
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    t = df.select(F.col(id_col), tok)
+    bucket = F.pmod(_md5_unit(F.col("tok"), salt), F.lit(n_buckets))
+    weight = F.pmod(bucket * F.lit(2654435761) + F.lit(104729),
+                    F.lit(1000)) - F.lit(500)
+    scored = t.select(id_col, weight.alias("w"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("w").cast("long").alias("score_sum"))
+            .withColumn(
+                "score_e3",
+                F.floor(F.col("score_sum").cast("double") * 1000
+                        / F.col("n_tokens") + F.lit(0.5)).cast("long")))

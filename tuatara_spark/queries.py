@@ -2117,6 +2117,89 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (ops/training.py): language
+    rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
+    the subsample is identical across runs, retries, engines and cluster
+    sizes — the resumability property rand() sampling cannot give. The
+    md5-prefix integer is recomputed verbatim in the oracle."""
+    from tuatara_spark.ops import training
+    out = training.stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.35, "de": 0.9, "zh": 0.75}, default_rate=0.15)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _rate(r: float) -> int:
+    return int(r * 16 ** 8)
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))
+           AS BIGINT)
+      < CASE lang WHEN 'zh' THEN {_rate(0.75)}
+                  WHEN 'en' THEN {_rate(0.35)}
+                  WHEN 'de' THEN {_rate(0.9)}
+                  ELSE {_rate(0.15)} END
+ORDER BY doc_id
+"""
+
+
+def q_sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (ops/training.py): documents laid end-to-end into
+    512-token training sequences via the scalable two-level prefix-sum
+    (per-block window + broadcast block offsets — never a single global
+    window partition). The oracle recomputes the global running offset
+    with one ANSI window, so any error in the block decomposition
+    hash-mismatches."""
+    from tuatara_spark.ops import training
+    out = training.pack_sequences(_docs(spark, sf_dir), seq_len=512)
+    return out.orderBy("doc_id")
+
+
+_SEQPACK_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS "offset"
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST("offset" // 512 AS BIGINT) AS seq_id,
+       (("offset" + greatest(n_tokens, 1) - 1) // 512 > "offset" // 512)
+         AS crosses_boundary
+FROM o ORDER BY doc_id
+"""
+
+
+def q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed-linear quality scoring (ops/training.py):
+    explode tokens → md5 bucket → deterministic integer weight → per-doc
+    sum/mean. Integer weights keep the cross-engine comparison exact; the
+    oracle recomputes bucket and weight arithmetic verbatim."""
+    from tuatara_spark.ops import training
+    out = training.hashed_linear_score(_docs(spark, sf_dir))
+    return out.orderBy("doc_id")
+
+
+_QUALITY_CLS_SQL = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+s AS (SELECT doc_id,
+             ((CAST(('0x' || substr(md5(tok || 'w0'), 1, 8)) AS BIGINT)
+               % 65536) * 2654435761 + 104729) % 1000 - 500 AS w
+      FROM t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS score_sum,
+       CAST(floor(CAST(sum(w) AS DOUBLE) * 1000 / count(*) + 0.5)
+            AS BIGINT) AS score_e3
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_charset_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode (ops/encoding.py): synthesize payload BYTES
     in five real crawl encodings — UTF-8 via meta tag, UTF-8 with BOM,
@@ -2306,6 +2389,10 @@ REGISTRY: dict[str, tuple] = {
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
+    "sample_stratified_docs": (q_sample_stratified_docs, _SAMPLE_SQL),
+    "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
+    "quality_classifier_docs": (q_quality_classifier_docs,
+                                _QUALITY_CLS_SQL),
     "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
 }
 
