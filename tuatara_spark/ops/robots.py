@@ -1,0 +1,86 @@
+"""robots.txt parsing and URL permission evaluation — pure Catalyst.
+
+Clean-room from the PUBLIC spec (RFC 9309, Robots Exclusion Protocol):
+group structure (consecutive ``User-agent`` lines open a group whose
+``Allow``/``Disallow`` rules follow), case-insensitive directives,
+``#`` comments, empty ``Disallow:`` meaning allow-all, longest-prefix
+match wins with Allow beating Disallow on ties, and a specific
+user-agent group overriding the ``*`` group entirely. Wildcard path
+patterns (``*``/``$``, an RFC 9309 MAY) are out of scope — prefix rules
+are the portable core and keep evaluation expressible as startswith in
+both engines.
+
+Scale notes: the parsed rule table has a handful of rows per HOST —
+tiny next to a 10^12-row URL table — so evaluation broadcasts the rules
+and the URL side never shuffles; the final argmax is a groupBy(url)
+with map-side partial aggregation. Parsing itself is an explode over
+lines with one small per-host window to assign group ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DIRECTIVE_RE = r"^\s*([A-Za-z-]+)\s*:"
+_VALUE_RE = r"^\s*[A-Za-z-]+\s*:\s*([^#\s]*)"
+
+
+def parse_robots(df: DataFrame, host_col: str = "host",
+                 content_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → (host, grp, agent, directive, prefix): one
+    row per (agent × rule) pairing within each group."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), "\n"))
+        .alias("ln", "line"))
+    d = F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1))
+    v = F.regexp_extract("line", _VALUE_RE, 1)
+    lines = lines.select("host", "ln", d.alias("d"), v.alias("v"))
+    is_ua = F.col("d") == "user-agent"
+    w = Window.partitionBy("host").orderBy("ln")
+    # a User-agent line PRECEDED BY a non-User-agent line starts a group
+    # (consecutive UA lines share the group they open together)
+    starts = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    lines = lines.withColumn(
+        "grp", F.sum(starts.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = (lines.where(is_ua)
+              .select("host", "grp", F.lower("v").alias("agent")))
+    rules = (lines.where(F.col("d").isin("allow", "disallow")
+                         & (F.col("v") != ""))  # empty Disallow: allow-all
+             .select("host", "grp", F.col("d").alias("directive"),
+                     F.col("v").alias("prefix")))
+    return agents.join(rules, ["host", "grp"])
+
+
+def evaluate(urls: DataFrame, rules: DataFrame, agent: str,
+             host_col: str = "host", path_col: str = "path") -> DataFrame:
+    """Per URL: allowed under RFC 9309 precedence? Adds ``allowed``
+    (boolean; no matching rule → True) and ``matched_rule``. The rule
+    table is broadcast; a host with a group for ``agent`` uses ONLY that
+    group's rules, else the ``*`` group."""
+    me = agent.lower()
+    r = rules.where(F.col("agent").isin(me, "*"))
+    specific = (r.groupBy("host")
+                .agg(F.max((F.col("agent") == me).cast("int"))
+                     .alias("_has_me")))
+    r = (r.join(specific, "host")
+         .where((F.col("agent") == me) |
+                ((F.col("_has_me") == 0) & (F.col("agent") == "*")))
+         .select("host", "directive", "prefix"))
+    u = urls.select(F.col(host_col).alias("host"),
+                    F.col(path_col).alias("path"))
+    cand = (u.join(F.broadcast(r), "host", "left")
+            .where(F.col("prefix").isNull() |
+                   F.col("path").startswith(F.col("prefix"))))
+    best = (cand.groupBy("host", "path").agg(
+        F.max(F.when(F.col("prefix").isNotNull(), F.struct(
+            F.length("prefix").alias("l"),
+            (F.col("directive") == "allow").alias("is_allow"),
+            F.col("prefix").alias("p")))).alias("_best")))
+    return (u.distinct().join(best, ["host", "path"], "left")
+            .select("host", "path",
+                    F.coalesce(F.col("_best.is_allow"), F.lit(True))
+                    .alias("allowed"),
+                    F.coalesce(F.col("_best.p"), F.lit(""))
+                    .alias("matched_rule")))

@@ -2117,6 +2117,62 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_robots_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse + URL evaluation (ops/robots.py): 8 synthesized
+    per-host robots files (a ``*`` group with a Disallow and a longer
+    Allow, plus — on every third host — a specific ``tuatara`` group that
+    must OVERRIDE the ``*`` group entirely), evaluated for 32 distinct
+    (host, path) URLs derived from doc_id. The oracle states the RFC 9309
+    outcome closed-form, so group assignment, longest-prefix precedence,
+    allow-on-tie, agent-group override, and the no-rule default are all
+    pinned."""
+    from tuatara_spark.ops import robots as R
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(64)
+            .select("doc_id"))
+    k = F.col("doc_id") % 8
+    m = F.floor(F.col("doc_id") / 8).cast("long") % 4
+    cat = F.concat(F.lit("/cat"), k.cast("string"))
+    urls = docs.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        F.when(m == 0, F.concat(cat, F.lit("/page")))
+        .when(m == 1, F.concat(cat, F.lit("/pub/page")))
+        .when(m == 2, F.lit("/t/x"))
+        .otherwise(F.lit("/open")).alias("path"))
+    hid = F.col("id").cast("string")
+    hosts = spark.range(8).select(
+        F.concat(F.lit("h"), hid).alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: *\nDisallow: /cat"),
+            hid, F.lit("/\nAllow: /cat"), hid, F.lit("/pub/\n"),
+            F.when(F.col("id") % 3 == 0,
+                   F.lit("User-agent: tuatara\nDisallow: /t/\n"))
+            .otherwise(F.lit(""))).alias("robots_txt"))
+    rules = R.parse_robots(hosts)
+    out = R.evaluate(urls, rules, agent="Tuatara")
+    return out.orderBy("host", "path")
+
+
+_ROBOTS_SQL = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64),
+um AS (SELECT DISTINCT doc_id % 8 AS k, (doc_id // 8) % 4 AS m FROM ids),
+u AS (SELECT 'h' || CAST(k AS VARCHAR) AS host,
+        CASE m WHEN 0 THEN '/cat' || CAST(k AS VARCHAR) || '/page'
+               WHEN 1 THEN '/cat' || CAST(k AS VARCHAR) || '/pub/page'
+               WHEN 2 THEN '/t/x'
+               ELSE '/open' END AS path,
+        k, m FROM um)
+SELECT host, path,
+       CASE WHEN k % 3 = 0 THEN (m != 2) ELSE (m != 0) END AS allowed,
+       CASE WHEN k % 3 = 0 AND m = 2 THEN '/t/'
+            WHEN k % 3 != 0 AND m = 0
+              THEN '/cat' || CAST(k AS VARCHAR) || '/'
+            WHEN k % 3 != 0 AND m = 1
+              THEN '/cat' || CAST(k AS VARCHAR) || '/pub/'
+            ELSE '' END AS matched_rule
+FROM u ORDER BY host, path
+"""
+
+
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (ops/training.py): language
     rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
@@ -2390,6 +2446,7 @@ REGISTRY: dict[str, tuple] = {
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "sample_stratified_docs": (q_sample_stratified_docs, _SAMPLE_SQL),
+    "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
