@@ -30,6 +30,7 @@ from tuatara_spark import engine, fixtures as fx, partitioning as pt  # noqa: E4
 from tuatara_spark import queries as Q  # noqa: E402
 from tuatara_spark import weights as wt  # noqa: E402
 from tuatara_spark.session import get_spark  # noqa: E402
+from pyspark.sql.functions import col as F_col  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,6 +69,42 @@ def bench_pages_path(sf: float, spark=None,
         if owns:
             spark.stop()
     return path, n_small + n_large
+
+
+def bench_warc_path(sf: float) -> tuple[str, int]:
+    """Synthesize (once) a Common-Crawl-shaped WARC dataset for this sf:
+    64 .warc.gz files (per-record gzip members, request/response/metadata
+    triples) holding TOTAL ≈ the same page count as the extraction bench,
+    with html bodies and mixed transfer codings. 64 files ⇒ the
+    binaryFile scan parallelizes across all cores without a shuffle."""
+    from tuatara_spark.sources import warc as W
+    n = max(256, int(40960 * sf))
+    n_files = 64
+    cache = os.path.join(REPO_ROOT, ".bench_cache")
+    path = os.path.join(cache, f"warc_sf{sf}")
+    if not os.path.exists(path):
+        os.makedirs(path + ".tmp", exist_ok=True)
+        per = (n + n_files - 1) // n_files
+        body_words = ("token%d " % i for i in range(40))
+        filler = "".join(body_words)
+        i = 0
+        for f in range(n_files):
+            pages = []
+            for _ in range(min(per, n - i)):
+                body = (f"<html><head><title>doc {i}</title></head><body>"
+                        f"<nav>menu</nav><p>page {i} {filler}</p>"
+                        f"<footer>f</footer></body></html>").encode()
+                pages.append({
+                    "url": f"https://bench.example/{i}",
+                    "date": "2026-01-01T00:00:00Z", "status": 200,
+                    "content_type": "text/html", "body": body,
+                    "chunked": i % 3 == 1, "gzip_body": i % 3 == 2})
+                i += 1
+            with open(os.path.join(path + ".tmp", f"part-{f:04d}.warc.gz"),
+                      "wb") as fh:
+                fh.write(W.encode_warc(pages))
+        os.rename(path + ".tmp", path)
+    return path, n
 
 
 def cpu_calibration_ms() -> float:
@@ -128,6 +165,23 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         best = min(best, time.time() - t0)
     timings["ocr_extract_salted_shuffle"] = round(best, 3)
 
+    # -- crawl front-end: WARC ingest → charset decode → boilerplate strip --
+    from tuatara_spark.ops import encoding as _enc, htmlx as _hx
+    from tuatara_spark.sources import warc as _W
+    warc_path, n_warc = bench_warc_path(sf)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        recs = _W.read_warc(spark, warc_path)
+        decoded = _enc.sniff_decode(recs.where(F_col("error") == ""))
+        stripped = _hx.strip_boilerplate(decoded, col="text")
+        got = stripped.selectExpr("count(*) AS n",
+                                  "sum(length(main_text)) AS c").collect()[0]
+        best = min(best, time.time() - t0)
+    timings["warc_ingest_chain"] = round(best, 3)
+    extra["warc_pages"] = int(got[0])
+    extra["warc_pages_per_sec"] = round(got[0] / best, 2)
+
     # -- relational / dedup / similarity ops --
     from tuatara_spark.ops import similarity as _sim
 
@@ -154,6 +208,9 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("lsh_bucket_batched", _lsh_bucket_batched),
         ("ivf_cell_batched", _ivf_cell_batched),
         ("dedup_exact_groups", Q.q_dedup_exact_groups),
+        ("segment_dedup_docs", Q.q_segment_dedup_docs),
+        ("quality_classifier_docs", Q.q_quality_classifier_docs),
+        ("sequence_pack_docs", Q.q_sequence_pack_docs),
         ("quality_score_documents", Q.q_quality_score_documents),
         ("gopher_quality_docs", Q.q_gopher_quality_docs),
         ("html_main_chain_docs", Q.q_html_main_chain_docs),
