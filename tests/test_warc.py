@@ -109,3 +109,24 @@ def test_read_warc_spark(spark, tmp_path):
         assert bytes(r.html) == p["body"]
         assert r.status == p["status"]
         assert r.source.endswith(("a.warc.gz", "b.warc"))
+
+
+def test_wet_sink_round_trip(spark, tmp_path):
+    import pandas as pd
+    pdf = pd.DataFrame({"url": [f"https://e.org/{i}" for i in range(40)],
+                        "text": [f"extracted text {i} — ünïcode" if i % 7
+                                 else "" for i in range(40)]})
+    df = spark.createDataFrame(pdf).repartition(4)
+    wet_dir = str(tmp_path / "wet")
+    manifest = W.write_wet(df, wet_dir).collect()
+    assert sum(m.n_records for m in manifest) == 40
+    assert all(m.file.endswith(".warc.gz") for m in manifest)
+    assert len(manifest) <= 4                    # one file per partition
+    # read back through the same reader, conversion records
+    got = {r.url: bytes(r.html).decode("utf-8") for r in
+           W.read_warc(spark, wet_dir, record_types=("conversion",))
+           .collect()}
+    want = dict(zip(pdf["url"], pdf["text"]))
+    assert got == want                           # byte-exact text per url
+    # and the default response-only read sees nothing in a WET file
+    assert W.read_warc(spark, wet_dir).count() == 0

@@ -2117,6 +2117,37 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_wet_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET egress round trip (sources/warc.py): write the first 48 docs'
+    cleaned text to Common-Crawl WET containers (conversion records, one
+    per-partition .warc.gz, tmp+rename commit) and read them back through
+    the WARC reader. The oracle is the cleaned text itself — any loss or
+    reorder in the sink/reader hash-mismatches. The manifest/commit shape
+    matches catalog.py's write-then-manifest protocol."""
+    import tempfile
+
+    from tuatara_spark.sources import warc as W
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(48)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS text")
+            .repartition(4, "url"))
+    out_dir = tempfile.mkdtemp(prefix="wet_q_")
+    W.write_wet(docs, out_dir).collect()  # materialize the sink
+    back = W.read_warc(spark, out_dir, record_types=("conversion",))
+    return (back.select("url",
+                        F.decode("html", "UTF-8").alias("text"))
+            .orderBy("url"))
+
+
+_WET_SQL = f"""
+SELECT url, text FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS text
+  FROM documents ORDER BY doc_id LIMIT 48)
+ORDER BY url
+"""
+
+
 def q_robots_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse + URL evaluation (ops/robots.py): 8 synthesized
     per-host robots files (a ``*`` group with a Disallow and a longer
@@ -2447,6 +2478,7 @@ REGISTRY: dict[str, tuple] = {
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "sample_stratified_docs": (q_sample_stratified_docs, _SAMPLE_SQL),
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
+    "wet_roundtrip_docs": (q_wet_roundtrip_docs, _WET_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),

@@ -235,10 +235,13 @@ def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, body
 
 
-def warc_rows(data: bytes, source: str = "") -> list[dict]:
-    """All response records of one WARC container as flat row dicts.
-    Corrupt records/blocks become rows with ``error`` set — the Spark
-    task never fails on bad input bytes."""
+def warc_rows(data: bytes, source: str = "",
+              record_types: tuple = ("response",)) -> list[dict]:
+    """All records of the requested WARC-Types in one container as flat
+    row dicts (``response`` blocks get the HTTP parse; ``conversion`` —
+    WET — and other types carry the raw block as ``html``). Corrupt
+    records/blocks become rows with ``error`` set — the Spark task never
+    fails on bad input bytes."""
     rows: list[dict] = []
     try:
         stream = _decompress(data)
@@ -253,18 +256,24 @@ def warc_rows(data: bytes, source: str = "") -> list[dict]:
                 "warc-date", ""), "status": 0, "content_type": "",
                 "html": b"", "error": err})
             continue
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in record_types:
             continue  # request/metadata/warcinfo records
         row = {"source": source,
                "url": headers.get("warc-target-uri", ""),
                "warc_ts": headers.get("warc-date", ""),
                "status": 0, "content_type": "", "html": b"", "error": ""}
-        try:
-            status, http_headers, body = parse_http_response(block)
-            row.update(status=status, html=body,
-                       content_type=http_headers.get("content-type", ""))
-        except Exception as e:
-            row["error"] = f"http: {e}"
+        if rtype == "response":
+            try:
+                status, http_headers, body = parse_http_response(block)
+                row.update(status=status, html=body,
+                           content_type=http_headers.get("content-type",
+                                                         ""))
+            except Exception as e:
+                row["error"] = f"http: {e}"
+        else:
+            row.update(html=block,
+                       content_type=headers.get("content-type", ""))
         rows.append(row)
     return rows
 
@@ -273,7 +282,7 @@ WARC_SCHEMA = ("source string, url string, warc_ts string, status int, "
                "content_type string, html binary, error string")
 
 
-def read_warc(spark, path: str):
+def read_warc(spark, path: str, record_types: tuple = ("response",)):
     """``*.warc(.gz)`` files → DataFrame(source, url, warc_ts, status,
     content_type, html, error) — the canonical page table.
 
@@ -289,9 +298,68 @@ def read_warc(spark, path: str):
         for pdf in batches:
             out: list[dict] = []
             for p, c in zip(pdf["path"], pdf["content"]):
-                out.extend(warc_rows(bytes(c), source=p))
+                out.extend(warc_rows(bytes(c), source=p,
+                                     record_types=record_types))
             yield pd.DataFrame(
                 out, columns=["source", "url", "warc_ts", "status",
                               "content_type", "html", "error"])
 
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET egress (extracted-text conversion records)
+# ---------------------------------------------------------------------------
+
+def encode_wet(pages: list[dict], *, per_record_gzip: bool = True) -> bytes:
+    """Serialize extracted text as a WET stream: ``conversion`` records
+    with ``Content-Type: text/plain`` (the Common Crawl WET layout),
+    preceded by a warcinfo. Each page dict: ``url``, ``date``, ``text``."""
+    records = [_record("warcinfo", {
+        "WARC-Date": pages[0]["date"] if pages else "2026-01-01T00:00:00Z",
+        "Content-Type": "application/warc-fields",
+    }, b"software: tuatara-spark/1.0" + CRLF)]
+    for p in pages:
+        records.append(_record("conversion", {
+            "WARC-Target-URI": p["url"], "WARC-Date": p["date"],
+            "Content-Type": "text/plain",
+        }, p["text"].encode("utf-8")))
+    if per_record_gzip:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
+              date: str = "2026-01-01T00:00:00Z"):
+    """Distributed WET sink: each task serializes its partition into one
+    ``part-{pid}.warc.gz`` under ``path`` (tmp-file + rename so readers
+    never see partial files) and emits a manifest row — the same
+    write-then-manifest commit shape as catalog.py. On a cluster ``path``
+    is shared storage; executors write independently, no driver funnel.
+    Returns the small manifest DataFrame (file, n_records, n_bytes)."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+
+    def sink(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        pages = []
+        for pdf in batches:
+            for u, t in zip(pdf[url_col], pdf[text_col]):
+                pages.append({"url": u, "date": date, "text": t or ""})
+        fname = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        if pages:
+            blob = encode_wet(pages)
+            tmp = fname + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.rename(tmp, fname)
+            yield pd.DataFrame({"file": [fname],
+                                "n_records": [len(pages)],
+                                "n_bytes": [len(blob)]})
+
+    return df.select(url_col, text_col).mapInPandas(
+        sink, "file string, n_records long, n_bytes long")
