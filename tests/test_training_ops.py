@@ -90,3 +90,20 @@ def test_hashed_linear_score_properties(spark):
     assert out[1].n_tokens == 2
     assert -500 <= out[3].score_sum <= 499        # single token in range
     assert out[3].score_e3 == out[3].score_sum * 1000
+
+
+def test_cap_per_host_equals_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rows = [(i, f"h{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {(r.doc_id, r.host) for r in
+           training.cap_per_host(df, cap=7, salt_buckets=5).collect()}
+    rk = training._md5_unit(F.col("doc_id"), "hostcap")
+    w = Window.partitionBy("host").orderBy(rk, "doc_id")
+    want = {(r.doc_id, r.host) for r in
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 7).select("doc_id", "host").collect()}
+    assert got == want and len(got) == 21
+    # cap larger than any host's count keeps everything
+    assert training.cap_per_host(df, cap=1000).count() == 500

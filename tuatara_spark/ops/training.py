@@ -124,3 +124,32 @@ def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
                 "score_e3",
                 F.floor(F.col("score_sum").cast("double") * 1000
                         / F.col("n_tokens") + F.lit(0.5)).cast("long")))
+
+
+def cap_per_host(df: DataFrame, cap: int, host_col: str = "host",
+                 id_col: str = "doc_id",
+                 salt_buckets: int = 16) -> DataFrame:
+    """Per-host document cap (crawl balancing: no single domain may
+    dominate the corpus — the FineWeb/CCNet host-cap shape). Keeps, per
+    host, the ``cap`` documents with the smallest md5 rank key —
+    deterministic "random" selection, stable across runs and engines.
+
+    Skew-safe two-phase top-k: a mega-host (1e9 rows behind one portal
+    domain) would funnel a naive ``row_number() OVER (PARTITION BY
+    host)`` into ONE task. Phase 1 caps within (host, rank_key mod
+    ``salt_buckets``) — each salted partition keeps its own top-``cap``,
+    bounding any host to salt_buckets×cap rows; phase 2 applies the
+    exact global cap on that superset. Every salted top-``cap`` set is a
+    superset of its share of the global top-``cap``, so the result is
+    EXACTLY the single-window answer, shuffle skew bounded."""
+    rk = _md5_unit(F.col(id_col), "hostcap").alias("_rk")
+    base = df.select(F.col(id_col), F.col(host_col), rk)
+    w1 = (Window.partitionBy(host_col, F.pmod(F.col("_rk"),
+                                              F.lit(salt_buckets)))
+          .orderBy("_rk", id_col))
+    pre = (base.withColumn("_r1", F.row_number().over(w1))
+           .where(F.col("_r1") <= cap).drop("_r1"))
+    w2 = Window.partitionBy(host_col).orderBy("_rk", id_col)
+    return (pre.withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= cap)
+            .select(id_col, host_col))

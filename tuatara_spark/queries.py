@@ -2117,6 +2117,34 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_host_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (ops/training.cap_per_host): hosts derived
+    from doc_id (7 hosts), cap 10 kept per host by deterministic md5 rank.
+    The two-phase skew-safe top-k must equal the single-window answer —
+    the oracle IS that single window, so any phase-1 over-pruning
+    hash-mismatches."""
+    from tuatara_spark.ops import training
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"))
+    out = training.cap_per_host(docs, cap=10, salt_buckets=4)
+    return out.orderBy("doc_id")
+
+
+_HOST_CAP_SQL = """
+SELECT doc_id, host FROM (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY rk, doc_id) AS rn
+  FROM (SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || 'hostcap'), 1, 8)) AS BIGINT)
+               AS rk
+        FROM documents))
+WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
 def q_wet_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET egress round trip (sources/warc.py): write the first 48 docs'
     cleaned text to Common-Crawl WET containers (conversion records, one
@@ -2479,6 +2507,7 @@ REGISTRY: dict[str, tuple] = {
     "sample_stratified_docs": (q_sample_stratified_docs, _SAMPLE_SQL),
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "wet_roundtrip_docs": (q_wet_roundtrip_docs, _WET_SQL),
+    "host_cap_docs": (q_host_cap_docs, _HOST_CAP_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
