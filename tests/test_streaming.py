@@ -188,3 +188,44 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     u1_ts = sorted(t for u, t in got if u == "u1")
     assert u1_ts[0] == base.to_pydatetime()
     assert u1_ts[1].hour == 11
+
+
+def test_streaming_warc_ingest_exactly_once(spark, tmp_path):
+    """Files dropped into a watched dir parse exactly once; restart from
+    the same checkpoint re-reads nothing; late-arriving files are picked
+    up by the next drain."""
+    from tuatara_spark import streaming as st
+    from tuatara_spark.sources import warc as W
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d)
+                             for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+
+    def page(i):
+        return {"url": f"https://s.org/{i}", "date": "2026-01-01T00:00:00Z",
+                "status": 200, "content_type": "text/html",
+                "body": f"<p>stream {i}</p>".encode(),
+                "chunked": i % 2 == 0}
+
+    with open(os.path.join(in_dir, "a.warc.gz"), "wb") as f:
+        f.write(W.encode_warc([page(0), page(1)]))
+
+    def drain():
+        recs = st.read_warc_stream(spark, in_dir)
+        q = (recs.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://s.org/0", "https://s.org/1"}
+
+    # second file arrives; restarted query parses ONLY the new file
+    with open(os.path.join(in_dir, "b.warc.gz"), "wb") as f:
+        f.write(W.encode_warc([page(2)]))
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 3                      # no duplicates from file a
+    assert {r.url for r in rows} == {f"https://s.org/{i}" for i in range(3)}

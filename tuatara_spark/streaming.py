@@ -114,3 +114,35 @@ def start_to_parquet(extracted: DataFrame, output_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_warc_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming WARC ingest: watch a directory for arriving ``*.warc(.gz)``
+    files (the shape of a live crawl dropping finished containers) and
+    parse each exactly once — Spark's file-source checkpoint tracks seen
+    files, so a restart resumes with no re-parse and no gap. Parsing
+    reuses sources/warc.warc_rows via the same Arrow-batched mapInPandas
+    as the batch reader; ``maxFilesPerTrigger`` bounds micro-batch size
+    so one trigger never bites off more containers than the cluster
+    chews concurrently."""
+    import pandas as pd
+
+    from tuatara_spark.sources import warc as W
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("maxFilesPerTrigger", str(max_files_per_trigger))
+             .load(input_dir)
+             .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                out.extend(W.warc_rows(bytes(c), source=p))
+            yield pd.DataFrame(
+                out, columns=["source", "url", "warc_ts", "status",
+                              "content_type", "html", "error"])
+
+    return files.mapInPandas(parse, W.WARC_SCHEMA)
