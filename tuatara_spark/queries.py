@@ -2117,6 +2117,85 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_warc_to_wet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_rule pipeline END-TO-END under one exact oracle: WARC
+    containers (bodies in utf-8 / latin-1 / utf-16le, real boilerplate
+    chrome) → read_warc → charset sniff+decode → boilerplate strip with
+    entity handling → length gate → WET conversion-record egress → read
+    back. Five subsystems chained; the oracle reconstructs the surviving
+    main text analytically, so a fault anywhere in the chain (wrong
+    charset, unstripped nav, lost WET record) hash-mismatches."""
+    import tempfile
+
+    from tuatara_spark.ops import encoding
+    from tuatara_spark.ops import htmlx
+    from tuatara_spark.sources import warc as W
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(32)
+            .selectExpr("doc_id", f"{CLEAN_SPARK} AS t",
+                        "cast(doc_id % 4 as int) AS file_id"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pages = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            doc_id, t = int(doc_id), t or ""
+            k = doc_id % 3
+            meta = ('<meta charset="utf-8">' if k == 0 else
+                    '<meta charset="iso-8859-1">' if k == 1 else "")
+            html = (f"<html><head>{meta}<title>t{doc_id}</title></head>"
+                    f"<body><nav>chrome menu</nav><p>{t} é</p>"
+                    f"<footer>foot</footer></body></html>")
+            body = (html.encode("utf-8") if k == 0 else
+                    html.encode("iso-8859-1") if k == 1 else
+                    b"\xff\xfe" + html.encode("utf-16-le"))
+            pages.append({"url": f"https://example.org/doc/{doc_id}",
+                          "date": "2026-01-01T00:00:00Z", "status": 200,
+                          "content_type": "text/html", "body": body,
+                          "chunked": doc_id % 2 == 1})
+        fid = int(pdf["file_id"].iloc[0])
+        return pd.DataFrame({"file_id": [fid], "content": [
+            W.encode_warc(pages, per_record_gzip=(fid % 2 == 0))]})
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build, "file_id int, content binary")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["source", "url", "warc_ts", "status", "content_type",
+                "html", "error"]
+        for pdf in batches:
+            out: list[dict] = []
+            for fid, c in zip(pdf["file_id"], pdf["content"]):
+                out.extend(W.warc_rows(bytes(c), source=str(fid)))
+            yield pd.DataFrame(out, columns=cols)
+
+    recs = files.mapInPandas(parse, W.WARC_SCHEMA).where(F.col("error") == "")
+    decoded = encoding.sniff_decode(recs)
+    stripped = htmlx.strip_boilerplate(decoded, col="text")
+    gated = stripped.where(F.length("main_text") >= 8) \
+        .select("url", F.col("main_text").alias("text"))
+    out_dir = tempfile.mkdtemp(prefix="wet_e2e_")
+    W.write_wet(gated.repartition(4, "url"), out_dir).collect()
+    back = W.read_warc(spark, out_dir, record_types=("conversion",))
+    return (back.select("url", F.decode("html", "UTF-8").alias("main_text"))
+            .orderBy("url"))
+
+
+_WARC_TO_WET_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 32),
+m AS (
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         trim(regexp_replace(
+           't' || CAST(doc_id AS VARCHAR) || ' ' || t || ' é',
+           '\\s+', ' ', 'g')) AS main_text
+  FROM c)
+SELECT url, main_text FROM m
+WHERE length(main_text) >= 8 ORDER BY url
+"""
+
+
 def q_host_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document cap (ops/training.cap_per_host): hosts derived
     from doc_id (7 hosts), cap 10 kept per host by deterministic md5 rank.
@@ -2508,6 +2587,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "wet_roundtrip_docs": (q_wet_roundtrip_docs, _WET_SQL),
     "host_cap_docs": (q_host_cap_docs, _HOST_CAP_SQL),
+    "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
