@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for the headline queries into
+BENCH/PLANS.md — the plan-hygiene evidence (pushdown, broadcast, codegen,
+no Python eval in relational paths) as an inspectable artifact rather
+than only pytest assertions (tests/test_plans.py remains the enforcing
+gate)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from tuatara_spark import queries as Q  # noqa: E402
+from tuatara_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# (query, what the plan must show)
+AUDIT = [
+    ("pricing_summary_lineitem",
+     "filter pushed to parquet (PushedFilters), pruned ReadSchema, "
+     "partial HashAggregate before the exchange, WholeStageCodegen"),
+    ("segment_dedup_docs",
+     "ONE exchange for the distinct-segment count, BroadcastHashJoin "
+     "(LeftAnti) for the drop list, no Python nodes"),
+    ("sample_stratified_docs",
+     "Filter directly over the scan, md5 CASE inlined; the ONLY "
+     "Exchange/Sort is the query's oracle-determinism ORDER BY — the "
+     "operator itself is shuffle-free (tests/test_training_ops.py "
+     "asserts zero Exchange on the bare op)"),
+    ("host_cap_docs",
+     "two Window nodes — salted pre-cap then exact cap — both behind "
+     "hash exchanges on (host[, salt]); no global single-partition sort"),
+    ("sequence_pack_docs",
+     "per-block Window + broadcast of the block-offset rollup; the only "
+     "unpartitioned window runs on the tiny block-totals side"),
+    ("quality_classifier_docs",
+     "explode + partial aggregation map-side; single exchange on doc_id"),
+    ("minhash_lsh_pairs",
+     "narrow (id, band) shuffle for candidates, no CartesianProduct"),
+    ("ann_cosine_topk",
+     "TakeOrderedAndProject (global top-k without a full sort)"),
+]
+
+
+def main() -> None:
+    spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = ["# Physical plans — headline queries",
+           "",
+           f"Captured by tools/plan_audit.py at {SF_DIR} "
+           "(AQE on; plans shown pre-execution). tests/test_plans.py "
+           "asserts the load-bearing properties; this file is the "
+           "human-readable evidence.", ""]
+    for name, expect in AUDIT:
+        fn, _ = Q.REGISTRY[name]
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        out += [f"## {name}", "", f"Expected properties: {expect}", "",
+                "```", buf.getvalue().rstrip(), "```", ""]
+        print(f"captured {name}", file=sys.stderr)
+    with open(os.path.join(REPO_ROOT, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
