@@ -71,7 +71,7 @@ def bench_pages_path(sf: float, spark=None,
     return path, n_small + n_large
 
 
-def bench_warc_path(sf: float) -> tuple[str, int]:
+def bench_warc_path(sf: float, body_tokens: int = 40) -> tuple[str, int]:
     """Synthesize (once) a Common-Crawl-shaped WARC dataset for this sf:
     64 .warc.gz files (per-record gzip members, request/response/metadata
     triples) holding TOTAL ≈ the same page count as the extraction bench,
@@ -81,11 +81,12 @@ def bench_warc_path(sf: float) -> tuple[str, int]:
     n = max(256, int(40960 * sf))
     n_files = 64
     cache = os.path.join(REPO_ROOT, ".bench_cache")
-    path = os.path.join(cache, f"warc_sf{sf}")
+    suffix = "" if body_tokens == 40 else f"_b{body_tokens}"
+    path = os.path.join(cache, f"warc_sf{sf}{suffix}")
     if not os.path.exists(path):
         os.makedirs(path + ".tmp", exist_ok=True)
         per = (n + n_files - 1) // n_files
-        body_words = ("token%d " % i for i in range(40))
+        body_words = ("token%d " % i for i in range(body_tokens))
         filler = "".join(body_words)
         i = 0
         for f in range(n_files):

@@ -107,3 +107,26 @@ def test_cap_per_host_equals_single_window(spark):
     assert got == want and len(got) == 21
     # cap larger than any host's count keeps everything
     assert training.cap_per_host(df, cap=1000).count() == 500
+
+
+def test_shingle_overlap_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),        # shares 'a..h' + 'b..i' window
+         (2, "z y x w v u t s r q"),        # disjoint
+         (3, "a b c d e f g h X Y"),        # shares exactly one shingle
+         (4, "short text")],                # < k tokens: no shingles
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "a b c d e f g h i Q")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.n_matched for r in
+           training.shingle_overlap(corpus, ev, k=8).collect()}
+    # eval shingles: 'a b c d e f g h', 'b..i', 'c..i Q'
+    assert got == {1: 2, 3: 1}
+
+
+def test_shingle_overlap_eval_join_is_broadcast(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")],
+                               "doc_id long, text string")
+    plan = training.shingle_overlap(df, df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan

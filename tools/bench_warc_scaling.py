@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for the crawl FRONT-END
+(WARC parse → charset decode → boilerplate strip) — the same local[N]
+proxy methodology as bench_scaling.py (one JIT-warm JVM, interleaved
+rounds, best-of, warm-up pass excluded; see that file's variance
+analysis). Writes BENCH/warc_scaling.json and appends the section to
+BENCH/BASELINE.md; prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+LEVELS = (2, 8, 32)
+PRIMARY = (2, 8)
+SECONDARY = (8, 32)
+ROUNDS = 3
+REPS = 2
+SCALING_SF = 2.0
+BODY_TOKENS = 200
+
+
+def chain(spark, warc_path: str) -> int:
+    from pyspark.sql import functions as F
+
+    from tuatara_spark.ops import encoding, htmlx
+    from tuatara_spark.sources import warc as W
+    recs = W.read_warc(spark, warc_path)
+    decoded = encoding.sniff_decode(recs.where(F.col("error") == ""))
+    stripped = htmlx.strip_boilerplate(decoded, col="text")
+    return stripped.selectExpr("count(*) AS n").collect()[0][0]
+
+
+def run_level(cores: int, warc_path: str) -> tuple[int, float]:
+    from tuatara_spark.session import get_spark
+    spark = get_spark(f"warc-scaling-{cores}-{time.time()}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    chain(spark, warc_path)  # warm-up: forks + import costs excluded
+    best = float("inf")
+    n = 0
+    for _ in range(REPS):
+        t0 = time.time()
+        n = chain(spark, warc_path)
+        best = min(best, time.time() - t0)
+    spark.stop()
+    return n, best
+
+
+def main() -> None:
+    from bench import bench_warc_path
+    warc_path, _ = bench_warc_path(SCALING_SF, BODY_TOKENS)
+    best: dict[int, dict] = {c: {"cores": c, "pages": 0,
+                                 "seconds": float("inf")} for c in LEVELS}
+    for _ in range(ROUNDS):
+        for c in LEVELS:
+            n, dt = run_level(c, warc_path)
+            if dt < best[c]["seconds"]:
+                best[c] = {"cores": c, "pages": int(n),
+                           "seconds": round(dt, 3)}
+
+    def pair(levels):
+        lo, hi = best[levels[0]], best[levels[1]]
+        speedup = lo["seconds"] / hi["seconds"]
+        eff = speedup / (levels[1] / levels[0])
+        return {"levels": [lo, hi], "speedup": round(speedup, 3),
+                "efficiency": round(eff, 3)}
+
+    report = {"metric": "warc_chain_scaling",
+              "primary": pair(PRIMARY), "secondary": pair(SECONDARY),
+              "levels": [best[c] for c in LEVELS]}
+    with open(os.path.join(REPO_ROOT, "BENCH", "warc_scaling.json"),
+              "w") as f:
+        json.dump(report, f, indent=1)
+
+    p, s = report["primary"], report["secondary"]
+
+    def tput(r):
+        return round(r["pages"] / r["seconds"], 1)
+
+    section = (
+        "\n\n## Crawl front-end scaling (WARC parse → decode → strip)\n\n"
+        "Same methodology, same input discipline, run on the "
+        f"{best[LEVELS[0]]['pages']}-page 64-file .warc.gz dataset "
+        "(tools/bench_warc_scaling.py → BENCH/warc_scaling.json):\n\n"
+        "| parallelism | pages | seconds | pages/sec |\n|---|---|---|---|\n"
+        + "".join(f"| local[{r['cores']}] | {r['pages']} | "
+                  f"{r['seconds']} | {tput(r)} |\n"
+                  for r in report["levels"]) +
+        f"\n**Primary 2→8:** speedup {p['speedup']}×, efficiency "
+        f"{p['efficiency']}. **Secondary 8→32:** speedup {s['speedup']}×, "
+        f"efficiency {s['efficiency']}.\n")
+    with open(os.path.join(REPO_ROOT, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(section)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,33 @@ def cap_per_host(df: DataFrame, cap: int, host_col: str = "host",
     return (pre.withColumn("_r2", F.row_number().over(w2))
             .where(F.col("_r2") <= cap)
             .select(id_col, host_col))
+
+
+def shingle_overlap(df: DataFrame, eval_df: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 8) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/PaLM n-gram collision check:
+    flag training documents sharing any k-token shingle with a held-out
+    benchmark). Returns (id, n_matched) for corpus documents with ≥1
+    distinct shared shingle.
+
+    Shingling is a shuffle-free ``transform`` over the token array
+    (overlapping stride-1 windows); the eval shingle set — benchmarks
+    are tiny next to a 10^12-row corpus — broadcasts into the join, so
+    the corpus side never shuffles until the per-doc count. Pure
+    Catalyst, exactly reproducible in SQL."""
+    def shingles(d: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        n = F.size(toks)
+        segs = F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda s: F.array_join(F.slice(toks, s, k), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        return d.select(F.col(id_col), F.explode(segs).alias("shingle"))
+
+    ev = shingles(eval_df).select("shingle").distinct()
+    corp = shingles(df)
+    return (corp.join(F.broadcast(ev), "shingle")
+            .groupBy(id_col)
+            .agg(F.count_distinct("shingle").cast("long")
+                 .alias("n_matched")))

@@ -2117,6 +2117,39 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (ops/training.shingle_overlap): every
+    50th document plays the held-out benchmark; corpus docs sharing any
+    8-token shingle with it are flagged with their distinct-match count.
+    Planted exact duplicates guarantee hits at every sf. Exact oracle:
+    the SQL rebuilds the same overlapping shingles with a windowed
+    string_agg and recounts the distinct collisions."""
+    from tuatara_spark.ops import training
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    out = training.shingle_overlap(corpus, ev, k=8)
+    return out.orderBy("doc_id")
+
+
+_DECONTAM_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS tk FROM t),
+sh AS (SELECT doc_id, pos,
+              string_agg(tk, ' ') OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS shingle,
+              count(*) OVER (PARTITION BY doc_id) AS n
+       FROM tok),
+s2 AS (SELECT doc_id, shingle FROM sh WHERE pos <= n - 7),
+ev AS (SELECT DISTINCT shingle FROM s2 WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, shingle FROM s2 WHERE doc_id % 50 != 0)
+SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_matched
+FROM corp JOIN ev USING (shingle) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_warc_to_wet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north_rule pipeline END-TO-END under one exact oracle: WARC
     containers (bodies in utf-8 / latin-1 / utf-16le, real boilerplate
@@ -2588,6 +2621,7 @@ REGISTRY: dict[str, tuple] = {
     "wet_roundtrip_docs": (q_wet_roundtrip_docs, _WET_SQL),
     "host_cap_docs": (q_host_cap_docs, _HOST_CAP_SQL),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
+    "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
