@@ -661,3 +661,62 @@ def test_segment_dedup_drop_join_is_broadcast(spark):
     plan = dedup.segment_dedup(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_phash_near_dup_detection(spark, weights):
+    """aHash: identical pages collide at Hamming 0; a small overlay stays
+    within a few bits; a different page is far away."""
+    import numpy as np
+    from tuatara_spark.ops import multimodal as mm
+    img1, _ = fx.render_page("hellopage", 256, 256, 4)
+    img2 = img1.copy()
+    img2[200:208, 200:208] = 0          # tiny 8x8 ink blot overlay
+    # different sparse TEXT pages can land near in aHash (mostly-white
+    # pages share their block-mean structure) — the discriminative case
+    # for block-mean hashing is structural: half the page inked
+    img3, _ = fx.render_page("othertext", 256, 256, 4)
+    img3 = img3.copy()
+    img3[:, :128] = 0
+    rows = [("a", bytearray(fx.encode_tpage(img1))),
+            ("b", bytearray(fx.encode_tpage(img1))),
+            ("c", bytearray(fx.encode_tpage(img2))),
+            ("d", bytearray(fx.encode_tpage(img3))),
+            ("junk", bytearray(b"NOPE"))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    sigs = {r.url: r.phash for r in mm.phash64(df).collect()}
+    assert set(sigs) == {"a", "b", "c", "d"}      # junk skipped
+    assert sigs["a"] == sigs["b"]
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+    assert 0 <= ham(sigs["a"], sigs["c"]) <= 3    # overlay: few bits
+    assert ham(sigs["a"], sigs["d"]) > 3          # different page: far
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             mm.phash_dup_pairs(df, max_hamming=3,
+                                max_bucket=None).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] == 0
+    assert ("a", "c") in pairs and ("b", "c") in pairs
+    assert not any("d" in p for p in pairs)
+
+
+def test_hamming_pairs64_matches_bruteforce(spark):
+    """The banded join over arbitrary 64-bit signatures returns exactly
+    the brute-force Hamming<=t pairs (banding is lossless for t<=3)."""
+    import itertools
+    import numpy as np
+    from tuatara_spark.ops import dedup as dd
+    rng = np.random.default_rng(3)
+    base = rng.integers(-2**63, 2**63 - 1, size=6, dtype=np.int64)
+    sigs = []
+    for i, b in enumerate(base):
+        sigs.append((f"s{i}", int(b)))
+        flip = int(b) ^ (1 << int(rng.integers(0, 64)))   # 1-bit neighbor
+        sigs.append((f"s{i}x", np.int64(flip).item()))
+    df = spark.createDataFrame(sigs, "doc_id string, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           dd.hamming_pairs64(df, id_col="doc_id", max_hamming=3,
+                              max_bucket=None).collect()}
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sigs, 2):
+        h = bin((sa ^ sb) & (2**64 - 1)).count("1")
+        if h <= 3:
+            want[tuple(sorted((ia, ib)))] = h
+    assert got == want

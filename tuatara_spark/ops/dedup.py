@@ -463,3 +463,33 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"),
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
+
+
+def hamming_pairs64(sig_df: DataFrame, id_col: str = "doc_id",
+                    sig_col: str = "simhash", max_hamming: int = 3,
+                    max_bucket: int | None = 50) -> DataFrame:
+    """Banded Hamming self-join over ANY 64-bit signature column (the
+    simhash_pairs candidate scheme, factored for reuse by perceptual
+    image hashes): 4× 16-bit chunk banding — a pair within Hamming ≤ 3
+    must agree on ≥1 chunk — then one xor+popcount verify, filtered
+    BEFORE the pair-dedup shuffle. Returns (id_a, id_b, hamming)."""
+    sh = _persist(sig_df.select(F.col(id_col).alias("_id"),
+                                F.col(sig_col).alias("_sig")))
+    chunks = F.array(*[
+        ((F.shiftright("_sig", 16 * c)).bitwiseAND(F.lit(0xFFFF)))
+        .alias(f"c{c}") for c in range(4)])
+    banded = sh.select("_id", "_sig",
+                       F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    banded = _cap_buckets(banded, ["chunk_idx", "chunk_val"], max_bucket)
+    left = banded.select(F.col("_id").alias("id_a"),
+                         F.col("_sig").alias("sh_a"),
+                         "chunk_idx", "chunk_val")
+    right = banded.select(F.col("_id").alias("id_b"),
+                          F.col("_sig").alias("sh_b"),
+                          "chunk_idx", "chunk_val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (left.join(right, ["chunk_idx", "chunk_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= max_hamming)
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .distinct())

@@ -392,3 +392,52 @@ def thumbnail(df: DataFrame, out_w: int = 32, out_h: int = 32,
                                 "thumb_w": out_w, "thumb_h": out_h})
 
     return df.select(key_col, col).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def phash64(df: DataFrame, col: str = "html",
+            key_col: str = "url") -> DataFrame:
+    """64-bit perceptual hash (aHash: 8×8 block-mean threshold against
+    the global mean — the classic average-hash from the public pHash
+    family) over DECODED rasters: identical pixels ⇒ identical hash, and
+    small overlays/noise flip few bits, so Hamming distance ranks visual
+    similarity. Arrow-batched; undecodable payloads are skipped (the
+    standard error-row-free projection for derived signatures). Returns
+    (key, phash:long)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tuatara_spark import fixtures as fx
+        for pdf in batches:
+            keys, hashes = [], []
+            for u, buf in zip(pdf[key_col], pdf[col]):
+                try:
+                    img = np.asarray(fx.decode_payload(bytes(buf)))
+                except Exception:
+                    continue
+                g = img.astype(np.float64).mean(axis=2)
+                h8, w8 = g.shape[0] // 8, g.shape[1] // 8
+                if h8 == 0 or w8 == 0:
+                    continue
+                blocks = g[:h8 * 8, :w8 * 8] \
+                    .reshape(8, h8, 8, w8).mean(axis=(1, 3))
+                bits = (blocks > blocks.mean()).flatten()
+                val = int.from_bytes(np.packbits(bits).tobytes(),
+                                     "big", signed=True)
+                keys.append(u)
+                hashes.append(val)
+            yield pd.DataFrame({key_col: keys, "phash": hashes})
+
+    return df.mapInPandas(fn, f"{key_col} string, phash long")
+
+
+def phash_dup_pairs(df: DataFrame, col: str = "html",
+                    key_col: str = "url", max_hamming: int = 3,
+                    max_bucket: int | None = 50) -> DataFrame:
+    """Image near-dup pairs: phash64 then the shared 16-bit-chunk banded
+    Hamming join (ops/dedup.hamming_pairs64 — same candidate shape as
+    simhash text dedup, so the scale properties carry over)."""
+    from tuatara_spark.ops import dedup
+    sigs = phash64(df, col=col, key_col=key_col)
+    return dedup.hamming_pairs64(sigs, id_col=key_col, sig_col="phash",
+                                 max_hamming=max_hamming,
+                                 max_bucket=max_bucket)

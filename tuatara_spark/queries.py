@@ -2117,6 +2117,57 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_phash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for perceptual-hash image dedup (the hash is a
+    pixel-derived signature, not SQL-expressible — same gating pattern as
+    simhash_recall_gate): pages rendered from the first 24 docs PLUS
+    planted duplicate renders (every 6th doc re-rendered under url+1000)
+    must ALL be recovered by phash_dup_pairs at Hamming 0 — identical
+    pixels ⇒ identical aHash ⇒ identical chunks, and banding at Hamming 0
+    with no bucket cap is deterministic, so recall_ok=true is exact, not
+    probabilistic. The oracle recomputes the expected identical-image
+    pair count (= identical cleaned-text pairs in the expanded set)."""
+    _ship_package(spark)
+    base = (_docs(spark, sf_dir).orderBy("doc_id").limit(24)
+            .selectExpr("doc_id", "cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS t"))
+    extra = base.where(F.col("doc_id") % 6 == 0) \
+        .selectExpr("cast(doc_id + 1000 as string) AS url", "t")
+    src = base.select("url", "t").unionByName(extra)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [fx.encode_tpbit(fx.render_page(t or "", 256, 256,
+                                                       4)[0])
+                        for t in pdf["t"]]
+            yield pd.DataFrame({"url": pdf["url"], "html": payloads})
+
+    pages = src.mapInPandas(render, "url string, html binary")
+    found = multimodal.phash_dup_pairs(pages, max_hamming=0,
+                                       max_bucket=None) \
+        .select("id_a", "id_b")
+    a = src.selectExpr("url AS id_a", "t")
+    b = src.selectExpr("url AS id_b", "t")
+    exact = (a.join(b, "t").where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    missed = exact.join(found, ["id_a", "id_b"], "left_anti")
+    return (exact.agg(F.count("*").alias("n_dup_pairs"))
+            .crossJoin(F.broadcast(
+                missed.agg((F.count("*") == 0).alias("recall_ok")))))
+
+
+_PHASH_GATE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 24),
+e AS (SELECT url, t FROM c
+      UNION ALL
+      SELECT CAST(doc_id + 1000 AS VARCHAR), t FROM c WHERE doc_id % 6 = 0)
+SELECT count(*) AS n_dup_pairs, true AS recall_ok
+FROM e a JOIN e b ON a.t = b.t AND a.url < b.url
+"""
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (ops/training.shingle_overlap): every
     50th document plays the held-out benchmark; corpus docs sharing any
@@ -2622,6 +2673,7 @@ REGISTRY: dict[str, tuple] = {
     "host_cap_docs": (q_host_cap_docs, _HOST_CAP_SQL),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
+    "phash_recall_gate": (q_phash_recall_gate, _PHASH_GATE_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
