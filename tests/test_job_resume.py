@@ -250,3 +250,61 @@ def test_engine_empty_input(spark, weights):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields[-5:]] == \
         ["spans", "text", "n_regions", "n_chars", "error"]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    from tuatara_spark.sources import warc as W
+    d = tmp_path_factory.mktemp("warc_in")
+    for f in range(3):
+        pages = []
+        for i in range(f * 20, f * 20 + 20):
+            body = (f"<html><head><meta charset='utf-8'></head><body>"
+                    f"<nav>m</nav><p>crawl page {i} body</p>"
+                    f"<footer>f</footer></body></html>").encode()
+            pages.append({"url": f"https://c.org/{i}",
+                          "date": "2026-01-01T00:00:00Z", "status": 200,
+                          "content_type": "text/html", "body": body,
+                          "chunked": i % 2 == 0})
+        (d / f"f{f}.warc.gz").write_bytes(W.encode_warc(pages))
+    return str(d)
+
+
+def test_crawl_job_crash_and_resume_equals_single_shot(
+        spark, warc_dir, tmp_path):
+    single = str(tmp_path / "single")
+    job.run_crawl(spark, warc_dir, single, num_buckets=8, groups=1)
+
+    crashed = str(tmp_path / "crashed")
+    with pytest.raises(job.InjectedFailure):
+        job.run_crawl(spark, warc_dir, crashed, num_buckets=8, groups=4,
+                      fail_after_groups=2)
+    partial = Catalog(crashed).committed_buckets()
+    assert 0 < len(partial) < 8
+    summary = job.run_crawl(spark, warc_dir, crashed, num_buckets=8,
+                            groups=4)
+    assert summary["resumed"] is True
+    assert Catalog(crashed).committed_buckets() == set(range(8))
+    # resumed output == single-shot output, byte for byte
+    def read_all(root):
+        rows = {}
+        for d in Catalog(root).committed_run_dirs():
+            for r in spark.read.parquet(d).collect():
+                rows[r.url] = (r.main_text, r.charset)
+        return rows
+    a, b = read_all(single), read_all(crashed)
+    assert a == b and len(a) == 60
+    assert all("crawl page" in t for t, _ in a.values())
+    assert all("nav" not in t and "footer" not in t for t, _ in a.values())
+    # lineage totals agree
+    assert Catalog(single).totals() == Catalog(crashed).totals()
+    # third invocation: clean no-op resume
+    again = job.run_crawl(spark, warc_dir, crashed, num_buckets=8)
+    assert again["groups_run"] == 0 and again["resumed"] is True
+
+
+def test_crawl_job_pin_rejects_divergent_config(spark, warc_dir, tmp_path):
+    root = str(tmp_path / "t")
+    job.run_crawl(spark, warc_dir, root, num_buckets=8)
+    with pytest.raises(ValueError, match="mismatch"):
+        job.run_crawl(spark, warc_dir, root, num_buckets=16)

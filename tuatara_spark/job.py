@@ -111,6 +111,83 @@ def run_extract(spark: SparkSession, input_path: str, output_root: str,
             "buckets": all_buckets, "totals": cat.totals()}
 
 
+def _crawl_counters(out_df: DataFrame) -> dict[int, dict]:
+    rows = (out_df.groupBy("part_id")
+            .agg(F.count("*").alias("pages"),
+                 F.sum(F.length("main_text")).alias("chars"),
+                 F.sum(F.when(F.length("main_text") == 0, 1).otherwise(0))
+                 .alias("empties"))
+            .collect())
+    return {int(r.part_id): {"pages": int(r.pages),
+                             "chars": int(r.chars or 0),
+                             "empties": int(r.empties or 0)}
+            for r in rows}
+
+
+def run_crawl(spark: SparkSession, input_dir: str, output_root: str,
+              num_buckets: int = pt.DEFAULT_NUM_BUCKETS,
+              groups: int = 1, num_tasks: int | None = None,
+              fail_after_groups: int | None = None) -> dict:
+    """The HTML half of the north_rule under the SAME commit/resume
+    protocol as the OCR job: WARC containers → parse → charset
+    sniff+decode → boilerplate strip → url-hash buckets → per-group
+    snapshot commits with per-bucket lineage counters. A crash loses at
+    most one group; the next invocation resumes from the last committed
+    snapshot and reprocesses only uncommitted buckets.
+
+    Note the resume unit is the url-hash BUCKET, not the container file:
+    a container's records scatter across buckets, so a resumed run
+    re-reads the input files but re-extracts only missing buckets —
+    at crawl scale the re-read is the cheap half (columnar-pruned scan /
+    container parse) and the commit math stays a pure function of url."""
+    from tuatara_spark.ops import encoding, htmlx
+    from tuatara_spark.sources import warc as W
+    cat = Catalog(output_root)
+    cat.pin_table_config(num_buckets=int(num_buckets), pipeline="crawl")
+    done = cat.committed_buckets()
+    if num_tasks is None:
+        num_tasks = spark.sparkContext.defaultParallelism * 2
+
+    recs = W.read_warc(spark, input_dir).where(F.col("error") == "")
+    decoded = encoding.sniff_decode(recs)
+    stripped = htmlx.strip_boilerplate(decoded, col="text")
+    pages = pt.with_bucket(stripped, num_buckets)
+    remaining = sorted(set(range(num_buckets)) - done)
+    if not remaining:
+        return {"resumed": True, "groups_run": 0, "buckets": [],
+                "totals": cat.totals()}
+
+    group_size = max(1, -(-len(remaining) // groups))
+    chunks = [remaining[i:i + group_size]
+              for i in range(0, len(remaining), group_size)]
+    groups_run = 0
+    all_buckets: list[int] = []
+    for chunk in chunks:
+        sid, run_dir = cat.new_run()
+        sub = (pages.filter(F.col("part_id")
+                            .isin([int(b) for b in chunk]))
+               .select("url", "warc_ts", "charset", "main_text", "part_id"))
+        # text rows are uniformly small — repartition on part_id alone
+        # (the OCR job's payload salting is for MB-scale page images)
+        sub = sub.repartition(num_tasks, F.col("part_id"))
+        sub.write.mode("overwrite").partitionBy("part_id").parquet(run_dir)
+        has_files = bool(glob.glob(os.path.join(run_dir, "**", "*.parquet"),
+                                   recursive=True))
+        counters = (_crawl_counters(spark.read.parquet(run_dir))
+                    if has_files else {})
+        totals = {"pages": sum(c["pages"] for c in counters.values()),
+                  "chars": sum(c["chars"] for c in counters.values()),
+                  "empties": sum(c["empties"] for c in counters.values())}
+        cat.commit(sid, [int(b) for b in chunk], counters, totals)
+        groups_run += 1
+        all_buckets.extend(chunk)
+        if fail_after_groups is not None and groups_run >= fail_after_groups:
+            raise InjectedFailure(
+                f"injected failure after {groups_run} groups")
+    return {"resumed": bool(done), "groups_run": groups_run,
+            "buckets": all_buckets, "totals": cat.totals()}
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="tuatara_spark extraction job")
     p.add_argument("--input", required=True)
