@@ -201,6 +201,19 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         cent = _sim.ivf_centroids(emb, n_centroids=8, sample=512)
         return _sim.with_ivf_cell_batched(emb, cent)
 
+    def _corpus_stats_sketch(spark_, sf_dir_):
+        # the 100 TB twin of corpus_stats_exact: HLL distinct + KLL
+        # quantiles — one pass, constant memory, no exact-distinct shuffle
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        t = docs.selectExpr("size(split(text, ' ')) AS n")
+        base = t.selectExpr(
+            "count(*) AS n_docs", "sum(n) AS total_tokens",
+            "percentile_approx(n, array(0.25, 0.5, 0.75)) AS quartiles")
+        vocab = docs.selectExpr(
+            "explode(split(text, ' ')) AS tok").selectExpr(
+            "approx_count_distinct(tok) AS distinct_tokens")
+        return base.crossJoin(vocab)
+
     plan = [
         ("minhash_lsh_pairs", Q.q_minhash_lsh_pairs),
         ("simhash_pairs", Q.q_simhash_pairs),
@@ -209,6 +222,8 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("lsh_bucket_batched", _lsh_bucket_batched),
         ("ivf_cell_batched", _ivf_cell_batched),
         ("dedup_exact_groups", Q.q_dedup_exact_groups),
+        ("corpus_stats_exact", Q.q_corpus_stats_docs),
+        ("corpus_stats_sketch", _corpus_stats_sketch),
         ("segment_dedup_docs", Q.q_segment_dedup_docs),
         ("quality_classifier_docs", Q.q_quality_classifier_docs),
         ("sequence_pack_docs", Q.q_sequence_pack_docs),

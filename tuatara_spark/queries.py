@@ -2117,6 +2117,47 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_corpus_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level statistics with EXACT forms (count-distinct tokens,
+    interpolated quartiles of doc length): the oracle recomputes each in
+    ANSI SQL. Quartile points are .25/.5/.75 only — binary-exact
+    interpolation fractions, so Spark's percentile() and DuckDB's
+    quantile_cont agree bitwise on integer inputs (a .9 quantile would
+    differ in the last ulp between the two interpolation formulas). The
+    approximate scale twins (HLL approx_count_distinct / KLL
+    percentile_approx) are benchmarked in bench.py, not oracled —
+    sketches are engine-specific by construction."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(F.size(F.split("text", " ")).alias("n"))
+    base = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.floor(F.percentile("n", 0.25) * 100 + F.lit(0.5)).cast("long")
+        .alias("p25_e2"),
+        F.floor(F.percentile("n", 0.5) * 100 + F.lit(0.5)).cast("long")
+        .alias("p50_e2"),
+        F.floor(F.percentile("n", 0.75) * 100 + F.lit(0.5)).cast("long")
+        .alias("p75_e2"))
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .agg(F.count_distinct("tok").cast("long")
+                  .alias("distinct_tokens")))
+    return base.crossJoin(F.broadcast(vocab))
+
+
+_CORPUS_STATS_SQL = """
+WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(floor(quantile_cont(n, 0.25) * 100 + 0.5) AS BIGINT) AS p25_e2,
+       CAST(floor(quantile_cont(n, 0.5) * 100 + 0.5) AS BIGINT) AS p50_e2,
+       CAST(floor(quantile_cont(n, 0.75) * 100 + 0.5) AS BIGINT) AS p75_e2,
+       (SELECT distinct_tokens FROM v) AS distinct_tokens
+FROM t
+"""
+
+
 def q_phash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible gate for perceptual-hash image dedup (the hash is a
     pixel-derived signature, not SQL-expressible — same gating pattern as
@@ -2674,6 +2715,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
     "phash_recall_gate": (q_phash_recall_gate, _PHASH_GATE_SQL),
+    "corpus_stats_docs": (q_corpus_stats_docs, _CORPUS_STATS_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
