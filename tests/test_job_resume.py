@@ -308,3 +308,40 @@ def test_crawl_job_pin_rejects_divergent_config(spark, warc_dir, tmp_path):
     job.run_crawl(spark, warc_dir, root, num_buckets=8)
     with pytest.raises(ValueError, match="mismatch"):
         job.run_crawl(spark, warc_dir, root, num_buckets=16)
+
+
+def test_crawl_refresh_upsert_and_read_latest(spark, warc_dir, tmp_path):
+    """Re-crawl upsert: a refresh run commits newer rows for already-
+    committed urls; Catalog.read_latest resolves per-url latest by
+    (warc_ts, snapshot order), while read_table/as_of keep history."""
+    from tuatara_spark.sources import warc as W
+    root = str(tmp_path / "t")
+    job.run_crawl(spark, warc_dir, root, num_buckets=8)
+    cat = Catalog(root)
+    sid_v1 = cat.current_snapshot_id()
+
+    # re-crawl: 5 urls re-fetched LATER with changed content
+    d2 = tmp_path / "warc_v2"
+    d2.mkdir()
+    pages = []
+    for i in range(5):
+        body = (f"<html><body><p>refetched page {i} v2</p>"
+                f"</body></html>").encode()
+        pages.append({"url": f"https://c.org/{i}",
+                      "date": "2026-02-01T00:00:00Z", "status": 200,
+                      "content_type": "text/html", "body": body})
+    (d2 / "re.warc.gz").write_bytes(W.encode_warc(pages))
+    job.run_crawl(spark, str(d2), root, num_buckets=8, refresh=True)
+
+    latest = {r.url: r.main_text
+              for r in cat.read_latest(spark).collect()}
+    assert len(latest) == 60                       # still one row per url
+    for i in range(5):
+        assert latest[f"https://c.org/{i}"] == f"refetched page {i} v2"
+    assert "crawl page 7" in latest["https://c.org/7"]   # untouched url
+    # raw table keeps BOTH versions (merge-on-read, not rewrite)
+    assert cat.read_table(spark).count() == 65
+    # time travel: the v1 view never sees the refresh
+    old = {r.url: r.main_text
+           for r in cat.read_latest(spark, as_of=sid_v1).collect()}
+    assert "crawl page 0" in old["https://c.org/0"]

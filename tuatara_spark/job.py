@@ -127,7 +127,8 @@ def _crawl_counters(out_df: DataFrame) -> dict[int, dict]:
 def run_crawl(spark: SparkSession, input_dir: str, output_root: str,
               num_buckets: int = pt.DEFAULT_NUM_BUCKETS,
               groups: int = 1, num_tasks: int | None = None,
-              fail_after_groups: int | None = None) -> dict:
+              fail_after_groups: int | None = None,
+              refresh: bool = False) -> dict:
     """The HTML half of the north_rule under the SAME commit/resume
     protocol as the OCR job: WARC containers → parse → charset
     sniff+decode → boilerplate strip → url-hash buckets → per-group
@@ -144,7 +145,11 @@ def run_crawl(spark: SparkSession, input_dir: str, output_root: str,
     from tuatara_spark.sources import warc as W
     cat = Catalog(output_root)
     cat.pin_table_config(num_buckets=int(num_buckets), pipeline="crawl")
-    done = cat.committed_buckets()
+    # refresh = an UPSERT run over a re-crawl drop: process every bucket
+    # again; readers resolve per-url latest via Catalog.read_latest
+    # (merge-on-read). Resume-after-crash within the refresh itself still
+    # works: rerun with refresh=False and only missing buckets re-run.
+    done = set() if refresh else cat.committed_buckets()
     if num_tasks is None:
         num_tasks = spark.sparkContext.defaultParallelism * 2
 
