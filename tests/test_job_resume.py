@@ -345,3 +345,57 @@ def test_crawl_refresh_upsert_and_read_latest(spark, warc_dir, tmp_path):
     old = {r.url: r.main_text
            for r in cat.read_latest(spark, as_of=sid_v1).collect()}
     assert "crawl page 0" in old["https://c.org/0"]
+
+
+def test_crawl_refresh_crash_resumes_generation(spark, warc_dir, tmp_path):
+    """A crash mid-refresh must be completable: resume is scoped to the
+    refresh GENERATION, so the original crawl's committed buckets don't
+    mask the refresh's missing ones (review finding)."""
+    from tuatara_spark.sources import warc as W
+    root = str(tmp_path / "t")
+    job.run_crawl(spark, warc_dir, root, num_buckets=8)
+
+    d2 = tmp_path / "warc_v2"
+    d2.mkdir()
+    pages = [{"url": f"https://c.org/{i}",
+              "date": "2026-02-01T00:00:00Z", "status": 200,
+              "content_type": "text/html",
+              "body": f"<html><body><p>v2 page {i}</p></body></html>"
+              .encode()} for i in range(60)]
+    (d2 / "re.warc.gz").write_bytes(W.encode_warc(pages))
+
+    with pytest.raises(job.InjectedFailure):
+        job.run_crawl(spark, str(d2), root, num_buckets=8, groups=4,
+                      refresh=True, fail_after_groups=2)
+    cat = Catalog(root)
+    gen1_done = cat.committed_buckets(gen=1)
+    assert 0 < len(gen1_done) < 8          # refresh partially committed
+    # resume WITHOUT refresh: completes generation 1, not a no-op
+    summary = job.run_crawl(spark, str(d2), root, num_buckets=8, groups=4)
+    assert summary["gen"] == 1 and summary["groups_run"] > 0
+    assert cat.committed_buckets(gen=1) == set(range(8))
+    latest = {r.url: r.main_text for r in cat.read_latest(spark).collect()}
+    assert len(latest) == 60
+    assert all(t.startswith("v2 page") for t in latest.values())
+
+
+def test_empty_run_dirs_do_not_brick_reads(spark, warc_dir, tmp_path):
+    """Groups whose buckets hold zero rows commit runs with no parquet
+    files; read_table/read_latest must skip them (review finding)."""
+    from tuatara_spark.sources import warc as W
+    root = str(tmp_path / "t")
+    # tiny refresh drop: 2 urls over 8 buckets × 4 groups — some groups
+    # are guaranteed empty
+    d2 = tmp_path / "tiny"
+    d2.mkdir()
+    pages = [{"url": f"https://c.org/{i}",
+              "date": "2026-02-01T00:00:00Z", "status": 200,
+              "content_type": "text/html",
+              "body": b"<html><body><p>tiny</p></body></html>"}
+             for i in range(2)]
+    (d2 / "t.warc.gz").write_bytes(W.encode_warc(pages))
+    job.run_crawl(spark, str(d2), root, num_buckets=8, groups=4)
+    cat = Catalog(root)
+    assert cat.committed_buckets() == set(range(8))
+    assert cat.read_table(spark).count() == 2      # must not raise
+    assert cat.read_latest(spark).count() == 2

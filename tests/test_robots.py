@@ -79,3 +79,16 @@ def test_rules_join_is_broadcast_and_jvm_only(spark):
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+def test_specific_allow_all_group_overrides_star(spark):
+    # RFC 9309: group SELECTION precedes rule matching — a specific
+    # agent's group whose only rule is the empty (allow-all) Disallow
+    # must win over a deny-all * group, not vanish from the rule table
+    robots = ("User-agent: tuatara\nDisallow:\n\n"
+              "User-agent: *\nDisallow: /\n")
+    got = _eval(spark, ["/x", "/"], agent="tuatara", robots=robots)
+    assert got["/x"] == (True, "") and got["/"] == (True, "")
+    # other agents still get the deny-all * group
+    got2 = _eval(spark, ["/x"], agent="otherbot", robots=robots)
+    assert got2["/x"] == (False, "/")

@@ -107,11 +107,22 @@ class Catalog:
 
     # -- reads --------------------------------------------------------------
 
-    def committed_buckets(self) -> set[int]:
+    def committed_buckets(self, gen: int | None = None) -> set[int]:
+        """Buckets committed so far; with ``gen``, only by snapshots of
+        that refresh GENERATION (pre-generation snapshots count as gen
+        0). Generation-scoped resume is what lets an interrupted refresh
+        run complete: buckets the ORIGINAL crawl committed must not mask
+        buckets the refresh still owes (see job.run_crawl)."""
         done: set[int] = set()
         for snap in self.snapshots():
-            done.update(snap["buckets"])
+            if gen is None or int(snap.get("gen", 0)) == gen:
+                done.update(snap["buckets"])
         return done
+
+    def current_gen(self) -> int:
+        """Highest refresh generation committed (0 for a fresh table)."""
+        return max((int(s.get("gen", 0)) for s in self.snapshots()),
+                   default=0)
 
     @staticmethod
     def _runs_of(snap: dict) -> list[str]:
@@ -125,6 +136,16 @@ class Catalog:
             snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
         return [os.path.join(self.data_dir, r)
                 for s in snaps for r in self._runs_of(s)]
+
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        """A committed run whose buckets held zero rows writes no data
+        files (only _SUCCESS) — legitimate (processed-empty buckets are
+        still committed for resume), but spark.read.parquet on such a
+        dir throws UNABLE_TO_INFER_SCHEMA; readers must skip it."""
+        import glob as _glob
+        return bool(_glob.glob(os.path.join(d, "**", "*.parquet"),
+                               recursive=True))
 
     def read_table(self, spark, as_of: int | None = None):
         """Union of all committed run dirs (part_id recovered via hive
@@ -142,7 +163,8 @@ class Catalog:
         NULL for older runs (Iceberg add-column semantics). Dropping or
         retyping a column is NOT supported — unionByName fails fast on a
         type conflict rather than silently coercing."""
-        dirs = self.committed_run_dirs(as_of)
+        dirs = [d for d in self.committed_run_dirs(as_of)
+                if self._has_parquet(d)]
         if not dirs:
             return None
         df = spark.read.parquet(dirs[0])
@@ -168,7 +190,8 @@ class Catalog:
         return sid, os.path.join(self.data_dir, run)
 
     def commit(self, sid: int, buckets: list[int],
-               manifests: dict[int, dict], totals: dict) -> None:
+               manifests: dict[int, dict], totals: dict,
+               extra: dict | None = None) -> None:
         """Commit a run: per-bucket manifests, then snapshot, then CURRENT
         (atomic rename). ``manifests[b]`` = counters dict for bucket b."""
         mdir = os.path.join(self.manifest_dir, str(sid))
@@ -188,6 +211,7 @@ class Catalog:
             "buckets": sorted(int(b) for b in buckets),
             "totals": totals,
             "committed_at_unix": int(time.time()),
+            **(extra or {}),
         }
         tmp = self._snapshot_path(sid) + ".tmp"
         with open(tmp, "w") as f:
@@ -291,6 +315,8 @@ class Catalog:
         for s in snaps:
             for r in self._runs_of(s):
                 d = os.path.join(self.data_dir, r)
+                if not self._has_parquet(d):
+                    continue  # processed-empty run (see _has_parquet)
                 pieces.append(spark.read.parquet(d).withColumn(
                     "_snapshot_id", F.lit(int(s["snapshot_id"]))))
         if not pieces:

@@ -145,11 +145,16 @@ def run_crawl(spark: SparkSession, input_dir: str, output_root: str,
     from tuatara_spark.sources import warc as W
     cat = Catalog(output_root)
     cat.pin_table_config(num_buckets=int(num_buckets), pipeline="crawl")
-    # refresh = an UPSERT run over a re-crawl drop: process every bucket
-    # again; readers resolve per-url latest via Catalog.read_latest
-    # (merge-on-read). Resume-after-crash within the refresh itself still
-    # works: rerun with refresh=False and only missing buckets re-run.
-    done = set() if refresh else cat.committed_buckets()
+    # refresh = an UPSERT run over a re-crawl drop: start a new refresh
+    # GENERATION and process every bucket again; readers resolve per-url
+    # latest via Catalog.read_latest (merge-on-read). Resume is
+    # generation-scoped: a crash mid-refresh leaves the current
+    # generation partially committed, and the next refresh=False
+    # invocation resumes THAT generation's missing buckets (the original
+    # crawl's commits must not mask them).
+    cur_gen = cat.current_gen()
+    gen = cur_gen + 1 if refresh else cur_gen
+    done = set() if refresh else cat.committed_buckets(gen=gen)
     if num_tasks is None:
         num_tasks = spark.sparkContext.defaultParallelism * 2
 
@@ -161,6 +166,12 @@ def run_crawl(spark: SparkSession, input_dir: str, output_root: str,
     if not remaining:
         return {"resumed": True, "groups_run": 0, "buckets": [],
                 "totals": cat.totals()}
+    if len(remaining) > 1 and groups > 1:
+        # the per-group bucket filter cannot push below the Python parse,
+        # so without this every group would re-gunzip and re-parse EVERY
+        # container — the dominant cost. Parse once, spill-tolerant.
+        from pyspark import StorageLevel
+        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
 
     group_size = max(1, -(-len(remaining) // groups))
     chunks = [remaining[i:i + group_size]
@@ -183,13 +194,15 @@ def run_crawl(spark: SparkSession, input_dir: str, output_root: str,
         totals = {"pages": sum(c["pages"] for c in counters.values()),
                   "chars": sum(c["chars"] for c in counters.values()),
                   "empties": sum(c["empties"] for c in counters.values())}
-        cat.commit(sid, [int(b) for b in chunk], counters, totals)
+        cat.commit(sid, [int(b) for b in chunk], counters, totals,
+                   extra={"gen": gen})
         groups_run += 1
         all_buckets.extend(chunk)
         if fail_after_groups is not None and groups_run >= fail_after_groups:
             raise InjectedFailure(
                 f"injected failure after {groups_run} groups")
-    return {"resumed": bool(done), "groups_run": groups_run,
+    pages.unpersist()
+    return {"resumed": bool(done), "groups_run": groups_run, "gen": gen,
             "buckets": all_buckets, "totals": cat.totals()}
 
 

@@ -258,48 +258,17 @@ def simhash64(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
                   max_bucket: int | None = 50,
-                  verify_partitions: int | None = None) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
-    generation: 4× 16-bit chunk banding (a pair within Hamming 3 must agree
-    on at least one chunk); verification: bit_count(xor). Chunk buckets
-    larger than ``max_bucket`` are dropped (see _cap_buckets)."""
-    # Persist: the self-join would recompute the simhash aggregate twice.
-    sh = _persist(simhash64(df, text_col)
-                  .select(F.col(id_col).alias("_id"), "simhash"))
-    chunks = F.array(*[
-        ((F.shiftright("simhash", 16 * c)).bitwiseAND(F.lit(0xFFFF)))
-        .alias(f"c{c}") for c in range(4)])
-    banded = sh.select("_id", "simhash",
-                       F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
-    banded = _cap_buckets(banded, ["chunk_idx", "chunk_val"], max_bucket)
-    left = banded.select(F.col("_id").alias("id_a"),
-                         F.col("simhash").alias("sh_a"),
-                         "chunk_idx", "chunk_val")
-    right = banded.select(F.col("_id").alias("id_b"),
-                          F.col("simhash").alias("sh_b"),
-                          "chunk_idx", "chunk_val")
-    # Unlike the minhash verify (heavy per-pair set intersection), the
-    # simhash verify is ONE xor+popcount — so filter it BEFORE the
-    # distinct (shrinking the dedup shuffle to qualifying pairs only) and
-    # skip the explicit wide repartition (the dedup shuffle is already
-    # sized by spark.sql.shuffle.partitions; an extra exchange for a
-    # trivial filter was measured pure overhead).
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    if verify_partitions is not None:
-        banded = banded.repartition(verify_partitions,
-                                    "chunk_idx", "chunk_val")
-        left = banded.select(F.col("_id").alias("id_a"),
-                             F.col("simhash").alias("sh_a"),
-                             "chunk_idx", "chunk_val")
-        right = banded.select(F.col("_id").alias("id_b"),
-                              F.col("simhash").alias("sh_b"),
-                              "chunk_idx", "chunk_val")
-    return (left.join(right, ["chunk_idx", "chunk_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
-            .dropDuplicates(["id_a", "id_b"]))
+                  verify_partitions: int | None = None,
+                  strict: bool = True) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Signature from
+    :func:`simhash64`; candidate generation + verify delegate to the
+    shared :func:`hamming_pairs64` banded join (one implementation for
+    text simhash and image phash alike)."""
+    sigs = simhash64(df, text_col).select(F.col(id_col), "simhash")
+    return hamming_pairs64(sigs, id_col=id_col, sig_col="simhash",
+                           max_hamming=max_hamming, max_bucket=max_bucket,
+                           verify_partitions=verify_partitions,
+                           strict=strict)
 
 
 # ------------------------------------------------- duplicate clustering ----
@@ -467,12 +436,29 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
 
 def hamming_pairs64(sig_df: DataFrame, id_col: str = "doc_id",
                     sig_col: str = "simhash", max_hamming: int = 3,
-                    max_bucket: int | None = 50) -> DataFrame:
-    """Banded Hamming self-join over ANY 64-bit signature column (the
-    simhash_pairs candidate scheme, factored for reuse by perceptual
-    image hashes): 4× 16-bit chunk banding — a pair within Hamming ≤ 3
-    must agree on ≥1 chunk — then one xor+popcount verify, filtered
-    BEFORE the pair-dedup shuffle. Returns (id_a, id_b, hamming)."""
+                    max_bucket: int | None = 50,
+                    verify_partitions: int | None = None,
+                    strict: bool = True) -> DataFrame:
+    """Banded Hamming self-join over ANY 64-bit signature column (shared
+    by text simhash and image perceptual hashes): 4× 16-bit chunk banding
+    — a pair within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole) —
+    then one xor+popcount verify, filtered BEFORE the pair-dedup shuffle
+    (the simhash verify is trivially cheap, unlike the minhash set
+    intersection, so no explicit wide repartition by default;
+    ``verify_partitions`` forces one when a caller wants it). Returns
+    (id_a, id_b, hamming).
+
+    ``max_hamming`` ≤ 3 is COMPLETE (4-band pigeonhole); beyond 3 the
+    band join can miss pairs whose differing bits span all four chunks,
+    so larger thresholds require ``strict=False`` — an explicit opt-in
+    to "pairs within Hamming H that also share a 16-bit chunk"
+    (recall-gate style callers that only rely on the Hamming-0
+    guarantee use this)."""
+    if max_hamming > 3 and strict:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "bound (3): pairs would be silently lost; pass strict=False "
+            "to accept the partial (chunk-sharing) pair set")
     sh = _persist(sig_df.select(F.col(id_col).alias("_id"),
                                 F.col(sig_col).alias("_sig")))
     chunks = F.array(*[
@@ -481,6 +467,9 @@ def hamming_pairs64(sig_df: DataFrame, id_col: str = "doc_id",
     banded = sh.select("_id", "_sig",
                        F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
     banded = _cap_buckets(banded, ["chunk_idx", "chunk_val"], max_bucket)
+    if verify_partitions is not None:
+        banded = banded.repartition(verify_partitions,
+                                    "chunk_idx", "chunk_val")
     left = banded.select(F.col("_id").alias("id_a"),
                          F.col("_sig").alias("sh_a"),
                          "chunk_idx", "chunk_val")

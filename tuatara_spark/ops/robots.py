@@ -50,7 +50,12 @@ def parse_robots(df: DataFrame, host_col: str = "host",
                          & (F.col("v") != ""))  # empty Disallow: allow-all
              .select("host", "grp", F.col("d").alias("directive"),
                      F.col("v").alias("prefix")))
-    return agents.join(rules, ["host", "grp"])
+    # LEFT join: a group whose only rule is an empty ``Disallow:`` (the
+    # explicit allow-all form) must SURVIVE as a rule-less row — RFC 9309
+    # group selection happens before rule matching, so a specific agent's
+    # empty group overrides the * group rather than vanishing from the
+    # table (its row carries null directive/prefix).
+    return agents.join(rules, ["host", "grp"], "left")
 
 
 def evaluate(urls: DataFrame, rules: DataFrame, agent: str,
@@ -70,6 +75,9 @@ def evaluate(urls: DataFrame, rules: DataFrame, agent: str,
          .select("host", "directive", "prefix"))
     u = urls.select(F.col(host_col).alias("host"),
                     F.col(path_col).alias("path"))
+    # null prefix rows survive the match filter: they are either "host has
+    # no robots" (left-join miss) or "selected group allows everything"
+    # (empty-Disallow group) — both resolve to the default allow below
     cand = (u.join(F.broadcast(r), "host", "left")
             .where(F.col("prefix").isNull() |
                    F.col("path").startswith(F.col("prefix"))))

@@ -73,6 +73,17 @@ def pack_sequences(df: DataFrame, seq_len: int,
     each doc learns its global token offset, its first sequence id, and
     whether it straddles a boundary. Scalable prefix-sum: per-block
     window + tiny block-totals window (see module docstring)."""
+    # the block id must be ORDER-ALIGNED with order_col (block boundaries
+    # respect the global order) — numeric division gives that for numeric
+    # keys; for string keys (urls) it would cast to NULL/throw and
+    # collapse every row into one window partition, so refuse loudly and
+    # point at the fix (assign a numeric rank first)
+    kind = dict(df.dtypes).get(order_col, "")
+    if kind not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"pack_sequences needs an integer order_col, got {order_col}:"
+            f"{kind or '?'} — assign a numeric key first (e.g. a "
+            "zipWithIndex/row_number rank over the intended order)")
     n_tok = F.size(F.split(F.col(text_col), " "))
     base = df.select(F.col(order_col).alias("_k"),
                      n_tok.alias("n_tokens"),

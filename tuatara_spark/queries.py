@@ -839,7 +839,8 @@ def q_simhash_recall_gate(spark, sf_dir):
     b = corpus.select(F.col("doc_id").alias("id_b"), "text")
     exact = (a.join(b, "text").filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b"))
-    found = dedup.simhash_pairs(corpus, max_hamming=8, max_bucket=None) \
+    found = dedup.simhash_pairs(corpus, max_hamming=8, max_bucket=None,
+                                strict=False) \
         .select("id_a", "id_b")
     missed = exact.join(found, ["id_a", "id_b"], "left_anti")
     return (exact.agg(F.count("*").alias("n_exact_dup"))
@@ -1289,7 +1290,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    # strict=False: beyond Hamming 3 the 4-band join returns the partial
+    # chunk-sharing pair set by design (rows-only query; the exact-recall
+    # property is pinned separately by simhash_recall_gate at Hamming 0)
+    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8,
+                                strict=False)
             .orderBy("id_a", "id_b"))
 
 
@@ -2096,18 +2101,9 @@ def q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = docs.groupBy("file_id").applyInPandas(
         build, "file_id int, content binary")
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tuatara_spark.sources import warc as W
-        cols = ["source", "url", "warc_ts", "status", "content_type",
-                "html", "error"]
-        for pdf in batches:
-            out: list[dict] = []
-            for fid, c in zip(pdf["file_id"], pdf["content"]):
-                out.extend(W.warc_rows(bytes(c), source=str(fid)))
-            yield pd.DataFrame(out, columns=cols)
-
     from tuatara_spark.sources import warc as W
-    recs = files.mapInPandas(parse, W.WARC_SCHEMA)
+    recs = files.mapInPandas(
+        W.parse_batches_fn(source_col="file_id"), W.WARC_SCHEMA)
     return (recs.where(F.col("error") == "")
             .select("url", "warc_ts",
                     F.col("status").cast("int").alias("status"),
@@ -2285,16 +2281,9 @@ def q_warc_to_wet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = docs.groupBy("file_id").applyInPandas(
         build, "file_id int, content binary")
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["source", "url", "warc_ts", "status", "content_type",
-                "html", "error"]
-        for pdf in batches:
-            out: list[dict] = []
-            for fid, c in zip(pdf["file_id"], pdf["content"]):
-                out.extend(W.warc_rows(bytes(c), source=str(fid)))
-            yield pd.DataFrame(out, columns=cols)
-
-    recs = files.mapInPandas(parse, W.WARC_SCHEMA).where(F.col("error") == "")
+    recs = files.mapInPandas(
+        W.parse_batches_fn(source_col="file_id"),
+        W.WARC_SCHEMA).where(F.col("error") == "")
     decoded = encoding.sniff_decode(recs)
     stripped = htmlx.strip_boilerplate(decoded, col="text")
     gated = stripped.where(F.length("main_text") >= 8) \

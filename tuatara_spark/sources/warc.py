@@ -282,6 +282,28 @@ WARC_SCHEMA = ("source string, url string, warc_ts string, status int, "
                "content_type string, html binary, error string")
 
 
+def parse_batches_fn(record_types: tuple = ("response",),
+                     source_col: str = "path",
+                     content_col: str = "content"):
+    """Arrow-batched mapInPandas parser over (source, content) rows —
+    the ONE implementation behind the batch reader, the streaming
+    reader, and the query-synthesized containers (emit WARC_SCHEMA)."""
+    import pandas as pd
+
+    cols = ["source", "url", "warc_ts", "status", "content_type",
+            "html", "error"]
+
+    def parse(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for p, c in zip(pdf[source_col], pdf[content_col]):
+                out.extend(warc_rows(bytes(c), source=str(p),
+                                     record_types=record_types))
+            yield pd.DataFrame(out, columns=cols)
+
+    return parse
+
+
 def read_warc(spark, path: str, record_types: tuple = ("response",)):
     """``*.warc(.gz)`` files → DataFrame(source, url, warc_ts, status,
     content_type, html, error) — the canonical page table.
@@ -289,22 +311,9 @@ def read_warc(spark, path: str, record_types: tuple = ("response",)):
     One ``binaryFile`` row per file (CC-sized ~1 GB units), parsed in an
     Arrow-batched ``mapInPandas``; downstream repartition() spreads
     records when per-file row counts are skewed."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
-
-    def parse(batches):
-        for pdf in batches:
-            out: list[dict] = []
-            for p, c in zip(pdf["path"], pdf["content"]):
-                out.extend(warc_rows(bytes(c), source=p,
-                                     record_types=record_types))
-            yield pd.DataFrame(
-                out, columns=["source", "url", "warc_ts", "status",
-                              "content_type", "html", "error"])
-
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return files.mapInPandas(parse_batches_fn(record_types), WARC_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -345,7 +354,9 @@ def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
 
     def sink(batches):
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         pages = []
         for pdf in batches:
             for u, t in zip(pdf[url_col], pdf[text_col]):
@@ -353,7 +364,10 @@ def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
         fname = os.path.join(path, f"part-{pid:05d}.warc.gz")
         if pages:
             blob = encode_wet(pages)
-            tmp = fname + ".tmp"
+            # attempt-unique tmp: a speculative/zombie duplicate attempt
+            # must never interleave into the same tmp file; whichever
+            # attempt renames last wins with a COMPLETE blob
+            tmp = f"{fname}.tmp.{attempt}"
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.rename(tmp, fname)

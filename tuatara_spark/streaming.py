@@ -126,8 +126,6 @@ def read_warc_stream(spark: SparkSession, input_dir: str,
     as the batch reader; ``maxFilesPerTrigger`` bounds micro-batch size
     so one trigger never bites off more containers than the cluster
     chews concurrently."""
-    import pandas as pd
-
     from tuatara_spark.sources import warc as W
     files = (spark.readStream.format("binaryFile")
              .schema("path string, modificationTime timestamp, "
@@ -135,14 +133,4 @@ def read_warc_stream(spark: SparkSession, input_dir: str,
              .option("maxFilesPerTrigger", str(max_files_per_trigger))
              .load(input_dir)
              .select("path", "content"))
-
-    def parse(batches):
-        for pdf in batches:
-            out: list[dict] = []
-            for p, c in zip(pdf["path"], pdf["content"]):
-                out.extend(W.warc_rows(bytes(c), source=p))
-            yield pd.DataFrame(
-                out, columns=["source", "url", "warc_ts", "status",
-                              "content_type", "html", "error"])
-
-    return files.mapInPandas(parse, W.WARC_SCHEMA)
+    return files.mapInPandas(W.parse_batches_fn(), W.WARC_SCHEMA)
