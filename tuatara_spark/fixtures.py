@@ -169,6 +169,10 @@ def decode_payload(buf: bytes) -> np.ndarray:
     if magic == b"GIF8":
         from tuatara_spark.ref.gif import decode_gif
         return decode_gif(buf)
+    if magic == b"RIFF" and bytes(buf[8:12]) == b"WEBP":
+        from tuatara_spark.ref.webp import decode_webp
+        img = decode_webp(bytes(buf))
+        return img[..., :3] if img.shape[2] == 4 else img
     if magic[:2] == b"BM":
         from tuatara_spark.ref.bmp import decode_bmp
         return decode_bmp(buf)

@@ -114,12 +114,11 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         img = decode_tiff(buf)  # real decode: pure-NumPy TIFF (ref/tiff.py)
         return ("tiff", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
-    # formats this IMAGE-meta op does not decode: audio/video containers
-    # have their own operators; true codec gaps stay explicit stubs
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-        raise NotImplementedError(
-            "webp: VP8/VP8L decode needs a codec library not present "
-            "in this environment")
+        from tuatara_spark.ref.webp import decode_webp
+        img = decode_webp(buf)
+        return ("webp", img.shape[1], img.shape[0],
+                float(img[..., :3].mean(dtype=np.float64)))
     for magic, name in ((b"RIFF", "riff (use ops.audio.extract_audio_meta)"),
                         (b"TPV1", "tpgv (use frame_sample/scene_changes)"),
                         (b"%PDF-", "pdf (use extract_pdf_text_col)")):

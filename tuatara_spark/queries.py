@@ -1983,9 +1983,9 @@ def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     44 + col·44 / 44 + row·52) and the ink ratio from the glyph bitmap
     popcounts — none of it computed by running the pipeline. The WIRE
     container varies by doc_id — TPBIT, interlaced 2-color GIF (LZW),
-    1-bit Adam7 PNG, 8-bit BMP, bilevel LZW TIFF — all lossless for
-    binary pages, so ONE analytic oracle simultaneously pins every
-    raster codec's decode."""
+    1-bit Adam7 PNG, 8-bit BMP, bilevel LZW TIFF, VP8L WebP-lossless —
+    all lossless for binary pages, so ONE analytic oracle simultaneously
+    pins every raster codec's decode."""
     _ship_package(spark)
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(16)
             .selectExpr("cast(doc_id as string) AS url",
@@ -1993,12 +1993,12 @@ def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def render(batches):
         from tuatara_spark.ref import bmp as B_, gif as G_, png as P_
-        from tuatara_spark.ref import tiff as T_
+        from tuatara_spark.ref import tiff as T_, webp as W_
         for pdf in batches:
             payloads = []
             for u, t in zip(pdf["url"], pdf["t"]):
                 img = fx.render_page(t or "", 256, 256, 4)[0]
-                k = int(u) % 5
+                k = int(u) % 6
                 if k == 0:
                     payloads.append(fx.encode_tpbit(img))
                 elif k == 1:
@@ -2009,9 +2009,11 @@ def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         interlace=True))
                 elif k == 3:
                     payloads.append(B_.encode_bmp(img, bpp=8))
-                else:
+                elif k == 4:
                     payloads.append(T_.encode_tiff(
                         img, "lzw", bilevel=True, rows_per_strip=64))
+                else:
+                    payloads.append(W_.encode_webp(img))
             yield pd.DataFrame({"url": pdf["url"], "html": payloads})
 
     pages = docs.mapInPandas(render, "url string, html binary")
