@@ -130,3 +130,26 @@ def test_wet_sink_round_trip(spark, tmp_path):
     assert got == want                           # byte-exact text per url
     # and the default response-only read sees nothing in a WET file
     assert W.read_warc(spark, wet_dir).count() == 0
+
+
+def test_wat_sink_round_trip(spark, tmp_path):
+    import json
+    import pandas as pd
+    pdf = pd.DataFrame({"url": [f"https://e.org/{i}" for i in range(10)],
+                        "warc_ts": ["2026-01-01T00:00:00Z"] * 10,
+                        "status": [200 + i % 2 for i in range(10)],
+                        "content_type": ["text/html"] * 10,
+                        "n_bytes": [100 * i for i in range(10)]})
+    df = spark.createDataFrame(pdf).repartition(3)
+    wat_dir = str(tmp_path / "wat")
+    manifest = W.write_wat(df, wat_dir).collect()
+    assert sum(m.n_records for m in manifest) == 10
+    got = {r.url: json.loads(bytes(r.html)) for r in
+           W.read_warc(spark, wat_dir, record_types=("metadata",))
+           .collect()}
+    for i in range(10):
+        u = f"https://e.org/{i}"
+        assert got[u] == {"warc_ts": "2026-01-01T00:00:00Z",
+                          "status": 200 + i % 2,
+                          "content_type": "text/html",
+                          "n_bytes": 100 * i}

@@ -2312,6 +2312,42 @@ WHERE length(main_text) >= 8 ORDER BY url
 """
 
 
+def q_wat_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata egress round trip (sources/warc.write_wat): per-doc
+    crawl metadata out as Common-Crawl WAT metadata records (compact
+    sorted-key JSON) and back through the WARC reader. The oracle
+    rebuilds the exact JSON string by concatenation, so field ordering,
+    separators and value formatting are all pinned byte-exactly."""
+    import tempfile
+
+    from tuatara_spark.sources import warc as W
+    _ship_package(spark)
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(40)
+            .selectExpr("cast(doc_id as string) AS url",
+                        "cast(doc_id % 3 + 200 as int) AS status",
+                        "cast(n_chars as long) AS n_bytes",
+                        "'text/html' AS content_type",
+                        "'2026-01-01T00:00:00Z' AS warc_ts")
+            .repartition(4, "url"))
+    out_dir = tempfile.mkdtemp(prefix="wat_q_")
+    W.write_wat(docs, out_dir).collect()
+    back = W.read_warc(spark, out_dir, record_types=("metadata",))
+    return (back.select("url",
+                        F.decode("html", "UTF-8").alias("meta_json"))
+            .orderBy("url"))
+
+
+_WAT_SQL = """
+SELECT url, meta_json FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         '{"content_type":"text/html","n_bytes":' || CAST(n_chars AS VARCHAR)
+         || ',"status":' || CAST(doc_id % 3 + 200 AS VARCHAR)
+         || ',"warc_ts":"2026-01-01T00:00:00Z"}' AS meta_json
+  FROM documents ORDER BY doc_id LIMIT 40)
+ORDER BY url
+"""
+
+
 def q_host_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document cap (ops/training.cap_per_host): hosts derived
     from doc_id (7 hosts), cap 10 kept per host by deterministic md5 rank.
@@ -2702,6 +2738,7 @@ REGISTRY: dict[str, tuple] = {
     "sample_stratified_docs": (q_sample_stratified_docs, _SAMPLE_SQL),
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "wet_roundtrip_docs": (q_wet_roundtrip_docs, _WET_SQL),
+    "wat_roundtrip_docs": (q_wat_roundtrip_docs, _WAT_SQL),
     "host_cap_docs": (q_host_cap_docs, _HOST_CAP_SQL),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),

@@ -377,3 +377,68 @@ def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
 
     return df.select(url_col, text_col).mapInPandas(
         sink, "file string, n_records long, n_bytes long")
+
+
+def encode_wat(entries: list[dict], *, per_record_gzip: bool = True) -> bytes:
+    """Serialize crawl metadata as a WAT stream: ``metadata`` records
+    with a deterministic compact-JSON payload per page (sorted keys, no
+    whitespace — byte-reproducible across writers). Each entry dict:
+    ``url``, ``date``, and a ``meta`` dict of JSON-scalar fields."""
+    import json
+
+    records = [_record("warcinfo", {
+        "WARC-Date": entries[0]["date"] if entries else
+        "2026-01-01T00:00:00Z",
+        "Content-Type": "application/warc-fields",
+    }, b"software: tuatara-spark/1.0" + CRLF)]
+    for e in entries:
+        payload = json.dumps(e["meta"], sort_keys=True,
+                             separators=(",", ":")).encode("utf-8")
+        records.append(_record("metadata", {
+            "WARC-Target-URI": e["url"], "WARC-Date": e["date"],
+            "Content-Type": "application/json",
+        }, payload))
+    if per_record_gzip:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def write_wat(df, path: str, url_col: str = "url",
+              meta_cols: tuple = ("warc_ts", "status", "content_type",
+                                  "n_bytes"),
+              date: str = "2026-01-01T00:00:00Z"):
+    """Distributed WAT sink (same commit shape as :func:`write_wet`):
+    per-partition ``part-{pid}.wat.warc.gz`` of metadata records whose
+    JSON carries ``meta_cols``; returns the manifest DataFrame."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    cols = list(meta_cols)
+
+    def sink(batches):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        entries = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                meta = {c: (row[c].item() if hasattr(row[c], "item")
+                            else row[c]) for c in cols}
+                entries.append({"url": row[url_col], "date": date,
+                                "meta": meta})
+        fname = os.path.join(path, f"part-{pid:05d}.wat.warc.gz")
+        if entries:
+            blob = encode_wat(entries)
+            tmp = f"{fname}.tmp.{attempt}"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.rename(tmp, fname)
+            yield pd.DataFrame({"file": [fname],
+                                "n_records": [len(entries)],
+                                "n_bytes": [len(blob)]})
+
+    return df.select(url_col, *cols).mapInPandas(
+        sink, "file string, n_records long, n_bytes long")
