@@ -186,3 +186,47 @@ def test_fuzz_never_silent():
         except (ValueError, KeyError):
             flips += 1
     assert flips > 0   # corruption is usually detected
+
+
+def test_uniform_histogram_round_trips():
+    """Regression (review): images whose channel histograms are uniform
+    collapse the code-length code to ONE symbol, which reads 0 bits —
+    the encoder must also write 0 bits or the stream desyncs."""
+    img = np.tile(np.arange(256, dtype=np.uint8).reshape(16, 16), (4, 4))
+    img = img.reshape(64, 64, 1).repeat(3, axis=2)
+    assert (WB.decode_webp(WB.encode_webp(img)) == img).all()
+    img2 = (np.arange(4096) % 4).astype(np.uint8) \
+        .reshape(64, 64, 1).repeat(3, axis=2)
+    assert (WB.decode_webp(WB.encode_webp(img2)) == img2).all()
+
+
+def test_symbol_beyond_alphabet_refuses():
+    """Regression (review): a malformed stream declaring code lengths
+    for symbols beyond the channel alphabet must raise, not wrap pixel
+    values mod 256."""
+    bits = [(0, 1), (0, 1), (0, 1)]          # no transforms/cache/meta
+    bits += _simple_code(1)                  # green: single symbol
+    # red: full code claiming max_symbol=302 with a length at sym 300
+    bits += [(0, 1), (19 - 4, 4)]
+    cl_lens = {0: 1, 1: 1}
+    for s in WB._CL_ORDER:
+        bits += [(cl_lens.get(s, 0), 3)]
+    bits += [(1, 1), (4, 3), (302 - 2, 10)]
+    seq = [0] * 300 + [1] + [0]
+    for ln in seq:
+        bits += [(0, 1) if ln == 0 else (1, 1)]
+    with pytest.raises(ValueError, match="beyond alphabet"):
+        WB.decode_webp(_raw_stream(2, 1, bits))
+
+
+def test_lossy_webp_classified_stubbed_not_error(spark):
+    import pandas as pd
+    from tuatara_spark.ops import multimodal as mm
+    lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 0))
+    junk = b"RIFF" + b"\x00" * 16
+    df = spark.createDataFrame(pd.DataFrame(
+        {"url": ["lossy", "junk"], "html": [lossy, junk]}))
+    got = {r.url: r.format for r in
+           mm.extract_media_meta(df).collect()}
+    assert got["lossy"] == "stubbed"     # valid-but-unsupported codec

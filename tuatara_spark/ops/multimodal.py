@@ -115,6 +115,12 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         return ("tiff", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        if b"VP8L" not in buf:
+            # well-formed lossy/extended webp: a CODEC stub (out of the
+            # clean-room VP8L scope), not a malformed payload — keep the
+            # stubbed-vs-error classification contract intact
+            raise NotImplementedError(
+                "webp: lossy VP8 / VP8X out of clean-room scope")
         from tuatara_spark.ref.webp import decode_webp
         img = decode_webp(buf)
         return ("webp", img.shape[1], img.shape[0],

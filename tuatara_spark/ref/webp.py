@@ -192,6 +192,11 @@ def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int]) -> None:
     for s in _CL_ORDER[:ncl]:
         bw.bits(cl_lengths.get(s, 0), 3)
     cl_codes = _canonical_codes(cl_lengths)
+    # a SINGLE-symbol code-length code reads 0 bits per use (decoder
+    # single-symbol path) — write nothing for the lengths stream or the
+    # two sides desync (uniform-histogram images hit this: every length
+    # equal ⇒ one cl symbol)
+    single_cl = len(cl_lengths) == 1
     # max_symbol present-flag: 0 → read code lengths for the whole
     # alphabet? No: 0 means "no explicit max", lengths stream covers
     # alphabet_size symbols. We emit an explicit count instead.
@@ -204,9 +209,10 @@ def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int]) -> None:
     bw.bits(1, 1)
     bw.bits(k, 3)
     bw.bits(max_sym + 1 - 2, 2 + 2 * k)
-    for ln in lens:
-        c, l = cl_codes[ln]
-        bw.code(c, l)
+    if not single_cl:
+        for ln in lens:
+            c, l = cl_codes[ln]
+            bw.code(c, l)
 
 
 def _read_prefix_code(br: _BitReader, alphabet: int) -> _Decoder:
@@ -240,6 +246,9 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Decoder:
         cl = cl_dec.read(br)
         if cl < 16:
             if cl:
+                if sym >= alphabet:
+                    raise ValueError(
+                        "vp8l: code length for symbol beyond alphabet")
                 lengths[sym] = cl
                 prev = cl
             sym += 1

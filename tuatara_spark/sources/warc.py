@@ -338,13 +338,14 @@ def encode_wet(pages: list[dict], *, per_record_gzip: bool = True) -> bytes:
     return b"".join(records)
 
 
-def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
-              date: str = "2026-01-01T00:00:00Z"):
-    """Distributed WET sink: each task serializes its partition into one
-    ``part-{pid}.warc.gz`` under ``path`` (tmp-file + rename so readers
-    never see partial files) and emits a manifest row — the same
-    write-then-manifest commit shape as catalog.py. On a cluster ``path``
-    is shared storage; executors write independently, no driver funnel.
+def _write_records(df, path: str, suffix: str, encode_fn, row_iter):
+    """Shared per-partition record sink (WET/WAT): each task serializes
+    its rows via ``encode_fn`` into one ``part-{pid}{suffix}`` under
+    ``path`` — tmp files are task-ATTEMPT-unique so a speculative or
+    zombie duplicate attempt can never interleave into the same tmp and
+    rename a corrupt blob (whichever attempt renames last wins with a
+    complete file) — and emits a manifest row. On a cluster ``path`` is
+    shared storage; executors write independently, no driver funnel.
     Returns the small manifest DataFrame (file, n_records, n_bytes)."""
     import os
 
@@ -357,26 +358,34 @@ def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         attempt = ctx.taskAttemptId()
-        pages = []
+        entries = []
         for pdf in batches:
-            for u, t in zip(pdf[url_col], pdf[text_col]):
-                pages.append({"url": u, "date": date, "text": t or ""})
-        fname = os.path.join(path, f"part-{pid:05d}.warc.gz")
-        if pages:
-            blob = encode_wet(pages)
-            # attempt-unique tmp: a speculative/zombie duplicate attempt
-            # must never interleave into the same tmp file; whichever
-            # attempt renames last wins with a COMPLETE blob
+            entries.extend(row_iter(pdf))
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        if entries:
+            blob = encode_fn(entries)
             tmp = f"{fname}.tmp.{attempt}"
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.rename(tmp, fname)
             yield pd.DataFrame({"file": [fname],
-                                "n_records": [len(pages)],
+                                "n_records": [len(entries)],
                                 "n_bytes": [len(blob)]})
 
-    return df.select(url_col, text_col).mapInPandas(
-        sink, "file string, n_records long, n_bytes long")
+    return df.mapInPandas(sink, "file string, n_records long, n_bytes long")
+
+
+def write_wet(df, path: str, url_col: str = "url", text_col: str = "text",
+              date: str = "2026-01-01T00:00:00Z"):
+    """Distributed WET sink: extracted text out as conversion records,
+    one ``part-{pid}.warc.gz`` per partition (see :func:`_write_records`
+    for the commit shape)."""
+    def rows(pdf):
+        return [{"url": u, "date": date, "text": t or ""}
+                for u, t in zip(pdf[url_col], pdf[text_col])]
+
+    return _write_records(df.select(url_col, text_col), path, ".warc.gz",
+                          encode_wet, rows)
 
 
 def encode_wat(entries: list[dict], *, per_record_gzip: bool = True) -> bytes:
@@ -407,38 +416,18 @@ def write_wat(df, path: str, url_col: str = "url",
               meta_cols: tuple = ("warc_ts", "status", "content_type",
                                   "n_bytes"),
               date: str = "2026-01-01T00:00:00Z"):
-    """Distributed WAT sink (same commit shape as :func:`write_wet`):
-    per-partition ``part-{pid}.wat.warc.gz`` of metadata records whose
-    JSON carries ``meta_cols``; returns the manifest DataFrame."""
-    import os
-
-    import pandas as pd
-
-    os.makedirs(path, exist_ok=True)
+    """Distributed WAT sink: per-page metadata out as metadata records
+    whose compact sorted-key JSON carries ``meta_cols`` (same commit
+    shape as :func:`write_wet` via :func:`_write_records`)."""
     cols = list(meta_cols)
 
-    def sink(batches):
-        from pyspark import TaskContext
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        attempt = ctx.taskAttemptId()
-        entries = []
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                meta = {c: (row[c].item() if hasattr(row[c], "item")
-                            else row[c]) for c in cols}
-                entries.append({"url": row[url_col], "date": date,
-                                "meta": meta})
-        fname = os.path.join(path, f"part-{pid:05d}.wat.warc.gz")
-        if entries:
-            blob = encode_wat(entries)
-            tmp = f"{fname}.tmp.{attempt}"
-            with open(tmp, "wb") as fh:
-                fh.write(blob)
-            os.rename(tmp, fname)
-            yield pd.DataFrame({"file": [fname],
-                                "n_records": [len(entries)],
-                                "n_bytes": [len(blob)]})
+    def rows(pdf):
+        out = []
+        for vals in zip(pdf[url_col], *(pdf[c] for c in cols)):
+            meta = {c: (v.item() if hasattr(v, "item") else v)
+                    for c, v in zip(cols, vals[1:])}
+            out.append({"url": vals[0], "date": date, "meta": meta})
+        return out
 
-    return df.select(url_col, *cols).mapInPandas(
-        sink, "file string, n_records long, n_bytes long")
+    return _write_records(df.select(url_col, *cols), path, ".wat.warc.gz",
+                          encode_wat, rows)
