@@ -130,3 +130,15 @@ def test_shingle_overlap_eval_join_is_broadcast(spark):
     plan = training.shingle_overlap(df, df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_with_order_rank_matches_global_sort(spark):
+    import random
+    keys = [f"https://h{i % 9}.org/p{i * 37 % 101}" for i in range(300)]
+    random.Random(4).shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "url string")
+    got = {r.url: r.rank for r in
+           training.with_order_rank(df, "url", partitions=7).collect()}
+    want = {u: i for i, u in enumerate(sorted(set(keys)))}
+    # keys here are unique; rank must equal the global sort position
+    assert got == want

@@ -194,3 +194,35 @@ def shingle_overlap(df: DataFrame, eval_df: DataFrame,
             .groupBy(id_col)
             .agg(F.count_distinct("shingle").cast("long")
                  .alias("n_matched")))
+
+
+def with_order_rank(df: DataFrame, order_col: str,
+                    rank_col: str = "rank",
+                    partitions: int | None = None) -> DataFrame:
+    """Dense 0-based global rank in ``order_col`` order WITHOUT a
+    single-partition window: repartitionByRange on the key (Spark's
+    sampled range partitioner keeps partitions balanced), rank within
+    each partition, then add broadcast per-partition offsets — the same
+    two-level prefix-sum shape as pack_sequences. Makes string-keyed
+    corpora (urls) packable: ``pack_sequences(with_order_rank(df,'url'),
+    order_col='rank')``. Ties broken by the column's total order only if
+    keys are unique — duplicate keys get arbitrary but stable-in-run
+    rank order within the key."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, F.col(order_col))
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w_in = (Window.partitionBy("_pid").orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        .alias("_off"))
+    return (part
+            .withColumn("_in", F.coalesce(F.count("*").over(w_in),
+                                          F.lit(0)))
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn(rank_col, (F.col("_off") + F.col("_in"))
+                        .cast("long"))
+            .drop("_pid", "_in", "_off"))

@@ -2521,6 +2521,40 @@ FROM o ORDER BY doc_id
 """
 
 
+def q_sequence_pack_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over a STRING-keyed corpus (the crawl's natural
+    url keys): with_order_rank assigns the dense global rank via
+    range-partition + broadcast offsets (never a single global window),
+    then pack_sequences lays the docs out in url order. The oracle is
+    the naive row_number() over the url order, so both the rank
+    decomposition and the packing arithmetic are pinned."""
+    from tuatara_spark.ops import training
+    docs = _docs(spark, sf_dir).selectExpr(
+        "concat('u', cast(doc_id as string)) AS url", "text")
+    ranked = training.with_order_rank(docs, "url")
+    out = training.pack_sequences(ranked, seq_len=256, order_col="rank",
+                                  block_size=64)
+    return (ranked.select("url", "rank").join(out, "rank")
+            .select("url", "n_tokens", "offset", "seq_id")
+            .orderBy("url"))
+
+
+_SEQPACK_URLS_SQL = """
+WITH t AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+o AS (SELECT url, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY url
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS "offset"
+      FROM t)
+SELECT url, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST("offset" // 256 AS BIGINT) AS seq_id
+FROM o ORDER BY url
+"""
+
+
 def q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-linear quality scoring (ops/training.py):
     explode tokens → md5 bucket → deterministic integer weight → per-doc
@@ -2745,6 +2779,7 @@ REGISTRY: dict[str, tuple] = {
     "phash_recall_gate": (q_phash_recall_gate, _PHASH_GATE_SQL),
     "corpus_stats_docs": (q_corpus_stats_docs, _CORPUS_STATS_SQL),
     "sequence_pack_docs": (q_sequence_pack_docs, _SEQPACK_SQL),
+    "sequence_pack_urls": (q_sequence_pack_urls, _SEQPACK_URLS_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
     "scene_changes_docs": (q_scene_changes_docs, _SCENE_SQL),
