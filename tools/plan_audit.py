@@ -41,6 +41,12 @@ AUDIT = [
      "unpartitioned window runs on the tiny block-totals side"),
     ("quality_classifier_docs",
      "explode + partial aggregation map-side; single exchange on doc_id"),
+    ("decontaminate_docs",
+     "shuffle-free shingling (transform over token arrays), broadcast "
+     "eval-shingle join, partial aggregation on the per-doc count"),
+    ("sequence_pack_urls",
+     "range-partition rank (no single-partition sort on the data side), "
+     "broadcast offset joins at both levels"),
     ("minhash_lsh_pairs",
      "narrow (id, band) shuffle for candidates, no CartesianProduct"),
     ("ann_cosine_topk",
