@@ -399,3 +399,31 @@ def test_empty_run_dirs_do_not_brick_reads(spark, warc_dir, tmp_path):
     assert cat.committed_buckets() == set(range(8))
     assert cat.read_table(spark).count() == 2      # must not raise
     assert cat.read_latest(spark).count() == 2
+
+
+def test_read_buckets_manifest_pruning(spark, warc_dir, tmp_path):
+    """Bucket reads prune at TWO levels: snapshots whose bucket list
+    misses the predicate are never opened (manifest pruning), and the
+    hive part_id filter prunes inside surviving runs."""
+    root = str(tmp_path / "t")
+    # 4 groups of 2 buckets each -> 4 runs with disjoint bucket sets
+    job.run_crawl(spark, warc_dir, root, num_buckets=8, groups=4)
+    cat = Catalog(root)
+    full = cat.read_table(spark)
+    want_rows = full.where("part_id in (0, 1)").count()
+    assert want_rows > 0
+    got = cat.read_buckets(spark, [0, 1])
+    assert got.count() == want_rows
+    # physical evidence: the filtered read opens FEWER files than the
+    # full union (only runs whose manifests contain buckets 0/1)
+    def n_files(df):
+        return df.select(F.input_file_name()).distinct().count()
+    assert n_files(got) < n_files(full)
+    # correctness: rows match the naive filter exactly
+    a = {(r.url, r.part_id) for r in got.collect()}
+    b = {(r.url, r.part_id)
+         for r in full.where("part_id in (0, 1)").collect()}
+    assert a == b
+    # no match -> None (all runs pruned)
+    assert cat.read_buckets(spark, [999]) is None or \
+        cat.read_buckets(spark, [999]).count() == 0

@@ -329,3 +329,35 @@ class Catalog:
         return (df.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn", "_snapshot_id"))
+
+    # -- manifest-based bucket pruning --------------------------------------
+
+    def read_buckets(self, spark, buckets, as_of: int | None = None):
+        """Bucket-filtered read with MANIFEST PRUNING (the Iceberg move:
+        metadata decides which data files exist for a predicate before
+        any file is opened): each snapshot records exactly which buckets
+        its run committed, so run dirs containing none of the requested
+        buckets are skipped entirely, and within surviving runs the
+        ``part_id`` hive-partition filter prunes directories at the scan.
+        At 10^12 rows with thousands of runs this turns a point lookup
+        ("give me bucket 17's pages") from a full-table union into a
+        handful of directory reads. Returns None if nothing matches."""
+        from pyspark.sql import functions as F
+        want = {int(b) for b in buckets}
+        snaps = self.snapshots()
+        if as_of is not None:
+            snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
+        pieces = []
+        for s in snaps:
+            if not want & set(s["buckets"]):
+                continue                      # manifest-pruned run
+            for r in self._runs_of(s):
+                d = os.path.join(self.data_dir, r)
+                if self._has_parquet(d):
+                    pieces.append(spark.read.parquet(d))
+        if not pieces:
+            return None
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df.where(F.col("part_id").isin(sorted(want)))
