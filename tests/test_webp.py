@@ -230,3 +230,20 @@ def test_lossy_webp_classified_stubbed_not_error(spark):
     got = {r.url: r.format for r in
            mm.extract_media_meta(df).collect()}
     assert got["lossy"] == "stubbed"     # valid-but-unsupported codec
+
+
+def test_rle_backrefs_compress_runs():
+    """The encoder emits distance-1 LZ77 backrefs for pixel runs — a
+    mostly-white page must compress by orders of magnitude, and the
+    stream decodes through the decoder's REAL backref path."""
+    page, _ = fx.render_page("rle", 256, 256, 4)
+    buf = WB.encode_webp(page)
+    assert len(buf) < page.nbytes // 100
+    assert (WB.decode_webp(buf) == page).all()
+    # run straddling the _MAX_BACKREF cap still round trips
+    img = np.full((70, 70, 3), 9, np.uint8)   # 4900 px > 4096 cap
+    assert (WB.decode_webp(WB.encode_webp(img)) == img).all()
+    # alternating pixels (no runs at all) stay pure-literal and exact
+    img = np.zeros((16, 16, 3), np.uint8)
+    img.reshape(-1, 3)[::2] = 255
+    assert (WB.decode_webp(WB.encode_webp(img)) == img).all()

@@ -271,9 +271,27 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Decoder:
 # encode
 # ---------------------------------------------------------------------------
 
+def _lz77_sym(v: int) -> tuple[int, int, int]:
+    """value -> (prefix symbol, extra-bit count, extra bits); inverse of
+    :func:`_lz77_value`."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for sym in range(4, 24):
+        extra = (sym - 2) >> 1
+        offset = (2 + (sym & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return sym, extra, v - offset - 1
+    raise ValueError(f"lz77 value out of range: {v}")
+
+
+_MAX_BACKREF = 4096       # largest value the 24-symbol length code reaches
+_DIST1_SYM, _DIST1_EXTRA = 13, 24   # _lz77_value(13, rb=24) == 121 -> dist 1
+
+
 def encode_webp(img: np.ndarray) -> bytes:
-    """RGB(A) uint8 (H, W, 3|4) → lossless .webp bytes (literal-only
-    VP8L, real per-channel Huffman, no transforms)."""
+    """RGB(A) uint8 (H, W, 3|4) → lossless .webp bytes (VP8L with real
+    per-channel Huffman codes; runs of identical pixels are emitted as
+    LZ77 distance-1 backrefs — RLE — which dominate document pages)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise ValueError("encode_webp expects (H, W, 3|4) uint8")
@@ -285,6 +303,27 @@ def encode_webp(img: np.ndarray) -> bytes:
     b = img[..., 2].reshape(-1).astype(np.int64)
     a = (img[..., 3].reshape(-1).astype(np.int64)
          if img.shape[2] == 4 else np.full(h * w, 255, np.int64))
+    n = h * w
+
+    # RLE segmentation: positions where the pixel differs from its
+    # predecessor start a new segment; within a segment, everything after
+    # the first pixel is a distance-1 copy
+    px = np.stack([r, g, b, a], axis=1)
+    new_val = np.ones(n, bool)
+    if n > 1:
+        new_val[1:] = (px[1:] != px[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_val)
+    ops: list[tuple[int, int]] = []   # (kind, x): kind 0=literal idx, 1=copy len
+    for si, start in enumerate(starts):
+        end = starts[si + 1] if si + 1 < len(starts) else n
+        ops.append((0, int(start)))
+        run = end - start - 1
+        while run >= 3:               # short runs are cheaper as literals
+            take = min(run, _MAX_BACKREF)
+            ops.append((1, take))
+            run -= take
+        for k in range(run):
+            ops.append((0, int(start) + 1 + k))
 
     bw = _BitWriter()
     bw.bits(w - 1, 14)
@@ -295,33 +334,55 @@ def encode_webp(img: np.ndarray) -> bytes:
     bw.bits(0, 1)                               # no color cache
     bw.bits(0, 1)                               # no meta prefix codes
 
+    lit_idx = np.array([x for k, x in ops if k == 0], dtype=np.int64)
+    g_freq: dict[int, int] = {}
+    for u, c in zip(*np.unique(g[lit_idx], return_counts=True)):
+        g_freq[int(u)] = int(c)
+    any_copy = False
+    for k, x in ops:
+        if k == 1:
+            any_copy = True
+            sym = 256 + _lz77_sym(x)[0]
+            g_freq[sym] = g_freq.get(sym, 0) + 1
+
     def freqs(vals) -> dict[int, int]:
         u, c = np.unique(vals, return_counts=True)
-        return {int(s): int(n) for s, n in zip(u, c)}
+        return {int(sv): int(cv) for sv, cv in zip(u, c)}
 
-    lens = [_build_lengths(freqs(g)),   # green (+len/cache unused)
-            _build_lengths(freqs(r)),
-            _build_lengths(freqs(b)),
-            _build_lengths(freqs(a)),
-            {0: 1}]                     # distance: unused, 1-symbol code
+    lens = [_build_lengths(g_freq),
+            _build_lengths(freqs(r[lit_idx])),
+            _build_lengths(freqs(b[lit_idx])),
+            _build_lengths(freqs(a[lit_idx])),
+            {_DIST1_SYM: 1} if any_copy else {0: 1}]
     for ln in lens:
         _write_prefix_code(bw, ln)
     codes = [_canonical_codes(ln) for ln in lens]
     gc, rc, bc, ac = codes[0], codes[1], codes[2], codes[3]
     single = [len(ln) == 1 for ln in lens]
-    for i in range(h * w):
-        if not single[0]:
-            c, l = gc[int(g[i])]
-            bw.code(c, l)
-        if not single[1]:
-            c, l = rc[int(r[i])]
-            bw.code(c, l)
-        if not single[2]:
-            c, l = bc[int(b[i])]
-            bw.code(c, l)
-        if not single[3]:
-            c, l = ac[int(a[i])]
-            bw.code(c, l)
+    for k, x in ops:
+        if k == 0:
+            if not single[0]:
+                c, l = gc[int(g[x])]
+                bw.code(c, l)
+            if not single[1]:
+                c, l = rc[int(r[x])]
+                bw.code(c, l)
+            if not single[2]:
+                c, l = bc[int(b[x])]
+                bw.code(c, l)
+            if not single[3]:
+                c, l = ac[int(a[x])]
+                bw.code(c, l)
+        else:
+            sym, extra, rb = _lz77_sym(x)
+            if not single[0]:
+                c, l = gc[256 + sym]
+                bw.code(c, l)
+            if extra:
+                bw.bits(rb, extra)
+            # distance code is single-symbol (0 code bits); write the
+            # 5 extra bits selecting linear distance 1 (dcode 121)
+            bw.bits(_DIST1_EXTRA, 5)
     payload = bytes([_SIG]) + bw.done()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
