@@ -142,3 +142,47 @@ def test_with_order_rank_matches_global_sort(spark):
     want = {u: i for i, u in enumerate(sorted(set(keys)))}
     # keys here are unique; rank must equal the global sort position
     assert got == want
+
+
+def test_randomized_invariants_segment_dedup_and_packing(spark):
+    """Randomized cross-check against pure-Python models: segment_dedup
+    must equal the reference implementation (global counts over
+    non-overlapping chunks, ordered rebuild), and pack_sequences offsets
+    must be the exact prefix sum in doc order."""
+    import numpy as np
+    from tuatara_spark.ops import dedup
+    rng = np.random.default_rng(9)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    for trial in range(3):
+        n = int(rng.integers(10, 40))
+        texts = [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(1, 15))))
+                 for _ in range(n)]
+        # plant duplicates
+        for j in range(0, n, 5):
+            texts[j] = texts[(j + 3) % n]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        k = 2
+        got = {r.doc_id: (r.n_segs, r.n_kept, r.text_dedup) for r in
+               dedup.segment_dedup(df, seg_tokens=k, min_count=2)
+               .collect()}
+        # reference model
+        def chunks(t):
+            toks = t.split(" ")
+            return [" ".join(toks[i:i + k])
+                    for i in range(0, len(toks), k)]
+        from collections import Counter
+        counts = Counter(c for t in texts for c in chunks(t))
+        for i, t in enumerate(texts):
+            cs = chunks(t)
+            kept = [c for c in cs if counts[c] < 2]
+            assert got[i] == (len(cs), len(kept), " ".join(kept)), (
+                trial, i, t)
+        # packing prefix-sum invariant
+        out = sorted(training.pack_sequences(df, seq_len=7).collect(),
+                     key=lambda r: r.doc_id)
+        acc = 0
+        for r in out:
+            assert r.offset == acc
+            acc += r.n_tokens
