@@ -720,3 +720,25 @@ def test_hamming_pairs64_matches_bruteforce(spark):
         if h <= 3:
             want[tuple(sorted((ia, ib)))] = h
     assert got == want
+
+
+def test_extract_links_edges(spark):
+    from tuatara_spark.ops import htmlx
+    html = ('<body><a href=\'/single-quoted\'>sq</a>'
+            '<area href="/not-an-anchor">'
+            '<A HREF="/caps" target="_b">CAPS <i>inner</i></A>'
+            '<a class="y" href="/attr-before">attrs</a>'
+            '<a href="/empty"></a></body>')
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    rows = htmlx.extract_links(df).orderBy("link_pos").collect()
+    assert [(r.href, r.anchor) for r in rows] == [
+        ("/single-quoted", "sq"),
+        ("/caps", "CAPS inner"),
+        ("/attr-before", "attrs"),
+        ("/empty", ""),
+    ]
+    assert [r.link_pos for r in rows] == [0, 1, 2, 3]
+    plan = htmlx.extract_links(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan

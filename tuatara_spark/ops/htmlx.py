@@ -191,3 +191,27 @@ def main_chain(df: DataFrame, col: str = "html", key_col: str = "url",
                          (-F.col("chain_start")).alias("ni"))).alias("_c")))
     return best.select(key_col, "_c.chain_start", "_c.chain_len",
                        "_c.chain_text", "_c.chain_score")
+
+
+A_TAG_RE = r'(?is)<a\s[^>]*href\s*=\s*["\']([^"\']*)["\'][^>]*>(.*?)</a>'
+
+
+def extract_links(df: DataFrame, col: str = "html",
+                  key_col: str = "url") -> DataFrame:
+    """Outlink extraction (the WAT link signal / anchor-text training
+    signal): one row per <a href> with its href and tag-stripped,
+    whitespace-collapsed anchor text, in document order. Two parallel
+    ``regexp_extract_all`` passes over the SAME pattern (Spark returns
+    one capture group per call) zipped positionally — matches align
+    because both runs see identical match spans. Pure Catalyst: explode
+    over the zipped arrays, no shuffle, no Python."""
+    hrefs = F.regexp_extract_all(F.col(col), F.lit(A_TAG_RE), 1)
+    anchors = F.regexp_extract_all(F.col(col), F.lit(A_TAG_RE), 2)
+    z = F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+    out = df.select(F.col(key_col),
+                    F.posexplode(z).alias("link_pos", "_l"))
+    anchor_txt = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_l.anchor"), TAG_RE, " "), WS_RE, " "))
+    return out.select(key_col, "link_pos",
+                      F.col("_l.href").alias("href"),
+                      anchor_txt.alias("anchor"))

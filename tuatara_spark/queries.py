@@ -2312,6 +2312,40 @@ WHERE length(main_text) >= 8 ORDER BY url
 """
 
 
+def q_html_links_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (ops/htmlx.extract_links): synthesized pages
+    carry two anchors (one wrapping markup + entity-free text, one plain)
+    plus a decoy <area href> that must NOT match; href, document order,
+    and tag-stripped anchor text are all pinned analytically."""
+    from tuatara_spark.ops import htmlx
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(48)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS t"))
+    html = F.concat(
+        F.lit('<html><body><area href="/decoy"><a class="x" '
+              'href="/p/'), F.col("url"),
+        F.lit('">first <b>'), F.col("t"),
+        F.lit('</b></a><p>mid</p><a href="https://e.org/'),
+        F.col("url"), F.lit('?q=1">second link</a></body></html>'))
+    pages = docs.select("url", html.alias("html"))
+    return (htmlx.extract_links(pages)
+            .orderBy("url", "link_pos"))
+
+
+_HTML_LINKS_SQL = f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS t
+  FROM documents ORDER BY doc_id LIMIT 48)
+SELECT url, link_pos, href, anchor FROM (
+  SELECT url, 0 AS link_pos, '/p/' || url AS href,
+         trim(regexp_replace('first ' || t, '\\s+', ' ', 'g')) AS anchor
+  FROM c
+  UNION ALL
+  SELECT url, 1, 'https://e.org/' || url || '?q=1', 'second link' FROM c)
+ORDER BY url, link_pos
+"""
+
+
 def q_wat_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata egress round trip (sources/warc.write_wat): per-doc
     crawl metadata out as Common-Crawl WAT metadata records (compact
@@ -2773,6 +2807,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "wet_roundtrip_docs": (q_wet_roundtrip_docs, _WET_SQL),
     "wat_roundtrip_docs": (q_wat_roundtrip_docs, _WAT_SQL),
+    "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
     "host_cap_docs": (q_host_cap_docs, _HOST_CAP_SQL),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
