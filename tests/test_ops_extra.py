@@ -728,6 +728,9 @@ def test_extract_links_edges(spark):
             '<area href="/not-an-anchor">'
             '<A HREF="/caps" target="_b">CAPS <i>inner</i></A>'
             '<a class="y" href="/attr-before">attrs</a>'
+            '<a href=/unquoted rel=x>bare</a>'
+            '<a href="/real" data-href="/tracker">first-wins</a>'
+            '<a data-href="/only">no real href</a>'
             '<a href="/empty"></a></body>')
     df = spark.createDataFrame([("u1", html)], "url string, html string")
     rows = htmlx.extract_links(df).orderBy("link_pos").collect()
@@ -735,9 +738,11 @@ def test_extract_links_edges(spark):
         ("/single-quoted", "sq"),
         ("/caps", "CAPS inner"),
         ("/attr-before", "attrs"),
-        ("/empty", ""),
+        ("/unquoted", "bare"),          # bare attribute value
+        ("/real", "first-wins"),        # data-href must not shadow href
+        ("/empty", ""),                 # <a data-href> alone: no row
     ]
-    assert [r.link_pos for r in rows] == [0, 1, 2, 3]
+    assert [r.link_pos for r in rows] == [0, 1, 2, 3, 4, 5]
     plan = htmlx.extract_links(df)._jdf.queryExecution().executedPlan() \
         .toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython"):

@@ -137,6 +137,37 @@ class Catalog:
         return [os.path.join(self.data_dir, r)
                 for s in snaps for r in self._runs_of(s)]
 
+    def _union_runs(self, spark, snaps, with_snapshot_id: bool = False):
+        """Union the parquet-bearing run dirs of ``snaps`` (additive
+        schema evolution via allowMissingColumns; processed-empty runs
+        skipped — see _has_parquet). The ONE implementation behind
+        read_table / read_latest / read_buckets. Returns None when no
+        run has data."""
+        from pyspark.sql import functions as F
+        pieces = []
+        for sn in snaps:
+            for r in self._runs_of(sn):
+                d = os.path.join(self.data_dir, r)
+                if not self._has_parquet(d):
+                    continue
+                df = spark.read.parquet(d)
+                if with_snapshot_id:
+                    df = df.withColumn(
+                        "_snapshot_id", F.lit(int(sn["snapshot_id"])))
+                pieces.append(df)
+        if not pieces:
+            return None
+        out = pieces[0]
+        for pc in pieces[1:]:
+            out = out.unionByName(pc, allowMissingColumns=True)
+        return out
+
+    def _snaps_as_of(self, as_of: int | None):
+        snaps = self.snapshots()
+        if as_of is not None:
+            snaps = [sn for sn in snaps if sn["snapshot_id"] <= as_of]
+        return snaps
+
     @staticmethod
     def _has_parquet(d: str) -> bool:
         """A committed run whose buckets held zero rows writes no data
@@ -163,15 +194,7 @@ class Catalog:
         NULL for older runs (Iceberg add-column semantics). Dropping or
         retyping a column is NOT supported — unionByName fails fast on a
         type conflict rather than silently coercing."""
-        dirs = [d for d in self.committed_run_dirs(as_of)
-                if self._has_parquet(d)]
-        if not dirs:
-            return None
-        df = spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            df = df.unionByName(spark.read.parquet(d),
-                                allowMissingColumns=True)
-        return df
+        return self._union_runs(spark, self._snaps_as_of(as_of))
 
     def totals(self) -> dict:
         agg: dict[str, int] = {}
@@ -308,22 +331,10 @@ class Catalog:
         the chain so the union stays shallow."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
-        snaps = self.snapshots()
-        if as_of is not None:
-            snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
-        pieces = []
-        for s in snaps:
-            for r in self._runs_of(s):
-                d = os.path.join(self.data_dir, r)
-                if not self._has_parquet(d):
-                    continue  # processed-empty run (see _has_parquet)
-                pieces.append(spark.read.parquet(d).withColumn(
-                    "_snapshot_id", F.lit(int(s["snapshot_id"]))))
-        if not pieces:
+        df = self._union_runs(spark, self._snaps_as_of(as_of),
+                              with_snapshot_id=True)
+        if df is None:
             return None
-        df = pieces[0]
-        for p in pieces[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy(key_col).orderBy(
             F.col(ts_col).desc(), F.col("_snapshot_id").desc())
         return (df.withColumn("_rn", F.row_number().over(w))
@@ -341,23 +352,17 @@ class Catalog:
         ``part_id`` hive-partition filter prunes directories at the scan.
         At 10^12 rows with thousands of runs this turns a point lookup
         ("give me bucket 17's pages") from a full-table union into a
-        handful of directory reads. Returns None if nothing matches."""
+        handful of directory reads. Returns None if nothing matches.
+
+        Semantics are read_table's SNAPSHOT UNION: on a refreshed table
+        a re-crawled url appears once per committing run — compose with
+        a keep-latest window (read_latest's rule) when the caller wants
+        one row per url."""
         from pyspark.sql import functions as F
         want = {int(b) for b in buckets}
-        snaps = self.snapshots()
-        if as_of is not None:
-            snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
-        pieces = []
-        for s in snaps:
-            if not want & set(s["buckets"]):
-                continue                      # manifest-pruned run
-            for r in self._runs_of(s):
-                d = os.path.join(self.data_dir, r)
-                if self._has_parquet(d):
-                    pieces.append(spark.read.parquet(d))
-        if not pieces:
+        snaps = [sn for sn in self._snaps_as_of(as_of)
+                 if want & set(sn["buckets"])]   # manifest pruning
+        df = self._union_runs(spark, snaps)
+        if df is None:
             return None
-        df = pieces[0]
-        for p in pieces[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
         return df.where(F.col("part_id").isin(sorted(want)))

@@ -193,7 +193,12 @@ def main_chain(df: DataFrame, col: str = "html", key_col: str = "url",
                        "_c.chain_text", "_c.chain_score")
 
 
-A_TAG_RE = r'(?is)<a\s[^>]*href\s*=\s*["\']([^"\']*)["\'][^>]*>(.*?)</a>'
+# href must be a WHOLE attribute name (lazy prefix ending in whitespace
+# so data-href never matches and the FIRST real href wins, not the last);
+# the value alternation accepts double-quoted, single-quoted and bare
+# (unquoted) forms — all valid HTML seen in crawls
+A_TAG_RE = (r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*"
+            r"(\"[^\"]*\"|'[^']*'|[^\s>]+)[^>]*>(.*?)</a>")
 
 
 def extract_links(df: DataFrame, col: str = "html",
@@ -203,15 +208,19 @@ def extract_links(df: DataFrame, col: str = "html",
     whitespace-collapsed anchor text, in document order. Two parallel
     ``regexp_extract_all`` passes over the SAME pattern (Spark returns
     one capture group per call) zipped positionally — matches align
-    because both runs see identical match spans. Pure Catalyst: explode
+    because both runs see identical match spans. The captured href
+    keeps its quotes (single regex group across the three value forms);
+    they are stripped in a follow-up projection. Pure Catalyst: explode
     over the zipped arrays, no shuffle, no Python."""
     hrefs = F.regexp_extract_all(F.col(col), F.lit(A_TAG_RE), 1)
     anchors = F.regexp_extract_all(F.col(col), F.lit(A_TAG_RE), 2)
     z = F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
     out = df.select(F.col(key_col),
                     F.posexplode(z).alias("link_pos", "_l"))
+    href = F.regexp_replace(F.col("_l.href"),
+                            "^[\"']|[\"']$", "")
     anchor_txt = F.trim(F.regexp_replace(
         F.regexp_replace(F.col("_l.anchor"), TAG_RE, " "), WS_RE, " "))
     return out.select(key_col, "link_pos",
-                      F.col("_l.href").alias("href"),
+                      href.alias("href"),
                       anchor_txt.alias("anchor"))

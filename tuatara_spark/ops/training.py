@@ -198,7 +198,8 @@ def shingle_overlap(df: DataFrame, eval_df: DataFrame,
 
 def with_order_rank(df: DataFrame, order_col: str,
                     rank_col: str = "rank",
-                    partitions: int | None = None) -> DataFrame:
+                    partitions: int | None = None,
+                    tiebreak_col: str | None = None) -> DataFrame:
     """Dense 0-based global rank in ``order_col`` order WITHOUT a
     single-partition window: repartitionByRange on the key (Spark's
     sampled range partitioner keeps partitions balanced), rank within
@@ -209,9 +210,11 @@ def with_order_rank(df: DataFrame, order_col: str,
     keys are unique — duplicate keys get arbitrary but stable-in-run
     rank order within the key."""
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, F.col(order_col))
+    order_keys = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    ranged = df.repartitionByRange(n_parts, *order_keys)
     part = ranged.withColumn("_pid", F.spark_partition_id())
-    w_in = (Window.partitionBy("_pid").orderBy(order_col)
+    w_in = (Window.partitionBy("_pid").orderBy(*order_keys)
             .rowsBetween(Window.unboundedPreceding, -1))
     counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = (Window.orderBy("_pid")

@@ -9,9 +9,10 @@ transform.
 
 Honest scope (documented, loud errors — never silent corruption):
 
-* the ENCODER emits literal-only streams (no transforms, no LZ77, no
-  color cache, single prefix-code group) with real per-channel Huffman
-  codes — a fully valid minimal VP8L stream;
+* the ENCODER emits streams with real per-channel Huffman codes and
+  RLE-style LZ77 (distance-1 backrefs for pixel runs — ~250× on
+  document pages); no transforms, no color cache, single prefix-code
+  group — a fully valid minimal VP8L stream;
 * the DECODER additionally handles color-cache hits, LZ77 backrefs with
   LINEAR distance codes, and SUBTRACT_GREEN; the predictor/cross-color/
   color-indexing transforms, meta prefix groups, and the 120
@@ -334,20 +335,18 @@ def encode_webp(img: np.ndarray) -> bytes:
     bw.bits(0, 1)                               # no color cache
     bw.bits(0, 1)                               # no meta prefix codes
 
+    def freqs(vals) -> dict[int, int]:
+        u, c = np.unique(vals, return_counts=True)
+        return {int(sv): int(cv) for sv, cv in zip(u, c)}
+
     lit_idx = np.array([x for k, x in ops if k == 0], dtype=np.int64)
-    g_freq: dict[int, int] = {}
-    for u, c in zip(*np.unique(g[lit_idx], return_counts=True)):
-        g_freq[int(u)] = int(c)
+    g_freq = freqs(g[lit_idx])
     any_copy = False
     for k, x in ops:
         if k == 1:
             any_copy = True
             sym = 256 + _lz77_sym(x)[0]
             g_freq[sym] = g_freq.get(sym, 0) + 1
-
-    def freqs(vals) -> dict[int, int]:
-        u, c = np.unique(vals, return_counts=True)
-        return {int(sv): int(cv) for sv, cv in zip(u, c)}
 
     lens = [_build_lengths(g_freq),
             _build_lengths(freqs(r[lit_idx])),
