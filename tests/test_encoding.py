@@ -98,3 +98,22 @@ def test_valid_utf16_still_decodes_exactly(spark):
                 b"\xfe\xff" + text.encode("utf-16-be")]
     got = _decode(spark, payloads)
     assert got == [("utf-16le", text), ("utf-16be", text)]
+
+
+def test_charset_mention_in_body_text_does_not_missniff(spark):
+    from tuatara_spark.ops import encoding as E
+    # 'charset=iso-8859-1' in BODY TEXT (or a comment) must not override
+    # the UTF-8 default — only a real <meta ...charset=...> tag counts.
+    body = ('<html><body><p>to declare latin, write charset=iso-8859-1 '
+            'in a meta tag</p><!-- charset=windows-1252 -->café'
+            '</body></html>').encode("utf-8")
+    tagged = ('<html><head><meta charset="iso-8859-1"></head>'
+              '<body>café</body></html>').encode("utf-8")
+    df = spark.createDataFrame([("u1", bytearray(body)),
+                                ("u2", bytearray(tagged))],
+                               "url string, html binary")
+    got = {r.url: (r.charset, r.text)
+           for r in E.sniff_decode(df).collect()}
+    assert got["u1"][0] == "utf-8"
+    assert "café" in got["u1"][1]
+    assert got["u2"][0] == "iso-8859-1"  # the real tag still wins

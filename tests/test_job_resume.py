@@ -427,3 +427,25 @@ def test_read_buckets_manifest_pruning(spark, warc_dir, tmp_path):
     # no match -> None (all runs pruned)
     assert cat.read_buckets(spark, [999]) is None or \
         cat.read_buckets(spark, [999]).count() == 0
+
+
+def test_totals_scope_to_current_generation(spark, warc_dir, tmp_path):
+    """After a refresh re-commits every bucket (generation 1), default
+    totals() must line up with the read_latest view — summing every
+    snapshot would double-count pages (review finding). The cumulative
+    lifetime-ingest counter stays available explicitly."""
+    root = str(tmp_path / "t")
+    job.run_crawl(spark, warc_dir, root, num_buckets=8)
+    cat = Catalog(root)
+    gen0 = cat.totals()
+    n_latest = cat.read_latest(spark).count()
+    assert gen0["pages"] == n_latest
+
+    job.run_crawl(spark, warc_dir, root, num_buckets=8, refresh=True)
+    assert cat.current_gen() == 1
+    # default scope: the refresh generation alone == the latest view
+    assert cat.totals()["pages"] == cat.read_latest(spark).count()
+    assert cat.totals()["pages"] == n_latest
+    # explicit scopes
+    assert cat.totals(gen=0) == gen0
+    assert cat.totals(cumulative=True)["pages"] == 2 * n_latest

@@ -92,3 +92,16 @@ def test_specific_allow_all_group_overrides_star(spark):
     # other agents still get the deny-all * group
     got2 = _eval(spark, ["/x"], agent="otherbot", robots=robots)
     assert got2["/x"] == (False, "/")
+
+
+def test_blank_and_comment_lines_inside_group(spark):
+    # RFC 9309 ABNF allows empty lines BETWEEN the User-agent lines of a
+    # single group: both agents here share the one Disallow rule.
+    robots = ("User-agent: alpha\n\n"
+              "# interleaved comment\n"
+              "User-agent: beta\n"
+              "Disallow: /x\n")
+    for agent in ("alpha", "beta"):
+        got = _eval(spark, ["/x/page", "/y"], agent=agent, robots=robots)
+        assert got["/x/page"] == (False, "/x"), agent
+        assert got["/y"] == (True, "")

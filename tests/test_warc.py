@@ -153,3 +153,38 @@ def test_wat_sink_round_trip(spark, tmp_path):
                           "status": 200 + i % 2,
                           "content_type": "text/html",
                           "n_bytes": 100 * i}
+
+
+def test_gzip_member_split_chunked_feed(monkeypatch):
+    # the streaming-chunk decompressor must honor member boundaries that
+    # land mid-chunk: force a tiny chunk size so every member spans
+    # multiple chunks AND multiple members share chunks.
+    pages = _pages(4)
+    blob = W.encode_warc(pages, per_record_gzip=True)
+    expect = list(W.split_gzip_members(blob))
+    monkeypatch.setattr(W, "_GZ_CHUNK", 7)
+    got = list(W.split_gzip_members(blob))
+    assert got == expect
+    # truncated final member still yields its partial prefix, no raise
+    monkeypatch.setattr(W, "_GZ_CHUNK", 1 << 20)
+    trunc = list(W.split_gzip_members(blob[:-20]))
+    assert len(trunc) == len(expect)
+    assert trunc[:-1] == expect[:-1]
+
+
+def test_wet_sink_cleans_stale_parts(spark, tmp_path):
+    df8 = spark.createDataFrame(
+        [(f"https://e.org/{i}", f"text {i}") for i in range(8)],
+        "url string, text string").repartition(8)
+    out = str(tmp_path / "wet")
+    W.write_wet(df8, out).collect()
+    first = sorted(p.name for p in (tmp_path / "wet").iterdir())
+    # re-run with FEWER partitions: parts from the wider first run must
+    # not survive to be unioned into reads
+    df1 = df8.coalesce(1)
+    W.write_wet(df1, out).collect()
+    second = [p.name for p in (tmp_path / "wet").iterdir()
+              if p.name.endswith(".warc.gz")]
+    assert len(first) > 1 and len(second) == 1
+    back = W.read_warc(spark, out, record_types=("conversion",))
+    assert back.count() == 8  # all 8 rows, from ONE file

@@ -196,9 +196,23 @@ class Catalog:
         type conflict rather than silently coercing."""
         return self._union_runs(spark, self._snaps_as_of(as_of))
 
-    def totals(self) -> dict:
+    def totals(self, gen: int | None = None,
+               cumulative: bool = False) -> dict:
+        """Counter totals over committed snapshots. Default scope is the
+        CURRENT refresh generation so totals line up with the
+        ``read_latest`` view — summing every snapshot would double-count
+        pages after a refresh re-commits a bucket (gen N re-ingests rows
+        gen N-1 already counted). ``cumulative=True`` restores the
+        all-generations sum (a lifetime-ingest counter, NOT table
+        cardinality); ``gen`` pins a specific generation."""
+        if cumulative:
+            want = None
+        else:
+            want = self.current_gen() if gen is None else gen
         agg: dict[str, int] = {}
         for snap in self.snapshots():
+            if want is not None and int(snap.get("gen", 0)) != want:
+                continue
             for k, v in snap["totals"].items():
                 agg[k] = agg.get(k, 0) + v
         return agg
@@ -292,6 +306,11 @@ class Catalog:
             "parent_id": None,
             "runs": [r for s in cut for r in self._runs_of(s)],
             "buckets": sorted({int(b) for s in cut for b in s["buckets"]}),
+            # a squash crossing a refresh boundary adopts the newest gen
+            # in the prefix so gen-scoped totals()/committed_buckets()
+            # keep seeing it (gen-mixed squashed totals are inherently
+            # cumulative for the squashed span — documented in totals())
+            "gen": max(int(s.get("gen", 0)) for s in cut),
             "totals": totals,
             "squashed_of": [s["snapshot_id"] for s in cut],
             "committed_at_unix": int(time.time()),

@@ -26,7 +26,12 @@ UTF8, UTF8_BOM = "utf-8", "utf-8-bom"
 UTF16LE, UTF16BE = "utf-16le", "utf-16be"
 LATIN1, CP1252 = "iso-8859-1", "windows-1252"
 
-_META_RE = r'(?i)charset\s*=\s*["\']?([A-Za-z0-9_\-]+)'
+# anchored INSIDE a <meta ...> tag (as the WHATWG sniff does): a bare
+# 'charset=' scan would let body text or comments mentioning e.g.
+# "charset=iso-8859-1" mis-sniff a UTF-8 page into Latin-1 — permanent
+# mojibake. Covers both <meta charset=…> and the http-equiv
+# content="…; charset=…" form (charset= sits before the closing '>').
+_META_RE = r'(?i)<meta[^>]*charset\s*=\s*["\']?([A-Za-z0-9_\-]+)'
 _MAX = 2147483647
 
 

@@ -35,7 +35,13 @@ def parse_robots(df: DataFrame, host_col: str = "host",
         .alias("ln", "line"))
     d = F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1))
     v = F.regexp_extract("line", _VALUE_RE, 1)
-    lines = lines.select("host", "ln", d.alias("d"), v.alias("v"))
+    # Drop blank/comment/unparseable lines (no directive) BEFORE group
+    # detection: RFC 9309's ABNF allows empty lines BETWEEN the
+    # User-agent lines of one group ("User-agent: a\n\nUser-agent: b\n
+    # Disallow: /x" is ONE two-agent group), so only parseable lines may
+    # affect the lag-based group starts below.
+    lines = (lines.select("host", "ln", d.alias("d"), v.alias("v"))
+             .where(F.col("d") != ""))
     is_ua = F.col("d") == "user-agent"
     w = Window.partitionBy("host").orderBy("ln")
     # a User-agent line PRECEDED BY a non-User-agent line starts a group

@@ -131,19 +131,41 @@ def encode_warc(pages: list[dict], *, per_record_gzip: bool = True) -> bytes:
 # Reader
 # ---------------------------------------------------------------------------
 
+_GZ_CHUNK = 1 << 20
+
+
 def split_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream, yielding one bytes object
     per member (RFC 1952 allows arbitrary concatenation; stdlib
-    ``gzip.decompress`` would flatten the boundaries we need)."""
+    ``gzip.decompress`` would flatten the boundaries we need).
+
+    Feeds the decompressor fixed-size ``memoryview`` slices (zero-copy)
+    instead of ``data[pos:]`` per member: Common Crawl stores ONE member
+    per record, so a whole-tail slice — and the ``unused_data`` copy it
+    produces — per member would be O(n × members) memcpy on a ~1 GB
+    .warc.gz with tens of thousands of records. This way each member
+    copies at most one trailing chunk (≤1 MiB), keeping total byte
+    traffic O(n)."""
+    mv = memoryview(data)
+    n = len(mv)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:])
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # no forward progress — corrupt tail
+        start = pos
+        parts = []
+        while pos < n and not d.eof:
+            chunk = mv[pos:pos + _GZ_CHUNK]
+            parts.append(d.decompress(chunk))
+            pos += len(chunk)
+        if d.eof:
+            # back up over the tail of the last chunk that belongs to
+            # the NEXT member (unused_data is ≤ one chunk, never the
+            # whole remaining buffer)
+            pos -= len(d.unused_data)
+        parts.append(d.flush())
+        yield b"".join(parts)
+        if pos <= start:  # no forward progress — corrupt tail
             raise ValueError("gzip member made no progress")
-        pos += consumed
 
 
 def _decompress(data: bytes) -> bytes:
@@ -346,12 +368,24 @@ def _write_records(df, path: str, suffix: str, encode_fn, row_iter):
     rename a corrupt blob (whichever attempt renames last wins with a
     complete file) — and emits a manifest row. On a cluster ``path`` is
     shared storage; executors write independently, no driver funnel.
-    Returns the small manifest DataFrame (file, n_records, n_bytes)."""
+    Returns the small manifest DataFrame (file, n_records, n_bytes).
+
+    Any ``part-*{suffix}`` (or orphaned ``.tmp.*``) files already in
+    ``path`` are removed up front, driver-side: a re-run with fewer or
+    differently-numbered partitions would otherwise leave stale parts
+    from the previous run that :func:`read_warc` happily unions into the
+    output. Callers that need versioned output should put a run id in
+    ``path`` (as the catalog writer does)."""
+    import glob
     import os
 
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, f"part-*{suffix}")):
+        os.remove(stale)
+    for stale in glob.glob(os.path.join(path, f"part-*{suffix}.tmp.*")):
+        os.remove(stale)
 
     def sink(batches):
         from pyspark import TaskContext
