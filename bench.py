@@ -129,59 +129,41 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
     sf = sf_of(sf_dir)
     timings: dict[str, float] = {}
     extra: dict = {"cpu_calib_ms": cpu_calibration_ms()}
+    stats: dict = {}
 
     # -- extraction end-to-end (the headline) --
     pages_path, n_pages = bench_pages_path(sf, spark)
     w = wt.build_weights(42)
-    # warm-up: full untimed pass — forks and warms ALL python workers
-    # (imports + broadcast rehydration; one-time per-executor costs a
-    # long-running cluster job amortizes away)
-    engine.extract_df(spark.read.parquet(pages_path), weights=w).count()
 
-    # best-of-2 timed passes: this VM shows large between-JVM CPU variance
-    # and within-JVM cold-vs-warm gaps; steady-state is the honest number
-    # for a long-running cluster job (first-run costs amortize away)
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+    def t_extract():
         pages = spark.read.parquet(pages_path)
         out = engine.extract_df(pages, weights=w)
         n_rows, n_chars = out.selectExpr(
             "count(*) AS n", "sum(n_chars) AS c").collect()[0]
-        dt = min(dt, time.time() - t0)
-    timings["ocr_extract_pages"] = round(dt, 3)
-    extra["pages"] = int(n_rows)
-    extra["pages_per_sec"] = round(n_rows / dt, 2)
-    extra["extracted_chars"] = int(n_chars)
+        stats["pages"] = int(n_rows)
+        stats["extracted_chars"] = int(n_chars)
 
     # the full job shape: url-hash bucketing + skew salting + explicit
     # (bucket, salt) shuffle of the payloads before extraction
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+    def t_salted():
         pages = pt.with_salt(pt.with_bucket(spark.read.parquet(pages_path),
                                             64))
-        pages = pt.distribute(pages, spark.sparkContext.defaultParallelism * 2)
+        pages = pt.distribute(pages,
+                              spark.sparkContext.defaultParallelism * 2)
         engine.extract_df(pages.drop("salt"), weights=w).count()
-        best = min(best, time.time() - t0)
-    timings["ocr_extract_salted_shuffle"] = round(best, 3)
 
-    # -- crawl front-end: WARC ingest → charset decode → boilerplate strip --
+    # -- crawl front-end: WARC ingest → charset decode → strip --
     from tuatara_spark.ops import encoding as _enc, htmlx as _hx
     from tuatara_spark.sources import warc as _W
     warc_path, n_warc = bench_warc_path(sf)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+
+    def t_warc():
         recs = _W.read_warc(spark, warc_path)
         decoded = _enc.sniff_decode(recs.where(F_col("error") == ""))
         stripped = _hx.strip_boilerplate(decoded, col="text")
         got = stripped.selectExpr("count(*) AS n",
                                   "sum(length(main_text)) AS c").collect()[0]
-        best = min(best, time.time() - t0)
-    timings["warc_ingest_chain"] = round(best, 3)
-    extra["warc_pages"] = int(got[0])
-    extra["warc_pages_per_sec"] = round(got[0] / best, 2)
+        stats["warc_pages"] = int(got[0])
 
     # -- relational / dedup / similarity ops --
     from tuatara_spark.ops import similarity as _sim
@@ -235,17 +217,46 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("ocr_extract_docs", Q.q_ocr_extract_docs),
     ]
     from tuatara_spark.ops import dedup as _dd
-    for name, fn in plan:
-        best = float("inf")
-        for _ in range(2):
+
+    def _noop_thunk(fn):
+        def th():
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return th
+
+    entries = ([("ocr_extract_pages", t_extract),
+                ("ocr_extract_salted_shuffle", t_salted),
+                ("warc_ingest_chain", t_warc)]
+               + [(name, _noop_thunk(fn)) for name, fn in plan])
+
+    # One untimed warm-up sweep (forks + warms all python workers,
+    # JIT-compiles the hot codegen stages), then PASSES timed sweeps
+    # INTERLEAVED across queries — best-of per query. Sequential
+    # per-query best-of let one slow CPU regime inflate whichever query
+    # ran first (the round-3 ocr_extract_pages artifact); interleaving
+    # spreads any regime drift across every query equally.
+    for _, th in entries:
+        th()
+        _dd.release_caches()
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for _ in range(n_passes):
+        for name, th in entries:
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            th()
+            dt = time.time() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
             # pair operators persist intermediates for their self-joins;
             # release between runs so iterations measure the same state
             _dd.release_caches()
-        timings[name] = round(best, 3)
+
+    extra.update(stats)
+    extra["pages_per_sec"] = round(stats["pages"]
+                                   / timings["ocr_extract_pages"], 2)
+    extra["warc_pages_per_sec"] = round(stats["warc_pages"]
+                                        / timings["warc_ingest_chain"], 2)
+    extra["bench_passes"] = n_passes
+    # calibration AFTER as well: a drifting regime mid-run is then
+    # visible in the artifact itself
+    extra["cpu_calib_ms_after"] = cpu_calibration_ms()
     return timings, extra
 
 

@@ -72,38 +72,56 @@ def run_level(cores: int, pages_path: str, w) -> tuple[int, float]:
 
 
 def main() -> None:
-    from bench import bench_pages_path
+    from bench import bench_pages_path, cpu_calibration_ms
     from tuatara_spark import weights as wt
     pages_path = bench_pages_path(SCALING_SF)[0]
     w = wt.build_weights(42)
 
+    calib_before = cpu_calibration_ms()
     best: dict[int, dict] = {c: {"cores": c, "pages": 0,
                                  "seconds": float("inf")} for c in LEVELS}
+    samples: dict[int, list[float]] = {c: [] for c in LEVELS}
     for _ in range(ROUNDS):
         for cores in LEVELS:
             n, dt = run_level(cores, pages_path, w)
+            samples[cores].append(round(dt, 3))
             if dt < best[cores]["seconds"]:
                 best[cores] = {"cores": cores, "pages": n,
                                "seconds": round(dt, 3),
                                "pages_per_sec": round(n / dt, 2)}
+    calib_after = cpu_calibration_ms()
 
     def pair(levels):
         lo, hi = best[levels[0]], best[levels[1]]
         speedup = hi["pages_per_sec"] / lo["pages_per_sec"]
         eff = speedup / (levels[1] / levels[0])
+        # per-round paired efficiencies: round k's lo and hi samples ran
+        # adjacently in the same regime window, so the per-round ratio
+        # series exposes the between-run swing the best-of hides —
+        # reported as median + [min, max] (the saturated pair's observed
+        # 0.60–0.79 spread must be visible in the artifact itself)
+        ratio = levels[1] / levels[0]
+        effs = sorted(round(a / b / ratio, 3) for a, b in
+                      zip(samples[levels[0]], samples[levels[1]]))
         return {"levels": [lo, hi], "speedup": round(speedup, 3),
-                "scaling_efficiency": round(eff, 3)}
+                "scaling_efficiency": round(eff, 3),
+                "per_round_efficiency": {
+                    "median": effs[len(effs) // 2],
+                    "spread": [effs[0], effs[-1]],
+                    "rounds": effs}}
 
-    from bench import cpu_calibration_ms
     primary = pair(PRIMARY)
     secondary = pair(SECONDARY)
     report = {"primary": primary, "secondary_saturated": secondary,
+              "samples_seconds": {str(c): samples[c] for c in LEVELS},
               "target": 0.8,
               "meets_target": primary["scaling_efficiency"] >= 0.8,
               # CPU-regime probe (between-process launches vary ~2× on
               # this VM); efficiency ratios are within-process and immune,
-              # absolute pages/sec comparisons across rounds are not
-              "cpu_calib_ms": cpu_calibration_ms()}
+              # absolute pages/sec comparisons across rounds are not.
+              # Taken before AND after so mid-run drift is visible.
+              "cpu_calib_ms": calib_before,
+              "cpu_calib_ms_after": calib_after}
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
@@ -158,7 +176,12 @@ def write_report(report: dict) -> None:
             "| parallelism | pages | seconds | pages/sec |\n|---|---|---|---|\n"
             + table(secondary["levels"]) +
             f"\n**Speedup 8→32:** {secondary['speedup']}×, efficiency "
-            f"{secondary['scaling_efficiency']}.\n\n"
+            f"{secondary['scaling_efficiency']} (best-of)"
+            + (lambda pre: (
+                f"; per-round median {pre['median']}, spread "
+                f"{pre['spread'][0]}–{pre['spread'][1]} over "
+                f"{len(pre['rounds'])} paired rounds" if pre else ""))
+              (secondary.get("per_round_efficiency")) + ".\n\n"
             "Round-1 context: with raw-RGB payloads this pair ANTI-scaled\n"
             "(615 → 426 pages/s, efficiency 0.173) because the shared\n"
             "single-box JVM→Python Arrow pipe saturates (a compute-free\n"

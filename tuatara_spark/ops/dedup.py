@@ -226,16 +226,18 @@ def minhash_dedup_keep_first(df: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------------- SimHash ---
 
-def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id",
-              compute_partitions: int | None = None) -> DataFrame:
-    """Add a 64-bit SimHash over whitespace tokens.
+def _simhash_sigs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  compute_partitions: int | None = None) -> DataFrame:
+    """(id, simhash) signature table WITHOUT joining back to ``df`` —
+    the pair operator only consumes signatures, so the join-back (a
+    full-table shuffle at corpus width) would be pure overhead there.
 
     Implementation: explode tokens → hash once per token → 64 codegen'd
-    conditional-sum aggregates → sign bits OR'd into one long, joined back
-    by id. (A no-shuffle formulation via nested ``aggregate``/``zip_with``
-    exists, but Catalyst interprets higher-order-function lambdas per
-    element — measured 250× slower than this compiled explode+groupBy.)
+    conditional-sum aggregates → sign bits OR'd into one long. (A
+    no-shuffle formulation via nested ``aggregate``/``zip_with`` exists,
+    but Catalyst interprets higher-order-function lambdas per element —
+    measured 250× slower than this compiled explode+groupBy.)
     """
     tok = df.repartition(_wide(df, compute_partitions)).select(
         F.col(id_col),
@@ -251,8 +253,16 @@ def simhash64(df: DataFrame, text_col: str = "text",
         bit = F.when(F.col(f"_b{i}") > 0,
                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
-    g = g.select(id_col, sim.alias("simhash"))
-    return df.join(g, id_col)
+    return g.select(id_col, sim.alias("simhash"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              compute_partitions: int | None = None) -> DataFrame:
+    """Add a 64-bit SimHash over whitespace tokens (all input columns
+    preserved; see :func:`_simhash_sigs` for the algorithm)."""
+    return df.join(_simhash_sigs(df, text_col, id_col,
+                                 compute_partitions), id_col)
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -264,7 +274,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     :func:`simhash64`; candidate generation + verify delegate to the
     shared :func:`hamming_pairs64` banded join (one implementation for
     text simhash and image phash alike)."""
-    sigs = simhash64(df, text_col).select(F.col(id_col), "simhash")
+    sigs = _simhash_sigs(df, text_col, id_col)
     return hamming_pairs64(sigs, id_col=id_col, sig_col="simhash",
                            max_hamming=max_hamming, max_bucket=max_bucket,
                            verify_partitions=verify_partitions,
