@@ -223,9 +223,18 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return th
 
+    # image near-dup signature over the same pages table (batched
+    # integer-sum aHash; was a per-row decode + float64-mean loop)
+    from tuatara_spark.ops import multimodal as _mm
+
+    def t_phash():
+        (_mm.phash64(spark.read.parquet(pages_path))
+         .write.format("noop").mode("overwrite").save())
+
     entries = ([("ocr_extract_pages", t_extract),
                 ("ocr_extract_salted_shuffle", t_salted),
-                ("warc_ingest_chain", t_warc)]
+                ("warc_ingest_chain", t_warc),
+                ("phash64_pages", t_phash)]
                + [(name, _noop_thunk(fn)) for name, fn in plan])
 
     # One untimed warm-up sweep (forks + warms all python workers,

@@ -60,6 +60,52 @@ def sniff_format_col(col: str = "html") -> "F.Column":
     return expr
 
 
+def _decode_batch(bufs) -> list:
+    """Decode a sequence of payload buffers into rasters, batching all
+    same-shape TPBIT payloads into ONE stacked ``unpackbits`` per shape
+    group — the engine's hot-path pattern (engine.py make_extractor)
+    applied to the multimodal operators, which previously decoded one
+    row at a time inside their mapInPandas loops. Non-TPBIT payloads
+    (PNG/JPEG/…) still decode per row — their entropy coding is
+    inherently sequential per file — and undecodable entries come back
+    as ``None`` (callers skip or error-row them). Returns a list the
+    same length/order as ``bufs``."""
+    n = len(bufs)
+    out: list = [None] * n
+    tpbit: dict[tuple[int, int], list[tuple[int, memoryview]]] = {}
+    for i, b in enumerate(bufs):
+        if b is None:
+            continue
+        mv = memoryview(b)
+        try:
+            if bytes(mv[:4]) == fx.TPBIT_MAGIC and len(mv) >= 8:
+                h = int.from_bytes(mv[4:6], "little")
+                w = int.from_bytes(mv[6:8], "little")
+                if len(mv) >= 8 + (h * w + 7) // 8:
+                    tpbit.setdefault((h, w), []).append((i, mv))
+                    continue
+            out[i] = np.asarray(fx.decode_payload(mv))
+        except Exception:
+            pass
+    for (h, w), grp in tpbit.items():
+        try:
+            nb = (h * w + 7) // 8
+            packed = np.stack([
+                np.frombuffer(m, np.uint8, count=nb, offset=8)
+                for _, m in grp])
+            planes = ((np.unpackbits(packed, axis=1, count=h * w)
+                       ^ 1) * np.uint8(255)).reshape(len(grp), h, w)
+            for j, (i, _) in enumerate(grp):
+                out[i] = np.broadcast_to(planes[j][:, :, None], (h, w, 3))
+        except Exception:
+            for i, m in grp:  # per-row fallback, row-level skip
+                try:
+                    out[i] = np.asarray(fx.decode_payload(m))
+                except Exception:
+                    pass
+    return out
+
+
 def media_stats(df: DataFrame, col: str = "html") -> DataFrame:
     """Per-format payload counts/bytes (JVM-side only)."""
     return (df.select(sniff_format_col(col).alias("format"),
@@ -294,10 +340,10 @@ def image_features(df: DataFrame, col: str = "html",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in FEATURES_SCHEMA.fields}
-            for key, buf in zip(pdf[key_col], pdf[col]):
-                try:
-                    img = fx.decode_payload(bytes(buf))
-                except Exception:
+            imgs = _decode_batch(
+                [None if buf is None else bytes(buf) for buf in pdf[col]])
+            for key, img in zip(pdf[key_col], imgs):
+                if img is None:
                     continue
                 gray = np.asarray(img[..., 0])
                 ink = gray < ink_threshold
@@ -383,10 +429,10 @@ def thumbnail(df: DataFrame, out_w: int = 32, out_h: int = 32,
         from tuatara_spark.ref import jpeg as J
         for pdf in batches:
             urls, thumbs = [], []
-            for key, buf in zip(pdf[key_col], pdf[col]):
-                try:
-                    img = fx.decode_payload(buf)
-                except Exception:
+            imgs = _decode_batch(
+                [None if buf is None else bytes(buf) for buf in pdf[col]])
+            for key, img in zip(pdf[key_col], imgs):
+                if img is None:
                     continue
                 t = rz.resize_bilinear(np.ascontiguousarray(img),
                                        out_w, out_h)
@@ -407,29 +453,43 @@ def phash64(df: DataFrame, col: str = "html",
     small overlays/noise flip few bits, so Hamming distance ranks visual
     similarity. Arrow-batched; undecodable payloads are skipped (the
     standard error-row-free projection for derived signatures). Returns
-    (key, phash:long)."""
-    import numpy as np
+    (key, phash:long).
+
+    Batched end-to-end: decode via :func:`_decode_batch` (stacked TPBIT
+    unpackbits per shape group), then the aHash vectorized per shape
+    group. Block means are EXACT integer sums over the uint8 stack
+    (one ``np.sum(dtype=int64)`` pass) divided once in float64 — a
+    channel-averaged float64 image per row would cost 24 bytes/pixel of
+    transient memory per image and was measured to saturate memory
+    bandwidth with 32 concurrent workers; the integer-sum form touches
+    the uint8 bytes once and allocates only the (k,8,8) block table.
+    Identical pixels ⇒ identical integer sums ⇒ identical hash (the
+    property the dedup gate pins); the final 8 bytes per image are
+    viewed as one big-endian int64 array."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tuatara_spark import fixtures as fx
         for pdf in batches:
+            imgs = _decode_batch(
+                [None if buf is None else bytes(buf) for buf in pdf[col]])
+            groups: dict[tuple, list[int]] = {}
+            for i, img in enumerate(imgs):
+                if img is None or img.shape[0] < 8 or img.shape[1] < 8:
+                    continue
+                groups.setdefault(img.shape, []).append(i)
             keys, hashes = [], []
-            for u, buf in zip(pdf[key_col], pdf[col]):
-                try:
-                    img = np.asarray(fx.decode_payload(bytes(buf)))
-                except Exception:
-                    continue
-                g = img.astype(np.float64).mean(axis=2)
-                h8, w8 = g.shape[0] // 8, g.shape[1] // 8
-                if h8 == 0 or w8 == 0:
-                    continue
-                blocks = g[:h8 * 8, :w8 * 8] \
-                    .reshape(8, h8, 8, w8).mean(axis=(1, 3))
-                bits = (blocks > blocks.mean()).flatten()
-                val = int.from_bytes(np.packbits(bits).tobytes(),
-                                     "big", signed=True)
-                keys.append(u)
-                hashes.append(val)
+            kcol = pdf[key_col]
+            for shape, idxs in groups.items():
+                k = len(idxs)
+                h8, w8 = shape[0] // 8, shape[1] // 8
+                g = np.stack([imgs[i][:h8 * 8, :w8 * 8] for i in idxs])
+                sums = (g.reshape(k, 8, h8, 8, w8, shape[2])
+                        .sum(axis=(2, 4, 5), dtype=np.int64))
+                blocks = sums / float(h8 * w8 * shape[2])
+                bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+                packed = np.packbits(bits.reshape(k, 64), axis=1)
+                vals = packed.view(">i8").ravel()
+                keys.extend(kcol.iloc[i] for i in idxs)
+                hashes.extend(int(v) for v in vals)
             yield pd.DataFrame({key_col: keys, "phash": hashes})
 
     return df.mapInPandas(fn, f"{key_col} string, phash long")
