@@ -747,3 +747,55 @@ def test_extract_links_edges(spark):
         .toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+def test_mp3_header_walk_metadata(spark):
+    """ops/audio.py MP3 frame-header walk: version/layer/bitrate/rate/
+    channels/frames/duration from headers alone (ISO 11172-3 / 13818-3),
+    ID3v2 skip, truncation tolerance, garbage rejection — and the Spark
+    meta op routes MP3 payloads through it (NULL rms/peak, no decode)."""
+    from tuatara_spark.ops import audio
+
+    # MPEG-1 Layer III, 128 kbps @ 44100, stereo: frame len = 417,
+    # 1152 samples/frame
+    b = audio.encode_mp3_fixture(n_frames=38, bitrate_kbps=128,
+                                 rate=44100, version="1", layer=3)
+    m = audio.parse_mp3_meta(b)
+    assert m == {"format": "mp3v1L3", "bitrate_kbps": 128,
+                 "sample_rate": 44100, "n_channels": 2, "n_frames": 38,
+                 "n_samples": 38 * 1152,
+                 "duration_ms": 38 * (1152 * 1_000_000 // 44100) // 1000}
+    # ID3v2 tag skipped via syncsafe size
+    b_id3 = audio.encode_mp3_fixture(n_frames=5, id3_bytes=300)
+    assert audio.parse_mp3_meta(b_id3)["n_frames"] == 5
+    # MPEG-2 Layer III mono: 576 samples/frame, LSF bitrate table
+    b2 = audio.encode_mp3_fixture(n_frames=10, bitrate_kbps=64,
+                                  rate=22050, version="2", layer=3,
+                                  channels=1)
+    m2 = audio.parse_mp3_meta(b2)
+    assert (m2["format"], m2["n_channels"], m2["n_samples"]) == (
+        "mp3v2L3", 1, 5760)
+    # Layer I: 384 samples/frame, 4-byte-slot frame length
+    b1 = audio.encode_mp3_fixture(n_frames=4, bitrate_kbps=256,
+                                  rate=48000, version="1", layer=1)
+    assert audio.parse_mp3_meta(b1)["n_samples"] == 4 * 384
+    # truncated final frame: counted frames only, no raise
+    assert audio.parse_mp3_meta(b[:-100])["n_frames"] == 37
+    with pytest.raises(ValueError):
+        audio.parse_mp3_meta(b"\x00" * 64)
+
+    rows = pd.DataFrame({"url": ["a", "b"],
+                         "html": [b, b"\xff\xe0garbage-not-a-frame"]})
+    got = {r.url: r for r in audio.extract_audio_meta(
+        spark.createDataFrame(rows)).collect()}
+    assert got["a"].format == "mp3v1L3"
+    assert got["a"].sample_rate == 44100 and got["a"].n_samples == 38 * 1152
+    assert got["a"].rms is None and got["a"].peak is None
+    assert got["b"].format == "error"  # synced but no valid frame
+
+    from tuatara_spark.ops import multimodal as mm
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["x"],
+                      "html": [audio.encode_mp3_fixture(2, id3_bytes=16)]}))
+    assert df.select(mm.sniff_format_col("html").alias("f")) \
+        .first().f == "mp3"

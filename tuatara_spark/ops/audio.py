@@ -2,10 +2,11 @@
 
 Clean-room RIFF/WAVE PCM parser from the public WAVE format spec
 (Microsoft/IBM 1991 multimedia programming interface, RIFF chunk layout) —
-pure struct + NumPy, no codec library. This un-stubs the audio modality
-for its simplest real container; compressed codecs (MP3/AAC/opus) remain
-explicit stubs (no codec library exists in this container —
-ops/multimodal.py pattern).
+pure struct + NumPy, no codec library. MP3 gets a frame-HEADER metadata
+walk (ISO/IEC 11172-3 / 13818-3: version, layer, bitrate, sample rate,
+channel mode, frame count, duration — no signal decode); other
+compressed codecs (AAC/opus) remain explicit stubs (no codec library
+exists in this container — ops/multimodal.py pattern).
 
 Spark surface mirrors the image ops: payloads ride as ``binary`` columns,
 decode + features run Arrow-batched in ``mapInPandas``, malformed payloads
@@ -130,6 +131,143 @@ def decode_wav(buf) -> tuple[int, int, np.ndarray, str]:
     return int(rate), int(channels), pcm.reshape(-1, channels), label
 
 
+# --------------------------------------------------------------- MP3 ------
+# Frame-HEADER metadata walk from the public specs (ISO/IEC 11172-3 for
+# MPEG-1, ISO/IEC 13818-3 for MPEG-2 LSF; "MPEG-2.5" is the de-facto
+# half-rate extension signaled by version bits 00). No audio decode — the
+# polyphase filterbank/Huffman layers stay stubbed (no codec library in
+# this container) — but version/layer/bitrate/sample-rate/channel-mode,
+# frame count and duration come straight from the 4-byte headers, which
+# is what crawl-scale audio METADATA extraction needs.
+
+# bitrate tables (kbps), index 1..14 (0 = free, 15 = bad):
+# key (version group, layer); MPEG-2 and 2.5 share one LSF table where
+# layers II and III coincide.
+_MP3_BITRATES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256,
+               288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112,
+               128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128,
+               144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64,
+               80, 96, 112, 128, 144, 160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64,
+               80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+              "2.5": (11025, 12000, 8000)}
+_MP3_VERSIONS = {0b00: "2.5", 0b10: "2", 0b11: "1"}   # 0b01 reserved
+_MP3_LAYERS = {0b01: 3, 0b10: 2, 0b11: 1}             # 0b00 reserved
+
+
+def _mp3_header(b0: int, b1: int, b2: int, b3: int):
+    """Parse one 4-byte frame header → (version, layer, bitrate_kbps,
+    sample_rate, channels, frame_len, samples_per_frame) or None if the
+    bytes are not a valid header (the resync/stop signal)."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = _MP3_VERSIONS.get((b1 >> 3) & 0b11)
+    layer = _MP3_LAYERS.get((b1 >> 1) & 0b11)
+    if version is None or layer is None:
+        return None
+    br_idx, sr_idx = (b2 >> 4) & 0xF, (b2 >> 2) & 0b11
+    if br_idx in (0, 15) or sr_idx == 3:   # free-format / bad
+        return None
+    grp = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(grp, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    pad = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 0b11) == 0b11 else 2   # 11 = mono
+    if layer == 1:
+        spf = 384
+        flen = (12 * bitrate // rate + pad) * 4
+    else:
+        spf = 576 if (layer == 3 and version != "1") else 1152
+        flen = spf // 8 * bitrate // rate + pad
+    return version, layer, bitrate // 1000, rate, channels, flen, spf
+
+
+def parse_mp3_meta(buf) -> dict:
+    """Walk every frame header of an MP3 stream → metadata dict
+    (version, layer, bitrate_kbps and channel info from the FIRST frame;
+    n_frames / n_samples / duration_ms accumulated per frame so VBR
+    streams are timed correctly). An ID3v2 tag is skipped via its
+    syncsafe length; leading junk is tolerated up to a 4 KiB sync scan;
+    a corrupt tail simply stops the walk (truncation-tolerant, like the
+    WARC reader). Raises ValueError when no valid frame exists."""
+    data = memoryview(buf).cast("B")
+    pos = 0
+    if bytes(data[:3]) == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size
+    # sync scan: first 0xFF Ex within 4 KiB of the start
+    limit = min(len(data) - 4, pos + 4096)
+    first = None
+    while pos <= limit:
+        first = _mp3_header(data[pos], data[pos + 1],
+                            data[pos + 2], data[pos + 3])
+        if first is not None:
+            break
+        pos += 1
+    if first is None:
+        raise ValueError("mp3: no frame sync found")
+    version, layer, bitrate, rate, channels = first[:5]
+    n_frames = n_samples = 0
+    dur_us = 0
+    while pos + 4 <= len(data):
+        h = _mp3_header(data[pos], data[pos + 1],
+                        data[pos + 2], data[pos + 3])
+        if h is None:
+            break
+        _, _, _, h_rate, _, flen, spf = h
+        if pos + flen > len(data):
+            break                      # truncated final frame
+        n_frames += 1
+        n_samples += spf
+        dur_us += spf * 1_000_000 // h_rate
+        pos += flen
+    return {"format": f"mp3v{version}L{layer}", "bitrate_kbps": bitrate,
+            "sample_rate": rate, "n_channels": channels,
+            "n_frames": n_frames, "n_samples": n_samples,
+            "duration_ms": dur_us // 1000}
+
+
+def encode_mp3_fixture(n_frames: int = 10, bitrate_kbps: int = 128,
+                       rate: int = 44100, version: str = "1",
+                       layer: int = 3, channels: int = 2,
+                       id3_bytes: int = 0) -> bytes:
+    """Fixture-grade CBR MP3 stream: valid frame headers + zeroed side
+    info/payload (header-walk-parseable; not audible audio). Optionally
+    prepends an ID3v2 tag of ``id3_bytes`` padding."""
+    grp = "1" if version == "1" else "2"
+    br_idx = _MP3_BITRATES[(grp, layer)].index(bitrate_kbps) + 1
+    sr_idx = _MP3_RATES[version].index(rate)
+    vbits = {v: k for k, v in _MP3_VERSIONS.items()}[version]
+    lbits = {v: k for k, v in _MP3_LAYERS.items()}[layer]
+    b1 = 0xE0 | (vbits << 3) | (lbits << 1) | 1       # no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2)                # no padding
+    b3 = (0b11 if channels == 1 else 0b00) << 6
+    hdr = bytes((0xFF, b1, b2, b3))
+    if layer == 1:
+        flen = (12 * bitrate_kbps * 1000 // rate) * 4
+    else:
+        spf = 576 if (layer == 3 and version != "1") else 1152
+        flen = spf // 8 * bitrate_kbps * 1000 // rate
+    frame = hdr + b"\x00" * (flen - 4)
+    tag = b""
+    if id3_bytes:
+        sz = id3_bytes
+        tag = (b"ID3\x03\x00\x00"
+               + bytes(((sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F, sz & 0x7F))
+               + b"\x00" * sz)
+    return tag + frame * n_frames
+
+
 # full-scale factor converting each encoding's native units into PCM16
 # units, so rms/peak are comparable across encodings in a quality gate
 _TO_PCM16 = {"wav_pcm8": 256.0, "wav_pcm16": 1.0, "wav_pcm24": 1 / 256.0,
@@ -154,8 +292,10 @@ def extract_audio_meta(df: DataFrame, col: str = "html",
     """Decode audio payloads → typed metadata + cheap signal features
     (RMS, absolute peak, both in PCM16 full-scale units regardless of the
     wire encoding so a quality gate can threshold uniformly) — PCM and
-    IEEE-float WAV decode for real; compressed formats yield a 'stubbed'
-    row."""
+    IEEE-float WAV decode for real; MP3 yields real header-walk metadata
+    (version/layer/bitrate/rate/channels/duration via
+    :func:`parse_mp3_meta`) with NULL rms/peak (the signal itself stays
+    undecoded); other compressed formats yield a 'stubbed' row."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,6 +303,22 @@ def extract_audio_meta(df: DataFrame, col: str = "html",
             for key, buf in zip(pdf[key_col], pdf[col]):
                 row = dict.fromkeys(out)
                 row["url"] = key
+                head = bytes(memoryview(buf)[:3]) if buf is not None else b""
+                if head[:3] == b"ID3" or (
+                        len(head) >= 2 and head[0] == 0xFF
+                        and (head[1] & 0xE0) == 0xE0):
+                    try:
+                        m = parse_mp3_meta(buf)
+                        row.update(format=m["format"],
+                                   sample_rate=m["sample_rate"],
+                                   n_channels=m["n_channels"],
+                                   n_samples=m["n_samples"],
+                                   duration_ms=m["duration_ms"])
+                    except Exception as e:
+                        row.update(format="error", error=f"decode: {e}")
+                    for k, v in row.items():
+                        out[k].append(v)
+                    continue
                 try:
                     rate, ch, pcm, label = decode_wav(buf)
                     n = pcm.shape[0]

@@ -36,6 +36,7 @@ _MAGICS = [
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
     (b"%PDF-", "pdf"),
+    (b"ID3", "mp3"),
     (b"<html", "html"),
     (b"<!DOC", "html"),
 ]
