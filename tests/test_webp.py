@@ -150,8 +150,8 @@ def test_decoder_color_cache_path():
 
 
 def test_out_of_scope_features_error():
-    # predictor transform (type 0) refuses
-    bits = [(1, 1), (0, 2)]
+    # cross-color transform (type 1) refuses
+    bits = [(1, 1), (1, 2)]
     with pytest.raises(ValueError, match="transform"):
         WB.decode_webp(_raw_stream(2, 2, bits))
     # meta prefix codes refuse
@@ -247,3 +247,68 @@ def test_rle_backrefs_compress_runs():
     img = np.zeros((16, 16, 3), np.uint8)
     img.reshape(-1, 3)[::2] = 255
     assert (WB.decode_webp(WB.encode_webp(img)) == img).all()
+
+
+def test_predictor_transform_round_trip_all_modes():
+    """Encode→decode under every §4.1 predictor mode and several block
+    sizes must reproduce the image bit-exactly (forward/inverse twins)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(20, 13, 3)).astype(np.uint8)
+    for mode in range(14):
+        got = WB.decode_webp(WB.encode_webp(img, predictor=mode,
+                                            predictor_bits=3))
+        assert (got == img).all(), mode
+    imga = rng.integers(0, 256, size=(9, 31, 4)).astype(np.uint8)
+    for bits in (2, 4, 6):
+        got = WB.decode_webp(WB.encode_webp(imga, predictor=12,
+                                            predictor_bits=bits))
+        assert (got == imga).all(), bits
+
+
+def test_predictor_compresses_rendered_page():
+    page, _ = fx.render_page("pred", 256, 256, 4)
+    plain = WB.encode_webp(page)
+    pred = WB.encode_webp(page, predictor=2)   # T-predictor
+    assert (WB.decode_webp(pred) == page).all()
+    assert len(pred) < len(plain)              # ~2x on document pages
+
+
+def test_predictor_inverse_hand_computed():
+    """Decoder-only pin of the INVERSE predictor, independent of our own
+    forward transform: a hand-built 2x2 stream (one mode-12 block) whose
+    expected pixels are computed by hand from the spec edge rules —
+    (0,0) black-predicted, top row L, left column T, interior
+    ClampAddSubtractFull(L, T, TL)."""
+    sub = np.array([[0, 12, 0, 255]], np.int64)          # one block, mode 12
+    residuals = np.array([[10, 20, 30, 0],               # (0,0) vs black
+                          [5, 5, 5, 0],                  # (1,0) vs L
+                          [1, 2, 3, 0],                  # (0,1) vs T
+                          [4, 3, 2, 0]], np.int64)       # (1,1) vs mode 12
+    bw = WB._BitWriter()
+    bw.bits(2 - 1, 14)
+    bw.bits(2 - 1, 14)
+    bw.bits(1, 1)            # alpha present
+    bw.bits(0, 3)            # version
+    bw.bits(1, 1)            # a transform follows
+    bw.bits(0, 2)            # PREDICTOR
+    bw.bits(2 - 2, 3)        # size_bits = 2 (4x4 blocks -> one block)
+    bw.bits(0, 1)            # sub-image: no color cache
+    WB._encode_pixel_stream(bw, sub)
+    bw.bits(0, 1)            # no more transforms
+    bw.bits(0, 1)            # no color cache
+    bw.bits(0, 1)            # no meta codes
+    WB._encode_pixel_stream(bw, residuals)
+    import struct as _s
+    payload = bytes([0x2F]) + bw.done()
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    buf = b"RIFF" + _s.pack("<I", len(riff)) + riff
+    got = WB.decode_webp(buf)
+    # hand-derived: (0,0)=(10,20,30,255); (1,0)=L+res=(15,25,35,255);
+    # (0,1)=T+res=(11,22,33,255); (1,1): pred=clamp(L+T-TL)=(16,27,38,255)
+    # +res=(20,30,40,255)
+    want = np.array([[[10, 20, 30, 255], [15, 25, 35, 255]],
+                     [[11, 22, 33, 255], [20, 30, 40, 255]]], np.uint8)
+    assert (got == want).all()

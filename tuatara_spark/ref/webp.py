@@ -4,21 +4,24 @@ Implemented from the PUBLIC "WebP Lossless Bitstream Specification"
 (Google / RFC 9649) only: RIFF/WEBP/VP8L container, LSB-first bit
 packing, canonical prefix codes with the DEFLATE-style code-length code
 (16/17/18 repeats), the simple 1-/2-symbol code form, color-cache
-lookups, LZ77 length/distance prefix-coding and the SUBTRACT_GREEN
-transform.
+lookups, LZ77 length/distance prefix-coding, the SUBTRACT_GREEN
+transform, and the PREDICTOR transform (all 14 spec §4.1 modes with the
+per-block mode sub-image — the transform most real lossless WebPs use).
 
 Honest scope (documented, loud errors — never silent corruption):
 
 * the ENCODER emits streams with real per-channel Huffman codes and
   RLE-style LZ77 (distance-1 backrefs for pixel runs — ~250× on
-  document pages); no transforms, no color cache, single prefix-code
-  group — a fully valid minimal VP8L stream;
+  document pages), optionally under a uniform-mode predictor transform
+  (~2× further on document pages); no color cache, single prefix-code
+  group — a fully valid VP8L stream;
 * the DECODER additionally handles color-cache hits, LZ77 backrefs with
-  LINEAR distance codes, and SUBTRACT_GREEN; the predictor/cross-color/
-  color-indexing transforms, meta prefix groups, and the 120
-  close-neighbor 2D distance codes raise ``ValueError`` (their exact
-  tables/orderings are long spec constants this clean-room build does
-  not transcribe — failing loudly beats decoding wrong pixels).
+  LINEAR distance codes, SUBTRACT_GREEN and arbitrary predictor-mode
+  grids; the cross-color/color-indexing transforms, meta prefix groups,
+  and the 120 close-neighbor 2D distance codes raise ``ValueError``
+  (their exact tables/orderings are long spec constants this clean-room
+  build does not transcribe — failing loudly beats decoding wrong
+  pixels).
 
 No reference WebP implementation exists in this sandbox to cross-check
 bit-exactness against, so the verified property is spec-shaped
@@ -289,27 +292,17 @@ _MAX_BACKREF = 4096       # largest value the 24-symbol length code reaches
 _DIST1_SYM, _DIST1_EXTRA = 13, 24   # _lz77_value(13, rb=24) == 121 -> dist 1
 
 
-def encode_webp(img: np.ndarray) -> bytes:
-    """RGB(A) uint8 (H, W, 3|4) → lossless .webp bytes (VP8L with real
-    per-channel Huffman codes; runs of identical pixels are emitted as
-    LZ77 distance-1 backrefs — RLE — which dominate document pages)."""
-    img = np.asarray(img)
-    if img.ndim != 3 or img.shape[2] not in (3, 4):
-        raise ValueError("encode_webp expects (H, W, 3|4) uint8")
-    h, w = img.shape[:2]
-    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
-        raise ValueError("vp8l: dimensions out of range")
-    r = img[..., 0].reshape(-1).astype(np.int64)
-    g = img[..., 1].reshape(-1).astype(np.int64)
-    b = img[..., 2].reshape(-1).astype(np.int64)
-    a = (img[..., 3].reshape(-1).astype(np.int64)
-         if img.shape[2] == 4 else np.full(h * w, 255, np.int64))
-    n = h * w
+def _encode_pixel_stream(bw: _BitWriter, px: np.ndarray) -> None:
+    """Emit the entropy-coded body for an (n, 4) rgba int array: the five
+    prefix codes then the literal/RLE op stream (everything AFTER the
+    color-cache/meta bits, so both the main image and transform
+    sub-images share it)."""
+    r, g, b, a = px[:, 0], px[:, 1], px[:, 2], px[:, 3]
+    n = len(px)
 
     # RLE segmentation: positions where the pixel differs from its
     # predecessor start a new segment; within a segment, everything after
     # the first pixel is a distance-1 copy
-    px = np.stack([r, g, b, a], axis=1)
     new_val = np.ones(n, bool)
     if n > 1:
         new_val[1:] = (px[1:] != px[:-1]).any(axis=1)
@@ -325,15 +318,6 @@ def encode_webp(img: np.ndarray) -> bytes:
             run -= take
         for k in range(run):
             ops.append((0, int(start) + 1 + k))
-
-    bw = _BitWriter()
-    bw.bits(w - 1, 14)
-    bw.bits(h - 1, 14)
-    bw.bits(1 if img.shape[2] == 4 else 0, 1)   # alpha hint
-    bw.bits(0, 3)                               # version
-    bw.bits(0, 1)                               # no transforms
-    bw.bits(0, 1)                               # no color cache
-    bw.bits(0, 1)                               # no meta prefix codes
 
     def freqs(vals) -> dict[int, int]:
         u, c = np.unique(vals, return_counts=True)
@@ -382,6 +366,89 @@ def encode_webp(img: np.ndarray) -> bytes:
             # distance code is single-symbol (0 code bits); write the
             # 5 extra bits selecting linear distance 1 (dcode 121)
             bw.bits(_DIST1_EXTRA, 5)
+
+
+def _predictor_grid(w: int, h: int, size_bits: int,
+                    mode: int) -> np.ndarray:
+    """Uniform predictor-mode grid (fixture-grade: one mode everywhere)
+    as the (blocks, 4) rgba sub-image rows the transform encodes —
+    mode in the GREEN channel, opaque alpha."""
+    bw_ = (w + (1 << size_bits) - 1) >> size_bits
+    bh_ = (h + (1 << size_bits) - 1) >> size_bits
+    sub = np.zeros((bw_ * bh_, 4), np.int64)
+    sub[:, 1] = mode
+    sub[:, 3] = 255
+    return sub
+
+
+def _forward_predictor(px: np.ndarray, w: int, h: int, size_bits: int,
+                       modes: np.ndarray) -> np.ndarray:
+    """Forward predictor transform: (n, 4) actual rgba → residuals
+    ((actual − pred) mod 256), the exact twin of
+    :func:`_inverse_predictor` (same spec edge rules; predictions use
+    ACTUAL pixel values, which is what the inverse reconstructs)."""
+    res = np.empty_like(px)
+    src = px.astype(np.int32)
+    modes_w = (w + (1 << size_bits) - 1) >> size_bits
+    black = np.array([0, 0, 0, 255], np.int32)
+    for y in range(h):
+        row0 = y * w
+        for x in range(w):
+            p = row0 + x
+            if y == 0:
+                pred = black if x == 0 else src[p - 1]
+            elif x == 0:
+                pred = src[p - w]
+            else:
+                mode = modes[(y >> size_bits) * modes_w + (x >> size_bits)]
+                pred = _predict(src, p, w, int(mode), black)
+            res[p] = (src[p] - pred) & 0xFF
+    return res
+
+
+def encode_webp(img: np.ndarray, predictor: int | None = None,
+                predictor_bits: int = 4) -> bytes:
+    """RGB(A) uint8 (H, W, 3|4) → lossless .webp bytes (VP8L with real
+    per-channel Huffman codes; runs of identical pixels are emitted as
+    LZ77 distance-1 backrefs — RLE — which dominate document pages).
+
+    ``predictor`` (0–13) applies the spec §4.1 predictor transform with
+    a uniform mode grid at block size ``1 << predictor_bits`` before
+    entropy coding — mode 2 (T) turns vertical document structure into
+    near-zero residual planes."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_webp expects (H, W, 3|4) uint8")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("vp8l: dimensions out of range")
+    px = np.stack([
+        img[..., 0].reshape(-1).astype(np.int64),
+        img[..., 1].reshape(-1).astype(np.int64),
+        img[..., 2].reshape(-1).astype(np.int64),
+        (img[..., 3].reshape(-1).astype(np.int64)
+         if img.shape[2] == 4 else np.full(h * w, 255, np.int64)),
+    ], axis=1)
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if img.shape[2] == 4 else 0, 1)   # alpha hint
+    bw.bits(0, 3)                               # version
+    if predictor is not None:
+        if not 0 <= predictor <= 13:
+            raise ValueError("predictor mode must be 0..13")
+        sub = _predictor_grid(w, h, predictor_bits, predictor)
+        bw.bits(1, 1)                           # a transform follows
+        bw.bits(0, 2)                           # PREDICTOR_TRANSFORM
+        bw.bits(predictor_bits - 2, 3)
+        bw.bits(0, 1)                           # sub-image: no color cache
+        _encode_pixel_stream(bw, sub)
+        px = _forward_predictor(px, w, h, predictor_bits, sub[:, 1])
+    bw.bits(0, 1)                               # no (more) transforms
+    bw.bits(0, 1)                               # no color cache
+    bw.bits(0, 1)                               # no meta prefix codes
+    _encode_pixel_stream(bw, px)
     payload = bytes([_SIG]) + bw.done()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
@@ -402,50 +469,20 @@ def _lz77_value(sym: int, br: _BitReader) -> int:
     return offset + br.bits(extra) + 1
 
 
-def decode_webp(buf: bytes) -> np.ndarray:
-    """Lossless .webp bytes → (H, W, 3|4) uint8. Raises ValueError on
-    malformed input or the documented out-of-scope features."""
-    if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
-        raise ValueError("not a webp container")
-    pos = 12
-    payload = None
-    while pos + 8 <= len(buf):
-        tag = buf[pos:pos + 4]
-        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
-        if size > len(buf):
-            raise ValueError("webp: implausible chunk size")
-        if tag == b"VP8L":
-            payload = buf[pos + 8:pos + 8 + size]
-            break
-        if tag == b"VP8 " or tag == b"VP8X":
-            raise ValueError("webp: lossy VP8 / extended not supported")
-        pos += 8 + size + (size & 1)
-    if payload is None or not payload or payload[0] != _SIG:
-        raise ValueError("webp: no VP8L chunk / bad signature")
-    br = _BitReader(payload[1:])
-    w = br.bits(14) + 1
-    h = br.bits(14) + 1
-    has_alpha = br.bits(1)
-    if br.bits(3) != 0:
-        raise ValueError("vp8l: unknown version")
-    if h * w > 64 << 20:
-        raise ValueError("vp8l: implausible dimensions")
-
-    subtract_green = False
-    while br.bits(1):
-        ttype = br.bits(2)
-        if ttype == 2:
-            subtract_green = True
-        else:
-            raise ValueError(
-                f"vp8l: transform {ttype} out of clean-room scope")
-
+def _decode_pixels(br: _BitReader, w: int, h: int,
+                   main: bool = False) -> np.ndarray:
+    """Decode one entropy-coded pixel stream → (h·w, 4) uint8 in
+    (r, g, b, a) order: optional color cache, the five prefix codes,
+    then the literal/LZ77/cache-hit loop. ``main`` additionally reads
+    the meta-prefix bit (spec §5.2.2 — only the main ARGB image carries
+    it; transform sub-images such as the predictor-mode image are
+    decoded with this same routine WITHOUT that bit)."""
     cache_bits = 0
     if br.bits(1):
         cache_bits = br.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: bad color cache size")
-    if br.bits(1):
+    if main and br.bits(1):
         raise ValueError("vp8l: meta prefix codes out of scope")
     cache = np.zeros((1 << cache_bits, 4), np.uint8) if cache_bits else None
 
@@ -500,9 +537,147 @@ def decode_webp(buf: bytes) -> np.ndarray:
                 raise ValueError("vp8l: cache index out of range")
             out[i] = cache[idx]
             i += 1
+    return out
 
-    if subtract_green:
-        out[:, 0] = (out[:, 0].astype(np.int32) + out[:, 1]) % 256
-        out[:, 2] = (out[:, 2].astype(np.int32) + out[:, 1]) % 256
+
+def _avg2(a, b):
+    return (a + b) >> 1
+
+
+def _predict(px: np.ndarray, p: int, w: int, mode: int,
+             black: np.ndarray) -> np.ndarray:
+    """One pixel's prediction (spec §4.1 modes 0–13) from its already-
+    known neighbors in the flat (n, 4) int32 pixel array. Only called
+    for interior pixels (x > 0, y > 0) — edges use the fixed L/T rules
+    in the callers. Per the spec's row-major addressing note, TR at the
+    rightmost column (p − w + 1) lands on the leftmost pixel of the
+    current row."""
+    left = px[p - 1]
+    top = px[p - w]
+    if mode == 0:
+        return black
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return px[p - w + 1]
+    if mode == 4:
+        return px[p - w - 1]
+    if mode == 5:
+        return _avg2(_avg2(left, px[p - w + 1]), top)
+    if mode == 6:
+        return _avg2(left, px[p - w - 1])
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(px[p - w - 1], top)
+    if mode == 9:
+        return _avg2(top, px[p - w + 1])
+    if mode == 10:
+        return _avg2(_avg2(left, px[p - w - 1]),
+                     _avg2(top, px[p - w + 1]))
+    if mode == 11:
+        est = left + top - px[p - w - 1]
+        p_l = int(np.abs(est - left).sum())
+        p_t = int(np.abs(est - top).sum())
+        return left if p_l < p_t else top
+    if mode == 12:
+        return np.clip(left + top - px[p - w - 1], 0, 255)
+    if mode == 13:
+        a = _avg2(left, top)
+        d = a - px[p - w - 1]
+        # C-style truncation toward zero for the half-delta
+        return np.clip(a + np.sign(d) * (np.abs(d) >> 1), 0, 255)
+    raise ValueError(f"vp8l: predictor mode {mode} > 13")
+
+
+def _inverse_predictor(out: np.ndarray, w: int, h: int,
+                       size_bits: int, modes: np.ndarray) -> None:
+    """Invert the predictor transform in place (spec §4.1): each pixel's
+    stored residual gets the mode-selected prediction added mod 256 per
+    channel. Edge rules are the spec's: (0,0) is black-predicted
+    (0xff000000), the rest of the top row L-predicted, the rest of the
+    left column T-predicted; the TR neighbor of a rightmost-column pixel
+    is linear index p−w+1, which lands on the leftmost pixel of the
+    CURRENT row (the spec's row-major addressing note). Modes come from
+    the green channel of the per-block predictor sub-image. Sequential
+    by nature (L feeds the next prediction), matching the decoder's
+    per-pixel structure."""
+    px = out.astype(np.int32)
+    modes_w = (w + (1 << size_bits) - 1) >> size_bits
+    black = np.array([0, 0, 0, 255], np.int32)
+    for y in range(h):
+        row0 = y * w
+        for x in range(w):
+            p = row0 + x
+            if y == 0:
+                pred = black if x == 0 else px[p - 1]
+            elif x == 0:
+                pred = px[p - w]
+            else:
+                mode = modes[(y >> size_bits) * modes_w + (x >> size_bits)]
+                pred = _predict(px, p, w, int(mode), black)
+            px[p] = (px[p] + pred) & 0xFF
+    out[:] = px.astype(np.uint8)
+
+
+def decode_webp(buf: bytes) -> np.ndarray:
+    """Lossless .webp bytes → (H, W, 3|4) uint8. Raises ValueError on
+    malformed input or the documented out-of-scope features."""
+    if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a webp container")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        if size > len(buf):
+            raise ValueError("webp: implausible chunk size")
+        if tag == b"VP8L":
+            payload = buf[pos + 8:pos + 8 + size]
+            break
+        if tag == b"VP8 " or tag == b"VP8X":
+            raise ValueError("webp: lossy VP8 / extended not supported")
+        pos += 8 + size + (size & 1)
+    if payload is None or not payload or payload[0] != _SIG:
+        raise ValueError("webp: no VP8L chunk / bad signature")
+    br = _BitReader(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    has_alpha = br.bits(1)
+    if br.bits(3) != 0:
+        raise ValueError("vp8l: unknown version")
+    if h * w > 64 << 20:
+        raise ValueError("vp8l: implausible dimensions")
+
+    # Transforms are read in stream order and inverted in REVERSE order
+    # after pixel decode (spec §4). Supported: SUBTRACT_GREEN (2) and
+    # PREDICTOR (0, the one most real lossless files use); cross-color
+    # (1) and color-indexing (3) still refuse loudly.
+    transforms: list[tuple] = []
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype == 2:
+            transforms.append(("subtract_green",))
+        elif ttype == 0:
+            size_bits = br.bits(3) + 2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            pred_img = _decode_pixels(br, bw, bh)
+            transforms.append(("predictor", size_bits,
+                               pred_img[:, 1].copy()))
+        else:
+            raise ValueError(
+                f"vp8l: transform {ttype} out of clean-room scope")
+
+    out = _decode_pixels(br, w, h, main=True)
+
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            out[:, 0] = (out[:, 0].astype(np.int32) + out[:, 1]) % 256
+            out[:, 2] = (out[:, 2].astype(np.int32) + out[:, 1]) % 256
+        else:
+            _inverse_predictor(out, w, h, t[1], t[2])
     img = out.reshape(h, w, 4)
     return img if has_alpha else np.ascontiguousarray(img[..., :3])
