@@ -416,9 +416,24 @@ def test_read_buckets_manifest_pruning(spark, warc_dir, tmp_path):
     assert got.count() == want_rows
     # physical evidence: the filtered read opens FEWER files than the
     # full union (only runs whose manifests contain buckets 0/1)
-    def n_files(df):
-        return df.select(F.input_file_name()).distinct().count()
-    assert n_files(got) < n_files(full)
+    def files_of(df):
+        return {r[0] for r in
+                df.select(F.input_file_name()).distinct().collect()}
+    assert len(files_of(got)) < len(files_of(full))
+    # EXACT pruning evidence: the scanned-file set equals the parquet
+    # files under part_id 0/1 of runs whose MANIFEST lists bucket 0 or 1
+    # -- no extra run dir is ever opened, no pruned file sneaks back in
+    import glob as _glob
+    import os as _os
+    want_runs = [r for sn in cat.snapshots() if {0, 1} & set(sn["buckets"])
+                 for r in ([sn["run"]] if "run" in sn else sn["runs"])]
+    expect = set()
+    for r in want_runs:
+        for b in (0, 1):
+            pat = _os.path.join(cat.data_dir, r, f"part_id={b}",
+                                "*.parquet")
+            expect.update("file://" + f for f in _glob.glob(pat))
+    assert files_of(got) == expect
     # correctness: rows match the naive filter exactly
     a = {(r.url, r.part_id) for r in got.collect()}
     b = {(r.url, r.part_id)
