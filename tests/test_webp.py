@@ -150,10 +150,6 @@ def test_decoder_color_cache_path():
 
 
 def test_out_of_scope_features_error():
-    # cross-color transform (type 1) refuses
-    bits = [(1, 1), (1, 2)]
-    with pytest.raises(ValueError, match="transform"):
-        WB.decode_webp(_raw_stream(2, 2, bits))
     # meta prefix codes refuse
     bits = [(0, 1), (0, 1), (1, 1)]
     with pytest.raises(ValueError, match="meta"):
@@ -312,3 +308,90 @@ def test_predictor_inverse_hand_computed():
     want = np.array([[[10, 20, 30, 255], [15, 25, 35, 255]],
                      [[11, 22, 33, 255], [20, 30, 40, 255]]], np.uint8)
     assert (got == want).all()
+
+
+def test_cross_color_round_trip_and_hand_pin():
+    """Spec §4.2 cross-color: encode/decode round trip under several
+    delta triples (incl. negative int8 values), composed with the
+    predictor — plus a hand-computed single-pixel pin of the signed
+    (t·c)»5 arithmetic."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    for deltas in [(0, 0, 0), (32, 16, 8), (0xF0, 0x80, 0x7F)]:
+        got = WB.decode_webp(WB.encode_webp(img, cross_color=deltas))
+        assert (got == img).all(), deltas
+    got = WB.decode_webp(WB.encode_webp(img, predictor=7,
+                                        cross_color=(5, 250, 3)))
+    assert (got == img).all()
+
+    # hand pin: one pixel, g2r=64 (=> +int8(green)*64>>5 = green*2 for
+    # small greens), g2b=0, r2b=32 (=> +int8(new_red))
+    # stored (r,g,b)=(10, 7, 20): red = 10 + (64*7>>5) = 24;
+    # blue = 20 + 0 + (32*24>>5) = 44
+    sub = np.array([[32, 0, 64, 255]], np.int64)   # r=r2b, g=g2b, b=g2r
+    pxl = np.array([[10, 7, 20, 255]], np.int64)
+    bw = WB._BitWriter()
+    bw.bits(0, 14)
+    bw.bits(0, 14)
+    bw.bits(1, 1)
+    bw.bits(0, 3)
+    bw.bits(1, 1)
+    bw.bits(1, 2)        # CROSS_COLOR
+    bw.bits(0, 3)        # size_bits = 2
+    bw.bits(0, 1)
+    WB._encode_pixel_stream(bw, sub)
+    bw.bits(0, 1)
+    bw.bits(0, 1)
+    bw.bits(0, 1)
+    WB._encode_pixel_stream(bw, pxl)
+    payload = bytes([0x2F]) + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    got = WB.decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert (got == np.array([[[24, 7, 44, 255]]], np.uint8)).all()
+
+
+def test_color_indexing_round_trip_all_bundlings():
+    """Spec §4.3 color indexing: every bundling regime (2/4/16/256
+    colors -> 1/2/4/8-bit indices), odd widths that don't divide the
+    bundle, alpha palettes, and the differential palette coding."""
+    rng = np.random.default_rng(22)
+    for n_colors, shape in [(2, (5, 13, 3)), (4, (7, 9, 3)),
+                            (13, (6, 21, 3)), (200, (16, 16, 3))]:
+        pal = rng.integers(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        idx = rng.integers(0, n_colors, size=shape[:2])
+        img = pal[idx]
+        got = WB.decode_webp(WB.encode_webp(img, palette=True))
+        assert (got == img).all(), n_colors
+    # alpha-carrying palette
+    pal = np.array([[1, 2, 3, 4], [200, 100, 50, 255]], np.uint8)
+    img = pal[rng.integers(0, 2, size=(4, 19))]
+    got = WB.decode_webp(WB.encode_webp(img, palette=True))
+    assert (got == img).all()
+
+
+def test_fuzz_transformed_streams_never_silent():
+    """Corruption fuzz over TRANSFORMED streams (predictor+cross-color
+    and palette): truncation/bit-flips must error or decode to SOME
+    image, never crash or hang."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(16, 11, 3)).astype(np.uint8)
+    pal_img = np.array([[10, 20, 30], [200, 210, 220]],
+                       np.uint8)[rng.integers(0, 2, size=(9, 14))]
+    for buf in (WB.encode_webp(img, predictor=12, cross_color=(9, 8, 7)),
+                WB.encode_webp(pal_img, palette=True)):
+        for cut in range(0, len(buf), max(1, len(buf) // 13)):
+            try:
+                WB.decode_webp(buf[:cut])
+            except ValueError:
+                pass
+        for pos in range(12, len(buf), max(1, len(buf) // 23)):
+            m = bytearray(buf)
+            m[pos] ^= 0xFF
+            try:
+                out = WB.decode_webp(bytes(m))
+                assert out.dtype == np.uint8
+            except (ValueError, KeyError):
+                pass

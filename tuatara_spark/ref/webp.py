@@ -4,24 +4,25 @@ Implemented from the PUBLIC "WebP Lossless Bitstream Specification"
 (Google / RFC 9649) only: RIFF/WEBP/VP8L container, LSB-first bit
 packing, canonical prefix codes with the DEFLATE-style code-length code
 (16/17/18 repeats), the simple 1-/2-symbol code form, color-cache
-lookups, LZ77 length/distance prefix-coding, the SUBTRACT_GREEN
-transform, and the PREDICTOR transform (all 14 spec §4.1 modes with the
-per-block mode sub-image — the transform most real lossless WebPs use).
+lookups, LZ77 length/distance prefix-coding, and ALL FOUR spec §4
+transforms: PREDICTOR (14 modes, per-block mode sub-image),
+CROSS_COLOR (signed ×/»5 delta arithmetic, per-block element
+sub-image), SUBTRACT_GREEN, and COLOR_INDEXING (differential palette +
+sub-byte pixel bundling).
 
 Honest scope (documented, loud errors — never silent corruption):
 
 * the ENCODER emits streams with real per-channel Huffman codes and
   RLE-style LZ77 (distance-1 backrefs for pixel runs — ~250× on
-  document pages), optionally under a uniform-mode predictor transform
-  (~2× further on document pages); no color cache, single prefix-code
-  group — a fully valid VP8L stream;
+  document pages), optionally under uniform-grid predictor/cross-color
+  transforms or a color-indexing palette; no color cache, single
+  prefix-code group — a fully valid VP8L stream;
 * the DECODER additionally handles color-cache hits, LZ77 backrefs with
-  LINEAR distance codes, SUBTRACT_GREEN and arbitrary predictor-mode
-  grids; the cross-color/color-indexing transforms, meta prefix groups,
-  and the 120 close-neighbor 2D distance codes raise ``ValueError``
-  (their exact tables/orderings are long spec constants this clean-room
-  build does not transcribe — failing loudly beats decoding wrong
-  pixels).
+  LINEAR distance codes, and arbitrary per-block transform grids; meta
+  prefix groups and the 120 close-neighbor 2D distance codes raise
+  ``ValueError`` (their exact tables/orderings are long spec constants
+  this clean-room build does not transcribe — failing loudly beats
+  decoding wrong pixels).
 
 No reference WebP implementation exists in this sandbox to cross-check
 bit-exactness against, so the verified property is spec-shaped
@@ -407,18 +408,30 @@ def _forward_predictor(px: np.ndarray, w: int, h: int, size_bits: int,
 
 
 def encode_webp(img: np.ndarray, predictor: int | None = None,
-                predictor_bits: int = 4) -> bytes:
+                predictor_bits: int = 4,
+                cross_color: tuple[int, int, int] | None = None,
+                palette: bool = False) -> bytes:
     """RGB(A) uint8 (H, W, 3|4) → lossless .webp bytes (VP8L with real
     per-channel Huffman codes; runs of identical pixels are emitted as
     LZ77 distance-1 backrefs — RLE — which dominate document pages).
 
-    ``predictor`` (0–13) applies the spec §4.1 predictor transform with
-    a uniform mode grid at block size ``1 << predictor_bits`` before
-    entropy coding — mode 2 (T) turns vertical document structure into
-    near-zero residual planes."""
+    Transform options (fixture-grade uniform grids, stream-ordered
+    predictor → cross-color so they compose):
+
+    * ``predictor`` (0–13): spec §4.1 predictor transform at block size
+      ``1 << predictor_bits`` — mode 2 (T) turns vertical document
+      structure into near-zero residual planes;
+    * ``cross_color``: (green_to_red, green_to_blue, red_to_blue) int8
+      deltas applied everywhere (spec §4.2);
+    * ``palette``: spec §4.3 color indexing over the image's unique
+      colors (≤256 required; ≤16 triggers sub-byte pixel bundling).
+      Mutually exclusive with the other transforms (a width-changing
+      combination is valid VP8L but not needed for fixtures)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise ValueError("encode_webp expects (H, W, 3|4) uint8")
+    if palette and (predictor is not None or cross_color is not None):
+        raise ValueError("palette does not combine with other transforms")
     h, w = img.shape[:2]
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("vp8l: dimensions out of range")
@@ -435,6 +448,7 @@ def encode_webp(img: np.ndarray, predictor: int | None = None,
     bw.bits(h - 1, 14)
     bw.bits(1 if img.shape[2] == 4 else 0, 1)   # alpha hint
     bw.bits(0, 3)                               # version
+    enc_w = w
     if predictor is not None:
         if not 0 <= predictor <= 13:
             raise ValueError("predictor mode must be 0..13")
@@ -445,6 +459,56 @@ def encode_webp(img: np.ndarray, predictor: int | None = None,
         bw.bits(0, 1)                           # sub-image: no color cache
         _encode_pixel_stream(bw, sub)
         px = _forward_predictor(px, w, h, predictor_bits, sub[:, 1])
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        cc_bits = 4
+        bw_ = (w + (1 << cc_bits) - 1) >> cc_bits
+        bh_ = (h + (1 << cc_bits) - 1) >> cc_bits
+        sub = np.zeros((bw_ * bh_, 4), np.int64)
+        sub[:, 0] = r2b & 0xFF                  # red channel: red_to_blue
+        sub[:, 1] = g2b & 0xFF                  # green: green_to_blue
+        sub[:, 2] = g2r & 0xFF                  # blue: green_to_red
+        sub[:, 3] = 255
+        bw.bits(1, 1)
+        bw.bits(1, 2)                           # CROSS_COLOR_TRANSFORM
+        bw.bits(cc_bits - 2, 3)
+        bw.bits(0, 1)
+        _encode_pixel_stream(bw, sub)
+        px = _forward_cross_color(px, w, h, cc_bits, sub)
+    if palette:
+        colors, inv = np.unique(px, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("palette: more than 256 distinct colors")
+        n_colors = len(colors)
+        if n_colors <= 2:
+            width_bits = 3
+        elif n_colors <= 4:
+            width_bits = 2
+        elif n_colors <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        bw.bits(1, 1)
+        bw.bits(3, 2)                           # COLOR_INDEXING_TRANSFORM
+        bw.bits(n_colors - 1, 8)
+        diff = colors.copy()
+        diff[1:] = (colors[1:] - colors[:-1]) & 0xFF
+        bw.bits(0, 1)                           # palette: no color cache
+        _encode_pixel_stream(bw, diff)
+        idx = inv.reshape(h, w)
+        if width_bits:
+            ppb = 1 << width_bits
+            bpp = 8 >> width_bits
+            enc_w = (w + ppb - 1) >> width_bits
+            packed = np.zeros((h, enc_w), np.int64)
+            for j in range(ppb):
+                cols = idx[:, j::ppb]
+                packed[:, :cols.shape[1]] |= cols << (j * bpp)
+        else:
+            packed = idx
+        px = np.zeros((h * enc_w, 4), np.int64)
+        px[:, 1] = packed.reshape(-1)
+        px[:, 3] = 255
     bw.bits(0, 1)                               # no (more) transforms
     bw.bits(0, 1)                               # no color cache
     bw.bits(0, 1)                               # no meta prefix codes
@@ -622,6 +686,83 @@ def _inverse_predictor(out: np.ndarray, w: int, h: int,
     out[:] = px.astype(np.uint8)
 
 
+def _i8(x):
+    """Reinterpret the low byte as SIGNED int8, kept in int32 (the spec's
+    int8 casts inside the cross-color arithmetic)."""
+    return ((x & 0xFF) ^ 0x80) - 0x80
+
+
+def _cc_block_fields(sub: np.ndarray, w: int, h: int,
+                     size_bits: int) -> tuple:
+    """Per-pixel (g2r, g2b, r2b) int32 planes from the cross-color
+    sub-image (spec §4.2 channel packing: green_to_red rides the BLUE
+    channel, green_to_blue the GREEN, red_to_blue the RED)."""
+    bw_ = (w + (1 << size_bits) - 1) >> size_bits
+    idx = ((np.arange(h) >> size_bits)[:, None] * bw_
+           + (np.arange(w) >> size_bits)[None, :])
+    blk = sub.astype(np.int32)
+    return (_i8(blk[:, 2][idx]), _i8(blk[:, 1][idx]),
+            _i8(blk[:, 0][idx]))
+
+
+def _inverse_cross_color(out: np.ndarray, w: int, h: int,
+                         size_bits: int, sub: np.ndarray) -> None:
+    """Invert the cross-color transform in place (spec §4.2): per block,
+    red += (g2r·int8(green)) >> 5; blue += (g2b·int8(green)) >> 5 plus
+    (r2b·int8(new red)) >> 5; all mod 256 with arithmetic shifts on the
+    signed products. Block-parallel (no sequential dependency), so fully
+    vectorized."""
+    g2r, g2b, r2b = _cc_block_fields(sub, w, h, size_bits)
+    px = out.reshape(h, w, 4).astype(np.int32)
+    g = _i8(px[..., 1])
+    red = (px[..., 0] + ((g2r * g) >> 5)) & 0xFF
+    blue = (px[..., 2] + ((g2b * g) >> 5)
+            + ((r2b * _i8(red)) >> 5)) & 0xFF
+    px[..., 0] = red
+    px[..., 2] = blue
+    out[:] = px.reshape(-1, 4).astype(np.uint8)
+
+
+def _forward_cross_color(px: np.ndarray, w: int, h: int,
+                         size_bits: int, sub: np.ndarray) -> np.ndarray:
+    """Forward cross-color: subtract the deltas the inverse adds; the
+    blue delta uses the ORIGINAL red (which the inverse reconstructs
+    before using it)."""
+    g2r, g2b, r2b = _cc_block_fields(sub, w, h, size_bits)
+    src = px.reshape(h, w, 4).astype(np.int64)
+    g = _i8(src[..., 1])
+    red = src[..., 0]
+    new_red = (red - ((g2r * g) >> 5)) & 0xFF
+    new_blue = (src[..., 2] - ((g2b * g) >> 5)
+                - ((r2b * _i8(red)) >> 5)) & 0xFF
+    res = src.copy()
+    res[..., 0] = new_red
+    res[..., 2] = new_blue
+    return res.reshape(-1, 4)
+
+
+def _inverse_color_index(out: np.ndarray, w: int, h: int,
+                         width_bits: int, pal: np.ndarray,
+                         orig_w: int) -> np.ndarray:
+    """Invert color indexing (spec §4.3): greens hold palette indices,
+    sub-byte-bundled when the palette is small (first pixel in the
+    LEAST-significant bits). Out-of-range indices become 0x00000000, the
+    spec's required value. Returns the widened (h·orig_w, 4) array."""
+    greens = out.reshape(h, w, 4)[..., 1].astype(np.int32)
+    if width_bits:
+        ppb = 1 << width_bits          # packed pixels per green byte
+        bpp = 8 >> width_bits          # bits per index
+        xs = np.arange(orig_w)
+        src = greens[:, xs >> width_bits]
+        idx = (src >> ((xs & (ppb - 1)) * bpp)[None, :]) & ((1 << bpp) - 1)
+    else:
+        idx = greens
+    oob = idx >= len(pal)
+    res = pal[np.clip(idx, 0, len(pal) - 1)]
+    res[oob] = 0
+    return np.ascontiguousarray(res.reshape(h * orig_w, 4))
+
+
 def decode_webp(buf: bytes) -> np.ndarray:
     """Lossless .webp bytes → (H, W, 3|4) uint8. Raises ValueError on
     malformed input or the documented out-of-scope features."""
@@ -652,32 +793,56 @@ def decode_webp(buf: bytes) -> np.ndarray:
         raise ValueError("vp8l: implausible dimensions")
 
     # Transforms are read in stream order and inverted in REVERSE order
-    # after pixel decode (spec §4). Supported: SUBTRACT_GREEN (2) and
-    # PREDICTOR (0, the one most real lossless files use); cross-color
-    # (1) and color-indexing (3) still refuse loudly.
+    # after pixel decode (spec §4). All four spec transforms decode:
+    # PREDICTOR (0), CROSS_COLOR (1), SUBTRACT_GREEN (2) and
+    # COLOR_INDEXING (3, incl. sub-byte pixel bundling — which shrinks
+    # the width the main image is entropy-coded at).
     transforms: list[tuple] = []
+    main_w = w
     while br.bits(1):
         ttype = br.bits(2)
         if ttype == 2:
             transforms.append(("subtract_green",))
-        elif ttype == 0:
+        elif ttype in (0, 1):
             size_bits = br.bits(3) + 2
-            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bw = (main_w + (1 << size_bits) - 1) >> size_bits
             bh = (h + (1 << size_bits) - 1) >> size_bits
-            pred_img = _decode_pixels(br, bw, bh)
-            transforms.append(("predictor", size_bits,
-                               pred_img[:, 1].copy()))
+            sub = _decode_pixels(br, bw, bh)
+            if ttype == 0:
+                transforms.append(("predictor", size_bits,
+                                   sub[:, 1].copy()))
+            else:
+                transforms.append(("cross_color", size_bits, sub))
         else:
-            raise ValueError(
-                f"vp8l: transform {ttype} out of clean-room scope")
+            n_colors = br.bits(8) + 1
+            pal = _decode_pixels(br, n_colors, 1)
+            # palette entries are DIFFERENTIAL: each component adds the
+            # previous entry's component mod 256 (spec §4.3)
+            pal = np.cumsum(pal.astype(np.int64), axis=0).astype(np.uint8)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append(("color_index", width_bits, pal, main_w))
+            main_w = (main_w + (1 << width_bits) - 1) >> width_bits
 
-    out = _decode_pixels(br, w, h, main=True)
+    out = _decode_pixels(br, main_w, h, main=True)
+    cur_w = main_w
 
     for t in reversed(transforms):
         if t[0] == "subtract_green":
             out[:, 0] = (out[:, 0].astype(np.int32) + out[:, 1]) % 256
             out[:, 2] = (out[:, 2].astype(np.int32) + out[:, 1]) % 256
+        elif t[0] == "predictor":
+            _inverse_predictor(out, cur_w, h, t[1], t[2])
+        elif t[0] == "cross_color":
+            _inverse_cross_color(out, cur_w, h, t[1], t[2])
         else:
-            _inverse_predictor(out, w, h, t[1], t[2])
-    img = out.reshape(h, w, 4)
+            out = _inverse_color_index(out, cur_w, h, t[1], t[2], t[3])
+            cur_w = t[3]
+    img = out.reshape(h, cur_w, 4)
     return img if has_alpha else np.ascontiguousarray(img[..., :3])
