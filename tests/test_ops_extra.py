@@ -799,3 +799,45 @@ def test_mp3_header_walk_metadata(spark):
                       "html": [audio.encode_mp3_fixture(2, id3_bytes=16)]}))
     assert df.select(mm.sniff_format_col("html").alias("f")) \
         .first().f == "mp3"
+
+
+def test_flac_ogg_header_metadata(spark):
+    """FLAC STREAMINFO (RFC 9639) + Ogg Vorbis/Opus id headers
+    (RFC 3533 / Vorbis I / RFC 7845): real metadata rows with NULL
+    rms/peak; malformed variants become error rows."""
+    from tuatara_spark.ops import audio
+    m = audio.parse_flac_meta(audio.encode_flac_fixture(44100, 2, 16,
+                                                        88200))
+    assert m == {"format": "flac", "sample_rate": 44100, "n_channels": 2,
+                 "bits_per_sample": 16, "n_samples": 88200,
+                 "duration_ms": 2000}
+    assert audio.parse_ogg_meta(
+        audio.encode_ogg_fixture("vorbis", 22050, 1)) == {
+        "format": "ogg_vorbis", "sample_rate": 22050, "n_channels": 1}
+    assert audio.parse_ogg_meta(
+        audio.encode_ogg_fixture("opus", 48000, 2)) == {
+        "format": "ogg_opus", "sample_rate": 48000, "n_channels": 2}
+    with pytest.raises(ValueError):
+        audio.parse_flac_meta(b"fLaC\x00\x00")
+    with pytest.raises(ValueError):
+        audio.parse_ogg_meta(b"OggS" + b"\x00" * 40)
+
+    rows = pd.DataFrame({
+        "url": ["f", "v", "o", "badf"],
+        "html": [audio.encode_flac_fixture(48000, 1, 24, 96000),
+                 audio.encode_ogg_fixture("vorbis", 44100, 2),
+                 audio.encode_ogg_fixture("opus", 16000, 1),
+                 b"fLaC\x7f\x00\x00"]})
+    got = {r.url: r for r in audio.extract_audio_meta(
+        spark.createDataFrame(rows)).collect()}
+    assert got["f"].format == "flac" and got["f"].duration_ms == 2000
+    assert got["f"].rms is None
+    assert got["v"].format == "ogg_vorbis" and got["v"].sample_rate == 44100
+    assert got["o"].format == "ogg_opus" and got["o"].n_channels == 1
+    assert got["badf"].format == "error"
+
+    from tuatara_spark.ops import multimodal as mm
+    df = spark.createDataFrame(rows)
+    fmts = {r.url: r.f for r in df.select(
+        "url", mm.sniff_format_col("html").alias("f")).collect()}
+    assert fmts["f"] == "flac" and fmts["v"] == "ogg"

@@ -268,6 +268,99 @@ def encode_mp3_fixture(n_frames: int = 10, bitrate_kbps: int = 128,
     return tag + frame * n_frames
 
 
+# ------------------------------------------------- FLAC / Ogg headers -----
+# Metadata-only parses from the public specs: FLAC STREAMINFO (RFC 9639
+# §8.2 — fLaC magic, 4-byte block headers, the 34-byte STREAMINFO bit
+# layout), Ogg page framing (RFC 3533) with the Vorbis I identification
+# header (Xiph Vorbis I spec §4.2.2) and OpusHead (RFC 7845 §5.1).
+# Signal decode stays out of scope; headers carry everything a crawl
+# metadata pass needs.
+
+def parse_flac_meta(buf) -> dict:
+    """fLaC STREAMINFO → sample_rate / channels / bits / total samples /
+    duration. Raises ValueError on anything that is not a FLAC stream
+    with a leading STREAMINFO block (the spec REQUIRES it first)."""
+    data = memoryview(buf).cast("B")
+    if bytes(data[:4]) != b"fLaC":
+        raise ValueError("flac: bad magic")
+    if len(data) < 8 + 34:
+        raise ValueError("flac: truncated metadata")
+    btype = data[4] & 0x7F
+    blen = (data[5] << 16) | (data[6] << 8) | data[7]
+    if btype != 0 or blen < 34:
+        raise ValueError("flac: first block is not STREAMINFO")
+    b = bytes(data[8:8 + 34])
+    sample_rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x7) + 1
+    bits = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+    n_samples = (((b[13] & 0xF) << 32) | (b[14] << 24) | (b[15] << 16)
+                 | (b[16] << 8) | b[17])
+    if sample_rate == 0:
+        raise ValueError("flac: zero sample rate")
+    return {"format": "flac", "sample_rate": sample_rate,
+            "n_channels": channels, "bits_per_sample": bits,
+            "n_samples": n_samples,
+            "duration_ms": n_samples * 1000 // sample_rate}
+
+
+def parse_ogg_meta(buf) -> dict:
+    """First Ogg page (RFC 3533) → codec identification: Vorbis I id
+    header (audio channels + rate) or OpusHead (channel count + input
+    sample rate; Opus always DECODES at 48 kHz — the header rate is the
+    original input's). Raises ValueError otherwise."""
+    data = memoryview(buf).cast("B")
+    if bytes(data[:4]) != b"OggS" or len(data) < 28:
+        raise ValueError("ogg: bad capture pattern")
+    n_segs = data[26]
+    body = 27 + n_segs
+    if len(data) < body + 16:
+        raise ValueError("ogg: truncated first page")
+    seg = bytes(data[body:body + 19])
+    if seg[:7] == b"\x01vorbis" and len(seg) >= 16:
+        channels = seg[11]
+        rate = int.from_bytes(seg[12:16], "little")
+        if channels == 0 or rate == 0:
+            raise ValueError("ogg: invalid vorbis id header")
+        return {"format": "ogg_vorbis", "sample_rate": rate,
+                "n_channels": channels}
+    if seg[:8] == b"OpusHead" and len(seg) >= 19:
+        channels = seg[9]
+        rate = int.from_bytes(seg[12:16], "little")
+        return {"format": "ogg_opus", "sample_rate": rate or 48000,
+                "n_channels": channels}
+    raise ValueError("ogg: unrecognized codec id header")
+
+
+def encode_flac_fixture(sample_rate: int = 44100, channels: int = 2,
+                        bits: int = 16, n_samples: int = 88200) -> bytes:
+    """Fixture-grade FLAC header (STREAMINFO only, no frames)."""
+    b = bytearray(34)
+    b[10] = (sample_rate >> 12) & 0xFF
+    b[11] = (sample_rate >> 4) & 0xFF
+    b[12] = (((sample_rate & 0xF) << 4) | ((channels - 1) << 1)
+             | ((bits - 1) >> 4))
+    b[13] = (((bits - 1) & 0xF) << 4) | ((n_samples >> 32) & 0xF)
+    b[14] = (n_samples >> 24) & 0xFF
+    b[15] = (n_samples >> 16) & 0xFF
+    b[16] = (n_samples >> 8) & 0xFF
+    b[17] = n_samples & 0xFF
+    return (b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(b))
+
+
+def encode_ogg_fixture(codec: str = "vorbis", sample_rate: int = 48000,
+                       channels: int = 2) -> bytes:
+    """Fixture-grade first Ogg page wrapping a Vorbis/Opus id header."""
+    if codec == "vorbis":
+        seg = (b"\x01vorbis" + bytes(4) + bytes([channels])
+               + sample_rate.to_bytes(4, "little") + bytes(14))
+    else:
+        seg = (b"OpusHead\x01" + bytes([channels]) + bytes(2)
+               + sample_rate.to_bytes(4, "little") + bytes(3))
+    head = (b"OggS" + bytes([0, 2]) + bytes(8) + bytes(4) + bytes(4)
+            + bytes(4) + bytes([1, len(seg)]))
+    return head + seg
+
+
 # full-scale factor converting each encoding's native units into PCM16
 # units, so rms/peak are comparable across encodings in a quality gate
 _TO_PCM16 = {"wav_pcm8": 256.0, "wav_pcm16": 1.0, "wav_pcm24": 1 / 256.0,
@@ -303,17 +396,23 @@ def extract_audio_meta(df: DataFrame, col: str = "html",
             for key, buf in zip(pdf[key_col], pdf[col]):
                 row = dict.fromkeys(out)
                 row["url"] = key
-                head = bytes(memoryview(buf)[:3]) if buf is not None else b""
+                head = bytes(memoryview(buf)[:4]) if buf is not None else b""
+                hdr_parser = None
                 if head[:3] == b"ID3" or (
                         len(head) >= 2 and head[0] == 0xFF
                         and (head[1] & 0xE0) == 0xE0):
+                    hdr_parser = parse_mp3_meta
+                elif head == b"fLaC":
+                    hdr_parser = parse_flac_meta
+                elif head == b"OggS":
+                    hdr_parser = parse_ogg_meta
+                if hdr_parser is not None:
+                    # header-walk formats: real metadata, NULL rms/peak
+                    # (signal decode out of scope)
                     try:
-                        m = parse_mp3_meta(buf)
-                        row.update(format=m["format"],
-                                   sample_rate=m["sample_rate"],
-                                   n_channels=m["n_channels"],
-                                   n_samples=m["n_samples"],
-                                   duration_ms=m["duration_ms"])
+                        m = hdr_parser(buf)
+                        row.update({k: v for k, v in m.items()
+                                    if k in row})
                     except Exception as e:
                         row.update(format="error", error=f"decode: {e}")
                     for k, v in row.items():

@@ -37,6 +37,8 @@ _MAGICS = [
     (b"MM\x00*", "tiff"),
     (b"%PDF-", "pdf"),
     (b"ID3", "mp3"),
+    (b"fLaC", "flac"),
+    (b"OggS", "ogg"),
     (b"<html", "html"),
     (b"<!DOC", "html"),
 ]
