@@ -1826,17 +1826,18 @@ ORDER BY doc_id, frame_idx
 def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing with a FIRST-PRINCIPLES oracle: synthesize per-doc
     square waves (amplitude A = 1000 + doc_id%7·100 in PCM16 units,
-    n = 8000 + doc_id%5·1000 samples @16 kHz) at an ENCODING picked by
-    doc_id%4 (pcm16 / pcm8 / pcm24 / f32, EXTENSIBLE header when
-    doc_id%5==0), decode via the pure-NumPy RIFF/WAVE parser
-    (ops/audio.py), and extract metadata + RMS/peak in PCM16-equivalent
-    units. A square wave's RMS is EXACTLY its amplitude, and each
-    encoding's unit conversion is exact (pcm24: ·256/256; f32:
-    A/32767·32767 rounds back within 3e-4) — so every output column is
-    computable from doc_id alone in ANSI SQL; matching proves synth →
-    WAV encode (4 encodings) → Spark decode → unit-normalized features
-    exact end-to-end. pcm8 quantizes amplitude to (A div 256)·256, which
-    the SQL reproduces."""
+    n = 8000 + doc_id%5·1000 samples @16 kHz) at a CONTAINER picked by
+    doc_id%6 — four real WAV decodes (pcm16 / pcm8 / pcm24 / f32,
+    EXTENSIBLE header when doc_id%5==0) PLUS the two header-walk paths:
+    an MPEG-1 Layer III CBR stream (frame count varies per doc) and a
+    FLAC STREAMINFO header (rate/channels/samples vary per doc), both
+    yielding metadata with NULL rms/peak. Every output column is
+    computable from doc_id alone in ANSI SQL: a square wave's RMS is
+    EXACTLY its amplitude with exact unit conversions (pcm24: ·256/256;
+    f32: A/32767·32767 rounds back within 3e-4; pcm8 quantizes to
+    (A div 256)·256), and the MP3/FLAC fields follow from the fixture
+    parameters — matching proves synth → container encode (6 kinds) →
+    Spark decode/header walk → features exact end-to-end."""
     _ship_package(spark)
     from tuatara_spark.ops import audio
     docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(32)
@@ -1848,9 +1849,20 @@ def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                k = did % 6
+                if k == 4:
+                    payloads.append(audio.encode_mp3_fixture(
+                        n_frames=10 + did % 5, bitrate_kbps=128,
+                        rate=44100, version="1", layer=3))
+                    continue
+                if k == 5:
+                    payloads.append(audio.encode_flac_fixture(
+                        sample_rate=48000, channels=1 + did % 2,
+                        bits=16, n_samples=48000 + (did % 7) * 1000))
+                    continue
                 amp = 1000 + (did % 7) * 100
                 n = 8000 + (did % 5) * 1000
-                enc = ("pcm16", "pcm8", "pcm24", "f32")[did % 4]
+                enc = ("pcm16", "pcm8", "pcm24", "f32")[k]
                 a_nat, dt = {"pcm16": (amp, np_.int16),
                              "pcm8": (amp // 256, np_.int16),
                              "pcm24": (amp * 256, np_.int32),
@@ -1874,18 +1886,31 @@ def q_audio_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDIO_META_SQL = """
 WITH c AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
-m AS (SELECT CAST(doc_id AS VARCHAR) AS url,
-             CASE doc_id % 4 WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'wav_pcm8'
-                  WHEN 2 THEN 'wav_pcm24' ELSE 'wav_f32' END AS format,
-             CASE WHEN doc_id % 4 = 1
+m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, doc_id % 6 AS k,
+             CASE WHEN doc_id % 6 = 1
                   THEN ((1000 + (doc_id % 7) * 100) // 256) * 256
                   ELSE 1000 + (doc_id % 7) * 100 END AS a,
-             8000 + (doc_id % 5) * 1000 AS n
+             8000 + (doc_id % 5) * 1000 AS n,
+             10 + doc_id % 5 AS frames,
+             48000 + (doc_id % 7) * 1000 AS fn
       FROM c)
-SELECT url, format, 16000 AS sample_rate, 1 AS n_channels,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(n // 16 AS BIGINT) AS duration_ms,
-       CAST(a * 100 AS BIGINT) AS rms_e2, CAST(a AS INT) AS peak
+SELECT url,
+       CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'wav_pcm8'
+              WHEN 2 THEN 'wav_pcm24' WHEN 3 THEN 'wav_f32'
+              WHEN 4 THEN 'mp3v1L3' ELSE 'flac' END AS format,
+       CAST(CASE k WHEN 4 THEN 44100 WHEN 5 THEN 48000
+                   ELSE 16000 END AS INT) AS sample_rate,
+       CAST(CASE k WHEN 4 THEN 2 WHEN 5 THEN 1 + doc_id % 2
+                   ELSE 1 END AS INT) AS n_channels,
+       CAST(CASE k WHEN 4 THEN frames * 1152 WHEN 5 THEN fn
+                   ELSE n END AS BIGINT) AS n_samples,
+       -- mp3: per-frame 1152e6/44100 us floor-summed = frames*26122us
+       CAST(CASE k WHEN 4 THEN (frames * 26122) // 1000
+                   WHEN 5 THEN (fn * 1000) // 48000
+                   ELSE n // 16 END AS BIGINT) AS duration_ms,
+       CASE WHEN k >= 4 THEN NULL
+            ELSE CAST(a * 100 AS BIGINT) END AS rms_e2,
+       CASE WHEN k >= 4 THEN NULL ELSE CAST(a AS INT) END AS peak
 FROM m ORDER BY url
 """
 
