@@ -2066,7 +2066,11 @@ def q_image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(T_.encode_tiff(
                         img, "lzw", bilevel=True, rows_per_strip=64))
                 else:
-                    payloads.append(W_.encode_webp(img))
+                    # predictor+cross-color transformed VP8L: the decode
+                    # path real lossless crawl files take (lossless
+                    # transforms, so the analytic oracle is unchanged)
+                    payloads.append(W_.encode_webp(
+                        img, predictor=2, cross_color=(24, 16, 8)))
             yield pd.DataFrame({"url": pdf["url"], "html": payloads})
 
     pages = docs.mapInPandas(render, "url string, html binary")
