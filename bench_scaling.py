@@ -192,9 +192,10 @@ def write_report(report: dict) -> None:
             "separate executors on a real cluster do not share (the\n"
             "primary undersubscribed pair models that).\n\n"
             "Run-to-run variance (measured across clean exclusive-box\n"
-            "runs, round 3): the PRIMARY pair is stable — 0.845 / 0.851 /\n"
-            "0.860 / 0.902 — because both levels undersubscribe the box.\n"
-            "The SATURATED pair swings 0.60–0.79 between runs: at 32\n"
+            "runs, rounds 3–4): the PRIMARY pair is stable — best-of\n"
+            "0.845 / 0.851 / 0.860 / 0.902 / 0.868 — because both levels\n"
+            "undersubscribe the box; its per-round median+spread above\n"
+            "shows the same. The SATURATED pair swings 0.41–0.80: at 32\n"
             "threads the level is memory-bandwidth- and loopback-bound,\n"
             "so it inherits whatever contention the Firecracker host has\n"
             "at that moment (the same ~2× CPU-regime noise cpu_calib_ms\n"
@@ -229,13 +230,19 @@ def _append_warc_section() -> None:
                   f"{r['seconds']} | {tput(r)} |\n"
                   for r in rep["levels"]) +
         f"\n**Primary 2→8:** speedup {p['speedup']}×, efficiency "
-        f"{p['efficiency']}. **Secondary 8→32:** speedup {sec['speedup']}×, "
-        f"efficiency {sec['efficiency']}.\n"
-        "The saturated-pair gap is the shared-loopback contention "
-        "analyzed above; the primary undersubscribed pair meets the "
-        "≥0.8 bar.\n")
-    with open(os.path.join(REPO_ROOT, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(section)
+        f"{p['efficiency']} (≥0.8 bar "
+        f"{'MET' if p['efficiency'] >= 0.8 else 'NOT met on this run'})."
+        f" **Secondary 8→32:** speedup {sec['speedup']}×, "
+        f"efficiency {sec['efficiency']} (saturated-pair gap = the "
+        "shared-loopback contention analyzed above).\n")
+    md = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
+    with open(md) as f:
+        text = f.read()
+    cut = text.find("\n\n## Crawl front-end scaling")
+    if cut >= 0:
+        text = text[:cut]
+    with open(md, "w") as f:
+        f.write(text + section)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,13 @@ PRIMARY = (2, 8)
 SECONDARY = (8, 32)
 ROUNDS = 3
 REPS = 2
-SCALING_SF = 2.0
+# 8× the bench sf (~328k pages): the round-4 gzip streaming fix made the
+# chain ~35% faster, so the previous 82k-page input finished in ~2.5 s
+# at local[8] — short enough that fixed per-run costs (job setup,
+# scheduler, final collect) distorted the ratio. The criterion is
+# steady-state throughput; size the input so every level runs for
+# multiple seconds.
+SCALING_SF = 8.0
 BODY_TOKENS = 200
 
 
@@ -94,8 +100,19 @@ def main() -> None:
         f"\n**Primary 2→8:** speedup {p['speedup']}×, efficiency "
         f"{p['efficiency']}. **Secondary 8→32:** speedup {s['speedup']}×, "
         f"efficiency {s['efficiency']}.\n")
-    with open(os.path.join(REPO_ROOT, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(section)
+    # REPLACE any existing crawl-front-end section(s) instead of
+    # stacking another copy (this section is also re-appended by
+    # bench_scaling.write_report from the saved json)
+    md = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
+    text = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            text = f.read()
+        cut = text.find("\n\n## Crawl front-end scaling")
+        if cut >= 0:
+            text = text[:cut]
+    with open(md, "w") as f:
+        f.write(text + section)
     print(json.dumps(report))
 
 
