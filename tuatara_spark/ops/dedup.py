@@ -161,12 +161,24 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     oversized buckets are excluded deterministically (no sampling). This is
     the explicit skew control for the band join — AQE can't save a
     self-join whose key multiplicity is quadratic by construction.
+
+    Implementation: groupBy-count the bucket keys, keep only the OVERSIZED
+    keys (a set bounded by rows/max_bucket, and in practice tiny — only
+    pathological boilerplate clusters), and left_anti-join them away. This
+    beats the obvious count-over-Window formulation twice over: the
+    groupBy partial-aggregates map-side so only distinct bucket keys cross
+    the shuffle (the Window sorts and shuffles EVERY banded row), and AQE
+    turns the anti-join into a broadcast when the oversized set is small
+    (the common case) while degrading to a shuffle anti-join on the same
+    bucket key — which the following self-join reuses — when it is not.
+    Measured on the sf0.1 hamming join: 6.2 s → 1.0 s.
     """
     if max_bucket is None:
         return banded
-    cnt = F.count("*").over(Window.partitionBy(*keys))
-    return (banded.withColumn("_bn", cnt)
-            .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    over = (banded.groupBy(*keys).agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select(*keys))
+    return banded.join(over, keys, "left_anti")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -193,6 +205,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         "_id", F.posexplode(band_cols).alias("band_idx", "band_hash"))
     banded = _cap_buckets(banded, ["band_idx", "band_hash"], max_bucket)
+    # (measured: persisting the capped bands here HURTS — the banding from
+    # the already-persisted sig is cheap, and the cache barrier costs more
+    # than the duplicated cap subtree; the hamming join persists instead
+    # because its whole source chain is heavier)
     left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_hash")
     cand = (left.join(right, ["band_idx", "band_hash"])
@@ -495,6 +511,10 @@ def hamming_pairs64(sig_df: DataFrame, id_col: str = "doc_id",
     if verify_partitions is not None:
         banded = banded.repartition(verify_partitions,
                                     "chunk_idx", "chunk_val")
+    # Both sides of the self-join consume the capped band table; persist it
+    # so the cap's count+anti-join subtree runs once, not once per side.
+    if max_bucket is not None:
+        banded = _persist(banded)
     left = banded.select(F.col("_id").alias("id_a"),
                          F.col("_sig").alias("sh_a"),
                          "chunk_idx", "chunk_val")
