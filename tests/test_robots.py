@@ -105,3 +105,60 @@ def test_blank_and_comment_lines_inside_group(spark):
         got = _eval(spark, ["/x/page", "/y"], agent=agent, robots=robots)
         assert got["/x/page"] == (False, "/x"), agent
         assert got["/y"] == (True, "")
+
+
+def test_wildcard_star_matches_any_span(spark):
+    # RFC 9309 §2.2.3: '*' matches any sequence of characters incl. '/'
+    robots = ("User-agent: *\n"
+              "Disallow: /private*\n"
+              "Allow: /private/public*\n")
+    got = _eval(spark, ["/private", "/privateer", "/private/a/b",
+                        "/private/public/x", "/pub"],
+                agent="any", robots=robots)
+    assert got["/private"] == (False, "/private*")
+    assert got["/privateer"] == (False, "/private*")
+    assert got["/private/a/b"] == (False, "/private*")
+    # longer raw pattern wins: the Allow overrides inside /private/public
+    assert got["/private/public/x"] == (True, "/private/public*")
+    assert got["/pub"] == (True, "")
+
+
+def test_wildcard_dollar_anchors_end(spark):
+    robots = "User-agent: *\nDisallow: /*.pdf$\n"
+    got = _eval(spark, ["/a/b.pdf", "/a/b.pdfx", "/b.pdf/c", "/x.PDF"],
+                agent="any", robots=robots)
+    assert got["/a/b.pdf"] == (False, "/*.pdf$")
+    assert got["/a/b.pdfx"] == (True, "")   # $ anchors: no partial match
+    assert got["/b.pdf/c"] == (True, "")
+    assert got["/x.PDF"] == (True, "")      # path matching is case-sensitive
+
+
+def test_wildcard_specials_are_literal(spark):
+    # regex metacharacters in a robots pattern are LITERAL path bytes —
+    # the compiler must escape them ('.' must not match any char, '+'
+    # must not quantify)
+    robots = "User-agent: *\nDisallow: /a.b+c*\n"
+    got = _eval(spark, ["/a.b+c/d", "/aXbbc/d"], agent="any", robots=robots)
+    assert got["/a.b+c/d"] == (False, "/a.b+c*")
+    assert got["/aXbbc/d"] == (True, "")
+
+
+def test_wildcard_vs_prefix_precedence_by_pattern_length(spark):
+    # precedence compares RAW pattern octet lengths (the public
+    # robotstxt-matcher behavior RFC 9309 codified): '/p/deny-me' (10)
+    # beats '/p/*' (4) even though both match
+    robots = ("User-agent: *\n"
+              "Allow: /p/*\n"
+              "Disallow: /p/deny-me\n")
+    got = _eval(spark, ["/p/deny-me/x", "/p/other"], agent="any",
+                robots=robots)
+    assert got["/p/deny-me/x"] == (False, "/p/deny-me")
+    assert got["/p/other"] == (True, "/p/*")
+
+
+def test_wildcard_free_rules_keep_startswith_semantics(spark):
+    # a lone '*' rule matches everything, incl. the empty path suffix
+    robots = "User-agent: *\nDisallow: *\nAllow: /ok/\n"
+    got = _eval(spark, ["/anything", "/ok/x"], agent="any", robots=robots)
+    assert got["/anything"] == (False, "*")
+    assert got["/ok/x"] == (True, "/ok/")

@@ -3,12 +3,18 @@
 Clean-room from the PUBLIC spec (RFC 9309, Robots Exclusion Protocol):
 group structure (consecutive ``User-agent`` lines open a group whose
 ``Allow``/``Disallow`` rules follow), case-insensitive directives,
-``#`` comments, empty ``Disallow:`` meaning allow-all, longest-prefix
-match wins with Allow beating Disallow on ties, and a specific
+``#`` comments, empty ``Disallow:`` meaning allow-all, longest-match
+precedence with Allow beating Disallow on ties, and a specific
 user-agent group overriding the ``*`` group entirely. Wildcard path
-patterns (``*``/``$``, an RFC 9309 MAY) are out of scope — prefix rules
-are the portable core and keep evaluation expressible as startswith in
-both engines.
+patterns (RFC 9309 §2.2.3's ``*`` = any char sequence and trailing
+``$`` = end-of-path anchor, a MAY the major crawlers all implement) are
+supported: a wildcard rule is compiled — inside Catalyst, at rule
+width — to an anchored regex (specials escaped, ``*`` → ``.*``), and
+precedence uses the raw pattern's octet length (the reference behavior
+of Google's public robotstxt matcher, which RFC 9309 codified).
+Wildcard-free rules keep the plain ``startswith`` fast path: per-row
+regex compilation touches only the rare wildcard rules' candidates,
+never the whole URL table.
 
 Scale notes: the parsed rule table has a handful of rows per HOST —
 tiny next to a 10^12-row URL table — so evaluation broadcasts the rules
@@ -79,6 +85,21 @@ def evaluate(urls: DataFrame, rules: DataFrame, agent: str,
          .where((F.col("agent") == me) |
                 ((F.col("_has_me") == 0) & (F.col("agent") == "*")))
          .select("host", "directive", "prefix"))
+    # Compile wildcard rules (``*`` anywhere / trailing ``$``) to anchored
+    # regexes ONCE at rule width — the rule table is per-host-tiny, so the
+    # regexp_replace chain below is free; the URL side only ever evaluates
+    # the compiled column. Wildcard-free rules skip regex entirely.
+    has_wild = (F.col("prefix").contains("*") |
+                F.col("prefix").endswith("$"))
+    anchored = F.col("prefix").endswith("$")
+    core = F.when(anchored, F.expr(
+        "substring(prefix, 1, length(prefix) - 1)")).otherwise(
+        F.col("prefix"))
+    esc = F.regexp_replace(  # escape regex specials EXCEPT the * wildcard
+        core, r"([\\.\^\$\+\?\(\)\[\]\{\}\|])", r"\\$1")
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    r = r.withColumn("_rx", F.when(has_wild, rx))
     u = urls.select(F.col(host_col).alias("host"),
                     F.col(path_col).alias("path"))
     # null prefix rows survive the match filter: they are either "host has
@@ -86,7 +107,9 @@ def evaluate(urls: DataFrame, rules: DataFrame, agent: str,
     # (empty-Disallow group) — both resolve to the default allow below
     cand = (u.join(F.broadcast(r), "host", "left")
             .where(F.col("prefix").isNull() |
-                   F.col("path").startswith(F.col("prefix"))))
+                   F.when(F.col("_rx").isNotNull(),
+                          F.regexp_like("path", F.col("_rx")))
+                   .otherwise(F.col("path").startswith(F.col("prefix")))))
     best = (cand.groupBy("host", "path").agg(
         F.max(F.when(F.col("prefix").isNotNull(), F.struct(
             F.length("prefix").alias("l"),

@@ -2554,6 +2554,58 @@ FROM u ORDER BY host, path
 """
 
 
+def q_robots_wildcard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard rules (ops/robots.py): every host's
+    robots mixes a ``$``-anchored pattern (``/*.bin$``), a bare-prefix
+    wildcard (``/dl/*``) and a longer overriding wildcard
+    (``/dl/priv*``); 64 (host, path) URLs exercise end-anchoring,
+    any-span ``*`` matching, and raw-pattern-length precedence between
+    wildcard rules. The oracle states the outcomes closed-form, so the
+    regex compilation (escape, ``*``→``.*``, ``$`` anchor) and the
+    length-precedence rule are all pinned."""
+    from tuatara_spark.ops import robots as R
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(64)
+            .select("doc_id"))
+    k = F.col("doc_id") % 8
+    m = F.floor(F.col("doc_id") / 8).cast("long") % 4
+    urls = docs.select(
+        F.concat(F.lit("w"), k.cast("string")).alias("host"),
+        F.when(m == 0, F.concat(F.lit("/dl/file"), k.cast("string"),
+                                F.lit(".bin")))
+        .when(m == 1, F.lit("/dl/data"))
+        .when(m == 2, F.lit("/dl/privx"))
+        .otherwise(F.lit("/other")).alias("path"))
+    hosts = spark.range(8).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /*.bin$\nAllow: /dl/*\n"
+              "Disallow: /dl/priv*\n").alias("robots_txt"))
+    rules = R.parse_robots(hosts)
+    return (R.evaluate(urls, rules, agent="tuatara")
+            .orderBy("host", "path"))
+
+
+_ROBOTS_WILDCARD_SQL = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64),
+um AS (SELECT DISTINCT doc_id % 8 AS k, (doc_id // 8) % 4 AS m FROM ids),
+u AS (SELECT 'w' || CAST(k AS VARCHAR) AS host,
+        CASE m WHEN 0 THEN '/dl/file' || CAST(k AS VARCHAR) || '.bin'
+               WHEN 1 THEN '/dl/data'
+               WHEN 2 THEN '/dl/privx'
+               ELSE '/other' END AS path,
+        m FROM um)
+SELECT host, path,
+       CASE m WHEN 0 THEN FALSE  -- /*.bin$ (len 7) beats /dl/* (len 5)
+              WHEN 1 THEN TRUE   -- only /dl/* matches
+              WHEN 2 THEN FALSE  -- /dl/priv* (len 9) beats /dl/* (len 5)
+              ELSE TRUE END AS allowed,
+       CASE m WHEN 0 THEN '/*.bin$'
+              WHEN 1 THEN '/dl/*'
+              WHEN 2 THEN '/dl/priv*'
+              ELSE '' END AS matched_rule
+FROM u ORDER BY host, path
+"""
+
+
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (ops/training.py): language
     rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
@@ -2898,6 +2950,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_markers_documents": (q_lang_markers_documents, _markers_sql()),
     "fingerprint_documents": (q_fingerprint_documents, _FINGERPRINT_SQL),
     "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
+    "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
