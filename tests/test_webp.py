@@ -112,9 +112,10 @@ def test_decoder_lz77_and_subtract_green():
     # subtract-green undone: r = (200+5)%256, g = 5, b = (100+5)%256
     assert (out == np.array([[[205, 5, 105]] * 3])).all()
 
-    # and a close-neighbor distance (dcode <= 120) refuses loudly
-    bits[-1] = (23, 5)           # value 120 -> 2D code -> out of scope
-    with pytest.raises(ValueError, match="close-neighbor"):
+    # a close-neighbor 2D distance that reaches BEFORE the image start
+    # still refuses loudly: dcode 120 -> (8, 7) -> dist 7*3+8 = 29 > i=1
+    bits[-1] = (23, 5)
+    with pytest.raises(ValueError, match="backref before image start"):
         WB.decode_webp(_raw_stream(3, 1, bits))
 
 
@@ -395,3 +396,62 @@ def test_fuzz_transformed_streams_never_silent():
                 assert out.dtype == np.uint8
             except (ValueError, KeyError):
                 pass
+
+
+def _green_code(literal, length_sym):
+    """Full green prefix code giving 1-bit codes to exactly {literal,
+    length_sym} (canonical: the lower symbol gets code 0)."""
+    bits = [(0, 1)]                      # full (non-simple) form
+    bits += [(19 - 4, 4)]
+    cl_lens = {0: 1, 1: 1}
+    for s in WB._CL_ORDER:
+        bits += [(cl_lens.get(s, 0), 3)]
+    bits += [(1, 1), (4, 3), (length_sym + 1 - 2, 10)]
+    for sym in range(length_sym + 1):
+        bits += [(1, 1) if sym in (literal, length_sym) else (0, 1)]
+    return bits
+
+
+def test_2d_distance_table_derivation():
+    # the derived table must reproduce the spec's listed ordering: pinned
+    # here against hand-checked rows of the published table
+    t = WB._DIST_TABLE
+    assert len(t) == 120 and len(set(t)) == 120
+    assert t[:16] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                      (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+                      (0, 3), (3, 0), (1, 3), (-1, 3)]
+    assert t[34:40] == [(0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)]
+    assert t[119] == (8, 7)
+    # mapping is width-dependent and clamped to >= 1
+    assert WB._plane_code_to_distance(3, 2) == 1     # (1, 0)
+    assert WB._plane_code_to_distance(3, 1) == 3     # (0, 1): one row up
+    assert WB._plane_code_to_distance(3, 10) == 1    # (-2, 1): 3 - 2
+    assert WB._plane_code_to_distance(1, 4) == 1     # (-1, 1): 0 -> clamp
+    assert WB._plane_code_to_distance(5, 121) == 1   # linear unchanged
+
+
+def test_decoder_2d_dist1_same_row():
+    # same pixels as the linear-distance test, but the backref uses 2D
+    # close-neighbor code 2 = (1, 0) = previous pixel
+    bits = [(1, 1), (2, 2), (0, 1), (0, 1), (0, 1)]
+    bits += _green_code(literal=5, length_sym=257)
+    bits += _simple_code(200) + _simple_code(100) + _simple_code(255)
+    bits += _simple_code(1)   # distance sym 1 -> value 2 -> (1,0) -> d=1
+    bits += [(0, 1)]          # green literal 5
+    bits += [(1, 1)]          # sym 257 -> length 2
+    out = WB.decode_webp(_raw_stream(3, 1, bits))
+    assert (out == np.array([[[205, 5, 105]] * 3])).all()
+
+
+def test_decoder_2d_row_copy_backref():
+    # 3x2: three literals, then a length-3 backref with 2D distance
+    # code 1 = (0, 1) = exactly one row up (distance = image width)
+    bits = [(1, 1), (2, 2), (0, 1), (0, 1), (0, 1)]
+    bits += _green_code(literal=5, length_sym=258)
+    bits += _simple_code(200) + _simple_code(100) + _simple_code(255)
+    bits += _simple_code(0)   # distance sym 0 -> value 1 -> (0,1)
+    bits += [(0, 1)] * 3      # three green-5 literals (row 0)
+    bits += [(1, 1)]          # sym 258 -> length 3 (row 1 = row 0)
+    out = WB.decode_webp(_raw_stream(3, 2, bits))
+    assert out.shape == (2, 3, 3)
+    assert (out == np.array([[[205, 5, 105]] * 3] * 2)).all()

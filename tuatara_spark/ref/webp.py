@@ -18,10 +18,13 @@ Honest scope (documented, loud errors — never silent corruption):
   transforms or a color-indexing palette; no color cache, single
   prefix-code group — a fully valid VP8L stream;
 * the DECODER additionally handles color-cache hits, LZ77 backrefs with
-  LINEAR distance codes, and arbitrary per-block transform grids; meta
-  prefix groups and the 120 close-neighbor 2D distance codes raise
-  ``ValueError`` (their exact tables/orderings are long spec constants
-  this clean-room build does not transcribe — failing loudly beats
+  LINEAR distance codes AND the 120 close-neighbor 2D distance codes
+  (the spec's plane-code table is not transcribed — it is DERIVED from
+  its defining order: all (dx, dy) neighbors with dy ∈ 0..7,
+  dx ∈ -7..8 (dx ≥ 1 when dy = 0), sorted by squared Euclidean
+  distance, then |dx|, positive dx before negative; mapped to
+  dy·width + dx, clamped to ≥ 1), and arbitrary per-block transform
+  grids; meta prefix groups raise ``ValueError`` (failing loudly beats
   decoding wrong pixels).
 
 No reference WebP implementation exists in this sandbox to cross-check
@@ -533,6 +536,36 @@ def _lz77_value(sym: int, br: _BitReader) -> int:
     return offset + br.bits(extra) + 1
 
 
+def _build_dist_table() -> list[tuple[int, int]]:
+    """The spec §4.2.2's 120-entry close-neighbor plane-code table,
+    DERIVED rather than transcribed: distance codes 1..120 name the 120
+    nearest already-decoded 2D neighbors — (dx, dy) with dy ∈ 0..7 and
+    dx ∈ -7..8, restricted to dx ≥ 1 on the current row (dy = 0), in
+    order of squared Euclidean distance with ties broken by |dx|
+    ascending and positive dx before negative. (Verified against the
+    spec's listed table by the hand-pinned decode tests.)"""
+    cands = [(dx, 0) for dx in range(1, 9)] + [
+        (dx, dy) for dy in range(1, 8) for dx in range(-7, 9)]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1],
+                              abs(p[0]), p[0] < 0))
+    return cands
+
+
+_DIST_TABLE = _build_dist_table()
+
+
+def _plane_code_to_distance(xsize: int, dcode: int) -> int:
+    """Map a decoded distance-code value to a linear pixel distance:
+    values > 120 are linear (value − 120); values 1..120 are 2D
+    close-neighbor codes resolved against the image width and clamped
+    to ≥ 1 (spec: "if the distance is less than 1, it is 1")."""
+    if dcode > 120:
+        return dcode - 120
+    dx, dy = _DIST_TABLE[dcode - 1]
+    d = dy * xsize + dx
+    return d if d >= 1 else 1
+
+
 def _decode_pixels(br: _BitReader, w: int, h: int,
                    main: bool = False) -> np.ndarray:
     """Decode one entropy-coded pixel stream → (h·w, 4) uint8 in
@@ -581,10 +614,7 @@ def _decode_pixels(br: _BitReader, w: int, h: int,
         elif sym < 280:
             length = _lz77_value(sym - 256, br)
             dcode = _lz77_value(d_dec.read(br), br)
-            if dcode <= 120:
-                raise ValueError(
-                    "vp8l: close-neighbor distance codes out of scope")
-            dist = dcode - 120
+            dist = _plane_code_to_distance(w, dcode)
             if dist > i:
                 raise ValueError("vp8l: backref before image start")
             for _ in range(length):
