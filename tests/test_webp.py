@@ -151,9 +151,10 @@ def test_decoder_color_cache_path():
 
 
 def test_out_of_scope_features_error():
-    # meta prefix codes refuse
+    # a meta-prefix header followed by nothing refuses (truncation, not
+    # silence) — the entropy image has no bits to decode from
     bits = [(0, 1), (0, 1), (1, 1)]
-    with pytest.raises(ValueError, match="meta"):
+    with pytest.raises(ValueError, match="truncated|prefix"):
         WB.decode_webp(_raw_stream(2, 2, bits))
     # lossy VP8 chunk refuses
     lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
@@ -455,3 +456,36 @@ def test_decoder_2d_row_copy_backref():
     out = WB.decode_webp(_raw_stream(3, 2, bits))
     assert out.shape == (2, 3, 3)
     assert (out == np.array([[[205, 5, 105]] * 3] * 2)).all()
+
+
+def test_decoder_meta_prefix_groups():
+    # 8x1, meta blocks of 4 px (prefix_bits = 2): the 2x1 entropy image
+    # assigns block 0 -> group 0, block 1 -> group 1; each group's codes
+    # are all single-symbol so the 8 ARGB pixels consume zero data bits
+    # and differ ONLY through group selection.
+    bits = [(0, 1)]            # no transforms
+    bits += [(0, 1)]           # no color cache (main image)
+    bits += [(1, 1), (0, 3)]   # meta prefix present, prefix_bits = 0+2
+    # -- entropy image (2x1), itself an entropy-coded image --
+    bits += [(0, 1)]           # entropy image: no color cache
+    bits += [(1, 1), (1, 1), (1, 1), (0, 8), (1, 8)]  # green: {0, 1}
+    bits += _simple_code(0)    # red (group index high byte = 0)
+    bits += _simple_code(0)    # blue
+    bits += _simple_code(0)    # alpha
+    bits += _simple_code(0)    # distance
+    bits += [(0, 1), (1, 1)]   # entropy pixels: green 0 then green 1
+    # -- group 0 codes (all single-symbol: zero bits per pixel) --
+    bits += _simple_code(10)   # green
+    bits += _simple_code(11)   # red
+    bits += _simple_code(12)   # blue
+    bits += _simple_code(255)  # alpha
+    bits += _simple_code(0)    # distance
+    # -- group 1 codes --
+    bits += _simple_code(20)
+    bits += _simple_code(21)
+    bits += _simple_code(22)
+    bits += _simple_code(255)
+    bits += _simple_code(0)
+    out = WB.decode_webp(_raw_stream(8, 1, bits))
+    assert out.shape == (1, 8, 3)
+    assert (out == np.array([[[11, 10, 12]] * 4 + [[21, 20, 22]] * 4])).all()

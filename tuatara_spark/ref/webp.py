@@ -23,8 +23,10 @@ Honest scope (documented, loud errors — never silent corruption):
   its defining order: all (dx, dy) neighbors with dy ∈ 0..7,
   dx ∈ -7..8 (dx ≥ 1 when dy = 0), sorted by squared Euclidean
   distance, then |dx|, positive dx before negative; mapped to
-  dy·width + dx, clamped to ≥ 1), and arbitrary per-block transform
-  grids; meta prefix groups raise ``ValueError`` (failing loudly beats
+  dy·width + dx, clamped to ≥ 1), meta prefix groups (the §5.2.2
+  entropy image selecting per-block code sets), and arbitrary
+  per-block transform grids — every feature of the VP8L bitstream;
+  malformed streams still raise ``ValueError`` (failing loudly beats
   decoding wrong pixels).
 
 No reference WebP implementation exists in this sandbox to cross-check
@@ -571,24 +573,43 @@ def _decode_pixels(br: _BitReader, w: int, h: int,
     """Decode one entropy-coded pixel stream → (h·w, 4) uint8 in
     (r, g, b, a) order: optional color cache, the five prefix codes,
     then the literal/LZ77/cache-hit loop. ``main`` additionally reads
-    the meta-prefix bit (spec §5.2.2 — only the main ARGB image carries
-    it; transform sub-images such as the predictor-mode image are
-    decoded with this same routine WITHOUT that bit)."""
+    the meta-prefix bit and, when set, the entropy image + per-group
+    code sets (spec §5.2.2 — only the main ARGB image carries it;
+    transform sub-images and the entropy image itself are decoded with
+    this same routine WITHOUT that bit)."""
     cache_bits = 0
     if br.bits(1):
         cache_bits = br.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: bad color cache size")
+    # Meta prefix groups (spec §5.2.2, main ARGB image only): a
+    # sub-sampled "entropy image" — itself a plain entropy-coded image,
+    # decoded recursively by this same routine — assigns each
+    # 2^gbits-sized block its prefix-code GROUP via (red << 8) | green;
+    # one set of five codes is then read per group, and the pixel loop
+    # selects the current pixel's group by block position. The color
+    # cache stays GLOBAL across groups (each group's green alphabet is
+    # widened by the shared cache size).
+    groups = ew = None
+    gbits = 0
+    n_groups = 1
     if main and br.bits(1):
-        raise ValueError("vp8l: meta prefix codes out of scope")
+        gbits = br.bits(3) + 2
+        ew = (w + (1 << gbits) - 1) >> gbits
+        eh = (h + (1 << gbits) - 1) >> gbits
+        epx = _decode_pixels(br, ew, eh)
+        groups = ((epx[:, 0].astype(np.int32) << 8)
+                  | epx[:, 1].astype(np.int32))
+        n_groups = int(groups.max()) + 1
     cache = np.zeros((1 << cache_bits, 4), np.uint8) if cache_bits else None
 
-    g_dec = _read_prefix_code(br, 256 + 24 + (1 << cache_bits
-                                              if cache_bits else 0))
-    r_dec = _read_prefix_code(br, 256)
-    b_dec = _read_prefix_code(br, 256)
-    a_dec = _read_prefix_code(br, 256)
-    d_dec = _read_prefix_code(br, 40)
+    g_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    code_sets = [( _read_prefix_code(br, g_alpha),
+                   _read_prefix_code(br, 256),
+                   _read_prefix_code(br, 256),
+                   _read_prefix_code(br, 256),
+                   _read_prefix_code(br, 40)) for _ in range(n_groups)]
+    g_dec, r_dec, b_dec, a_dec, d_dec = code_sets[0]
 
     n = h * w
     out = np.zeros((n, 4), np.uint8)   # r, g, b, a
@@ -603,6 +624,9 @@ def _decode_pixels(br: _BitReader, w: int, h: int,
 
     i = 0
     while i < n:
+        if groups is not None:
+            gi = groups[((i // w) >> gbits) * ew + ((i % w) >> gbits)]
+            g_dec, r_dec, b_dec, a_dec, d_dec = code_sets[gi]
         sym = g_dec.read(br)
         if sym < 256:
             out[i, 1] = sym
