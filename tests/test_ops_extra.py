@@ -841,3 +841,42 @@ def test_flac_ogg_header_metadata(spark):
     fmts = {r.url: r.f for r in df.select(
         "url", mm.sniff_format_col("html").alias("f")).collect()}
     assert fmts["f"] == "flac" and fmts["v"] == "ogg"
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from tuatara_spark.ops import textstats
+    docs = spark.createDataFrame(
+        [(1, "aa bb\naa bb\ncc\n\naa bb\naa bb\ncc"),
+         (2, "x y z"),
+         (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textstats.gopher_repetition(docs).collect()}
+    r1 = rows[1]
+    # lines: "aa bb"x4 + "cc"x2 -> 6 total, 4 beyond-first
+    assert (r1.n_lines, r1.n_dup_lines) == (6, 4)
+    assert (r1.line_chars, r1.dup_line_chars) == (4 * 5 + 2 * 2,
+                                                  3 * 5 + 1 * 2)
+    # paragraphs: the 14-char block twice
+    assert (r1.n_paras, r1.n_dup_paras) == (2, 1)
+    assert (r1.para_chars, r1.dup_para_chars) == (28, 14)
+    # top 2-gram "aa bb" x4 over 20 token chars -> frac 0.8 fails 0.20
+    assert (r1.top2_gram, r1.top2_count, r1.top2_chars) == ("aa bb", 4, 16)
+    assert r1.token_chars == 20
+    assert not r1.ok_top2 and not r1.repetition_pass
+    # 3-gram tie at count 2 resolves to the LEXICOGRAPHICALLY GREATEST
+    # gram ("bb aa bb"): chars = 2 x 6
+    assert r1.top3_chars == 12
+    # 4-gram tie ("aa bb aa bb" vs "bb aa bb cc") -> greater wins: 2 x 8
+    assert r1.top4_chars == 16
+    r2 = rows[2]
+    assert (r2.n_lines, r2.n_dup_lines, r2.n_paras) == (1, 0, 1)
+    assert (r2.top2_gram, r2.top2_chars, r2.token_chars) == ("y z", 2, 3)
+    # ("x y" and "y z" tie at count 1; the greater gram wins). A 3-token
+    # doc trivially FAILS the top-gram fraction gates (2/3 > 0.20) — by
+    # design: Gopher pairs these with the word-count gate for shorts.
+    assert not r2.ok_top2 and not r2.repetition_pass
+    assert r2.ok_dup_lines and r2.ok_dup_paras
+    r3 = rows[3]   # empty text: all-zero counters, null gram, passes
+    assert (r3.n_lines, r3.token_chars, r3.top2_gram) == (0, 0, None)
+    assert r3.repetition_pass

@@ -143,6 +143,7 @@ def test_new_text_html_ops_stay_jvm_side(spark):
     plans = {
         "top_terms": _explain(textstats.top_terms(docs)),
         "gopher": _explain(textstats.gopher_quality(docs)),
+        "gopher_rep": _explain(textstats.gopher_repetition(docs)),
         "canon": _explain(textstats.canonical_url(docs)),
         "strip": _explain(htmlx.strip_boilerplate(docs)),
         "metadata": _explain(htmlx.page_metadata(docs)),

@@ -242,3 +242,128 @@ def top_terms(df: DataFrame, text_col: str = "text",
             .filter(F.col("_rn") <= k)
             .select(id_col, F.col("_rn").alias("rank"), "token",
                     "tf", "df", "score"))
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021, table A1's
+    repetition rules — the companion to :func:`gopher_quality`'s static
+    rules): duplicate-line and duplicate-paragraph fractions by count
+    AND by character mass, plus the top-{2,3,4}-word-gram character
+    fractions. Thresholds (0.30 / 0.30 / 0.20 / 0.20 / 0.20 / 0.18 /
+    0.16) are applied as CROSS-MULTIPLIED integer comparisons, so the
+    gate never touches a float and is bit-exact across engines.
+
+    Definitions (stated because the paper leaves them loose): lines
+    split on ``\\n``, paragraphs on ``\\n\\n``, both trimmed with
+    empties dropped; duplicates are occurrences beyond a value's first
+    (``count − 1`` per distinct value); tokens are lowercase
+    ``\\s+``-splits; a top gram's character mass is its occurrence
+    count × its non-space length, against the total token-character
+    mass. The duplicate-n-gram POSITION-UNION fractions (A1's 5..10-gram
+    rules) need per-token interval unions and are intentionally not
+    implemented.
+
+    Scale shape: one keyed repartition by ``id_col``, then every
+    explode→groupBy((id, value))→groupBy(id) chain and the n-gram lead
+    window reuse that partitioning — the exploded tables never
+    reshuffle; the final assembly joins are all on the id. No Python,
+    no floats, no cross-document state.
+    """
+    wide = df.sparkSession.sparkContext.defaultParallelism * 2
+    ids = (df.repartition(wide, F.col(id_col))
+           .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+
+    def dup_stats(sep: str, prefix: str) -> DataFrame:
+        vals = (ids.select("_id", F.explode(F.split("_t", sep)).alias("_v"))
+                .select("_id", F.trim("_v").alias("_v"))
+                .where(F.col("_v") != ""))
+        return (vals.groupBy("_id", "_v").agg(F.count("*").alias("_c"))
+                .groupBy("_id").agg(
+                    F.sum("_c").alias(f"n_{prefix}s"),
+                    F.sum(F.col("_c") - 1).alias(f"n_dup_{prefix}s"),
+                    F.sum(F.col("_c") * F.length("_v"))
+                    .alias(f"{prefix}_chars"),
+                    F.sum((F.col("_c") - 1) * F.length("_v"))
+                    .alias(f"dup_{prefix}_chars")))
+
+    lstats = dup_stats(r"\n", "line")
+    pstats = dup_stats(r"\n\n", "para")
+
+    tok = ids.select("_id", F.posexplode(F.expr(
+        r"filter(split(lower(trim(_t)), '\\s+'), x -> x != '')"))
+        .alias("_p", "_w"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_id").orderBy("_p")
+    grams = tok.select(
+        "_id", "_w",
+        F.lead("_w", 1).over(w).alias("_w1"),
+        F.lead("_w", 2).over(w).alias("_w2"),
+        F.lead("_w", 3).over(w).alias("_w3"))
+    tstats = tok.groupBy("_id").agg(
+        F.sum(F.length("_w")).alias("token_chars"))
+
+    def top_gram(cols: list[str], name: str) -> DataFrame:
+        g = F.concat_ws(" ", *[F.col(c) for c in cols])
+        cand = (grams.where(F.col(cols[-1]).isNotNull())
+                .select("_id", g.alias("_g")))
+        cnt = cand.groupBy("_id", "_g").agg(F.count("*").alias("_c"))
+        # argmax by (count, gram): deterministic — count desc, then the
+        # lexicographically GREATEST gram on ties (struct max order)
+        return (cnt.groupBy("_id")
+                .agg(F.max(F.struct("_c", "_g")).alias("_m"))
+                .select("_id",
+                        F.col("_m._g").alias(f"{name}_gram"),
+                        F.col("_m._c").alias(f"{name}_count"),
+                        (F.col("_m._c")
+                         * F.length(F.replace(F.col("_m._g"), F.lit(" "),
+                                              F.lit(""))))
+                        .alias(f"{name}_chars")))
+
+    t2 = top_gram(["_w", "_w1"], "top2")
+    t3 = top_gram(["_w", "_w1", "_w2"], "top3")
+    t4 = top_gram(["_w", "_w1", "_w2", "_w3"], "top4")
+
+    out = (ids.select("_id")
+           .join(lstats, "_id", "left").join(pstats, "_id", "left")
+           .join(tstats, "_id", "left")
+           .join(t2, "_id", "left").join(t3, "_id", "left")
+           .join(t4, "_id", "left"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    out = out.select(
+        F.col("_id").alias(id_col),
+        z("n_lines").alias("n_lines"),
+        z("n_dup_lines").alias("n_dup_lines"),
+        z("line_chars").alias("line_chars"),
+        z("dup_line_chars").alias("dup_line_chars"),
+        z("n_paras").alias("n_paras"),
+        z("n_dup_paras").alias("n_dup_paras"),
+        z("para_chars").alias("para_chars"),
+        z("dup_para_chars").alias("dup_para_chars"),
+        z("token_chars").alias("token_chars"),
+        F.col("top2_gram"), z("top2_count").alias("top2_count"),
+        z("top2_chars").alias("top2_chars"),
+        z("top3_chars").alias("top3_chars"),
+        z("top4_chars").alias("top4_chars"))
+    return (out
+            .withColumn("ok_dup_lines",
+                        F.col("n_dup_lines") * 10 <= F.col("n_lines") * 3)
+            .withColumn("ok_dup_paras",
+                        F.col("n_dup_paras") * 10 <= F.col("n_paras") * 3)
+            .withColumn("ok_dup_line_chars",
+                        F.col("dup_line_chars") * 5 <= F.col("line_chars"))
+            .withColumn("ok_dup_para_chars",
+                        F.col("dup_para_chars") * 5 <= F.col("para_chars"))
+            .withColumn("ok_top2",
+                        F.col("top2_chars") * 5 <= F.col("token_chars"))
+            .withColumn("ok_top3",
+                        F.col("top3_chars") * 50
+                        <= F.col("token_chars") * 9)
+            .withColumn("ok_top4",
+                        F.col("top4_chars") * 25
+                        <= F.col("token_chars") * 4)
+            .withColumn("repetition_pass",
+                        F.col("ok_dup_lines") & F.col("ok_dup_paras")
+                        & F.col("ok_dup_line_chars")
+                        & F.col("ok_dup_para_chars") & F.col("ok_top2")
+                        & F.col("ok_top3") & F.col("ok_top4")))

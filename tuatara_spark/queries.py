@@ -1026,6 +1026,134 @@ FROM f ORDER BY doc_id
 """
 
 
+_RL1 = "substring(text, 1, 40)"
+_RL2 = "substring(text, 41, 40)"
+_RL3 = "substring(text, 81, 40)"
+_RP1 = (f"concat({_RL1}, '\\n', {_RL2}, '\\n', "
+        f"CASE WHEN doc_id % 2 = 0 THEN {_RL1} ELSE {_RL3} END)")
+_REP_SYNTH_SPARK = (f"concat({_RP1}, '\\n\\n', "
+                    f"CASE WHEN doc_id % 3 = 0 THEN {_RP1} "
+                    f"ELSE concat('tail ', {_RL3}) END)")
+
+
+def q_gopher_repetition_docs(spark, sf_dir):
+    """Gopher repetition-removal signals (ops/textstats.py
+    gopher_repetition): dup-line/dup-paragraph fractions by count and
+    character mass plus top-{2,3,4}-gram character fractions, with
+    cross-multiplied integer threshold gates. The input is synthesized
+    repetition-rich text (three 40-char slices assembled into lines and
+    paragraphs, with every 2nd doc repeating a line and every 3rd
+    repeating a paragraph) so all signal paths actually fire; the
+    oracle re-implements the whole computation — line/para explode,
+    positional n-grams, deterministic (count, gram) argmax — in ANSI
+    SQL over the identical synthesis."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_REP_SYNTH_SPARK).alias("text"))
+    return (textstats.gopher_repetition(docs).orderBy("doc_id"))
+
+
+_GOPHER_REP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2,
+         substr(text, 81, 40) AS l3
+  FROM documents),
+sy AS (
+  SELECT doc_id,
+         l1 || chr(10) || l2 || chr(10) ||
+           CASE WHEN doc_id % 2 = 0 THEN l1 ELSE l3 END AS p1,
+         l3 FROM base),
+t AS (
+  SELECT doc_id,
+         p1 || chr(10) || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN p1 ELSE 'tail ' || l3 END AS txt
+  FROM sy),
+lines AS (
+  SELECT doc_id, trim(x) AS v
+  FROM t, unnest(string_split(txt, chr(10))) AS u(x)
+  WHERE trim(x) != ''),
+lc AS (SELECT doc_id, v, length(v) AS len, count(*) AS c
+       FROM lines GROUP BY 1, 2, 3),
+ls AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup_lines,
+              sum(c * len) AS line_chars,
+              sum((c - 1) * len) AS dup_line_chars
+       FROM lc GROUP BY 1),
+paras AS (
+  SELECT doc_id, trim(x) AS v
+  FROM t, unnest(string_split(txt, chr(10) || chr(10))) AS u(x)
+  WHERE trim(x) != ''),
+pc AS (SELECT doc_id, v, length(v) AS len, count(*) AS c
+       FROM paras GROUP BY 1, 2, 3),
+ps AS (SELECT doc_id, sum(c) AS n_paras, sum(c - 1) AS n_dup_paras,
+              sum(c * len) AS para_chars,
+              sum((c - 1) * len) AS dup_para_chars
+       FROM pc GROUP BY 1),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(lower(trim(txt)), '\s+', ' ', 'g'), ' '),
+           x -> x != '') AS l
+  FROM t),
+ts AS (SELECT doc_id, sum(length(x)) AS token_chars
+       FROM toks, unnest(l) AS u(x) GROUP BY 1),
+g2 AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+       FROM toks, unnest(range(1, len(l))) AS u(i)),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, g AS top2_gram, c AS top2_count,
+              c * length(replace(g, ' ', '')) AS top2_chars
+       FROM c2 QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, g DESC) = 1),
+g3 AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+       FROM toks, unnest(range(1, len(l) - 1)) AS u(i)),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, c * length(replace(g, ' ', '')) AS top3_chars
+       FROM c3 QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, g DESC) = 1),
+g4 AS (SELECT doc_id,
+              l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS g
+       FROM toks, unnest(range(1, len(l) - 2)) AS u(i)),
+c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2),
+t4 AS (SELECT doc_id, c * length(replace(g, ' ', '')) AS top4_chars
+       FROM c4 QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, g DESC) = 1),
+j AS (
+  SELECT d.doc_id,
+         CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+         CAST(coalesce(ls.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+         CAST(coalesce(ls.line_chars, 0) AS BIGINT) AS line_chars,
+         CAST(coalesce(ls.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+         CAST(coalesce(ps.n_paras, 0) AS BIGINT) AS n_paras,
+         CAST(coalesce(ps.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+         CAST(coalesce(ps.para_chars, 0) AS BIGINT) AS para_chars,
+         CAST(coalesce(ps.dup_para_chars, 0) AS BIGINT) AS dup_para_chars,
+         CAST(coalesce(ts.token_chars, 0) AS BIGINT) AS token_chars,
+         t2.top2_gram,
+         CAST(coalesce(t2.top2_count, 0) AS BIGINT) AS top2_count,
+         CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+         CAST(coalesce(t3.top3_chars, 0) AS BIGINT) AS top3_chars,
+         CAST(coalesce(t4.top4_chars, 0) AS BIGINT) AS top4_chars
+  FROM documents d
+  LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
+  LEFT JOIN ts USING (doc_id) LEFT JOIN t2 USING (doc_id)
+  LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id))
+SELECT *,
+       n_dup_lines * 10 <= n_lines * 3 AS ok_dup_lines,
+       n_dup_paras * 10 <= n_paras * 3 AS ok_dup_paras,
+       dup_line_chars * 5 <= line_chars AS ok_dup_line_chars,
+       dup_para_chars * 5 <= para_chars AS ok_dup_para_chars,
+       top2_chars * 5 <= token_chars AS ok_top2,
+       top3_chars * 50 <= token_chars * 9 AS ok_top3,
+       top4_chars * 25 <= token_chars * 4 AS ok_top4,
+       (n_dup_lines * 10 <= n_lines * 3)
+         AND (n_dup_paras * 10 <= n_paras * 3)
+         AND (dup_line_chars * 5 <= line_chars)
+         AND (dup_para_chars * 5 <= para_chars)
+         AND (top2_chars * 5 <= token_chars)
+         AND (top3_chars * 50 <= token_chars * 9)
+         AND (top4_chars * 25 <= token_chars * 4) AS repetition_pass
+FROM j ORDER BY doc_id
+"""
+
+
 def q_top_terms_docs(spark, sf_dir):
     """Per-document top-3 characteristic terms, ranked by an INTEGER-exact
     tf-idf-style score ``tf * 10^6 div df`` (no float logarithm — ulp
@@ -2951,6 +3079,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint_documents": (q_fingerprint_documents, _FINGERPRINT_SQL),
     "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
+    "gopher_repetition_docs": (q_gopher_repetition_docs, _GOPHER_REP_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
