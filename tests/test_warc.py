@@ -188,3 +188,40 @@ def test_wet_sink_cleans_stale_parts(spark, tmp_path):
     assert len(first) > 1 and len(second) == 1
     back = W.read_warc(spark, out, record_types=("conversion",))
     assert back.count() == 8  # all 8 rows, from ONE file
+
+
+def test_surt_key_canonicalization(spark):
+    from tuatara_spark.sources import cdx
+    cases = [
+        ("https://www.Sub.Example.com/p/1?b=2&a=1",
+         "com,example,sub)/p/1?a=1&b=2"),
+        ("http://EXAMPLE.com:80", "com,example)/"),          # default port
+        ("https://example.com:443/x", "com,example)/x"),
+        ("https://h.example.com:8080/x", "com,example,h:8080)/x"),
+        ("https://www2.foo.com/a#frag", "com,foo)/a"),       # fragment off
+        ("http://a.b/", "b,a)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.k for r in
+           df.select(cdx.surt_key().alias("k")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_cdx_index_sorted_and_line_format(spark):
+    from tuatara_spark.sources import cdx
+    rows = [("https://b.example.com/x", "2024-01-02T03:04:05Z", b"abc"),
+            ("https://a.example.com/y", "2024-01-02T03:04:06Z", b"xy"),
+            ("https://a.example.com/y", "2023-12-31T23:59:59Z", b"xy")]
+    df = spark.createDataFrame(rows,
+                               "url string, warc_ts string, html binary")
+    out = cdx.cdx_index(df).collect()
+    keys = [(r.surt, r.ts14) for r in out]
+    assert keys == sorted(keys)          # globally (surt, ts14)-sorted
+    assert keys[0][0] == "com,example,a)/y"
+    assert keys[0][1] == "20231231235959"
+    r0 = out[0]
+    assert r0.length == 2
+    assert r0.cdxj_line == (
+        f'{r0.surt} {r0.ts14} {{"url": "{r0.url}", "mime": "text/html", '
+        f'"digest": "{r0.digest}", "length": "2"}}')
+    assert len(r0.digest) == 64          # sha256 hex

@@ -2734,6 +2734,83 @@ FROM u ORDER BY host, path
 """
 
 
+_CDX_URL_SPARK = (
+    "concat('https://WWW', cast(doc_id % 2 as string), '.H', "
+    "cast(doc_id % 7 as string), '.Example.com', "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END, "
+    "'/P/', cast(doc_id as string), "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?b=2&a=', "
+    "cast(doc_id as string)) ELSE '' END)")
+_CDX_TS_SPARK = (
+    "concat('2024-03-', lpad(cast(1 + doc_id % 28 as string), 2, '0'), "
+    "'T12:34:', lpad(cast(doc_id % 60 as string), 2, '0'), 'Z')")
+
+
+def q_cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ capture-index generation (sources/cdx.py): synthesized
+    mixed-case URLs with optional default ports and unsorted query
+    params exercise every SURT canonicalization rule (lowercase, www
+    strip, :443 drop, host-label reversal, query sorting), and the
+    global (surt, ts14) orderBy is the distributed range-sort that
+    builds the real sharded index. The oracle re-implements SURT, the
+    14-digit timestamp squeeze, the SHA-256 digest, and the pinned CDXJ
+    line concatenation in ANSI SQL."""
+    from tuatara_spark.sources import cdx
+    docs = _docs(spark, sf_dir).select(
+        F.expr(_CDX_URL_SPARK).alias("url"),
+        F.expr(_CDX_TS_SPARK).alias("warc_ts"),
+        F.expr("cast(text as binary)").alias("html"))
+    return cdx.cdx_index(docs)
+
+
+_CDX_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         'https://WWW' || CAST(doc_id % 2 AS VARCHAR) || '.H'
+           || CAST(doc_id % 7 AS VARCHAR) || '.Example.com'
+           || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+           || '/P/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '?b=2&a=' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END AS url,
+         '2024-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || 'T12:34:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || 'Z' AS warc_ts,
+         text
+  FROM documents),
+parts AS (
+  SELECT *,
+         regexp_replace(regexp_replace(
+             regexp_extract(lower(url), '^https?://([^/?#]+)', 1),
+             ':(80|443)$', ''), '^www\d*\.', '') AS host,
+         regexp_extract(lower(url), '^https?://[^/?#]+([^?#]*)', 1)
+           AS rawpath,
+         regexp_extract(lower(url), '\?([^#]*)', 1) AS q
+  FROM src),
+keyed AS (
+  SELECT *,
+         list_aggr(list_reverse(string_split(host, '.')),
+                   'string_agg', ',')
+           || ')'
+           || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+           || CASE WHEN q = '' THEN ''
+                   ELSE '?' || list_aggr(list_sort(string_split(q, '&')),
+                                         'string_agg', '&') END AS surt,
+         substr(regexp_replace(warc_ts, '[^0-9]', '', 'g'), 1, 14)
+           AS ts14,
+         sha256(text) AS digest,
+         octet_length(encode(text)) AS length
+  FROM parts)
+SELECT surt, ts14, url, 'text/html' AS mime, digest,
+       CAST(length AS BIGINT) AS length,
+       surt || ' ' || ts14 || ' {"url": "' || url || '", "mime": "'
+         || 'text/html' || '", "digest": "' || digest
+         || '", "length": "' || CAST(length AS VARCHAR) || '"}'
+         AS cdxj_line
+FROM keyed ORDER BY surt, ts14
+"""
+
+
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (ops/training.py): language
     rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
@@ -3080,6 +3157,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_clean_ids": (q_corpus_clean_ids, _CORPUS_CLEAN_SQL),
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     "gopher_repetition_docs": (q_gopher_repetition_docs, _GOPHER_REP_SQL),
+    "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
