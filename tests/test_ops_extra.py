@@ -880,3 +880,30 @@ def test_gopher_repetition_hand_computed(spark):
     r3 = rows[3]   # empty text: all-zero counters, null gram, passes
     assert (r3.n_lines, r3.token_chars, r3.top2_gram) == (0, 0, None)
     assert r3.repetition_pass
+
+
+def test_pagerank_hand_computed(spark):
+    from tuatara_spark.ops import dedup, linkgraph
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "src string, dst string")
+    got = {r.node: r.rank for r in
+           linkgraph.pagerank(edges, iters=3).collect()}
+    dedup.release_caches()
+    # hand-run of the integer recurrence (scale 1e9, base 0.15e9,
+    # dangling c contributes to no one):
+    #   i1: a=1e9, b=c=575000000
+    #   i2: a=638750000, b=c=575000000
+    #   i3: a=638750000, b=c=150000000+(85*319375000)//100=421468750
+    assert got == {"a": 638750000, "b": 421468750, "c": 421468750}
+
+
+def test_host_edges_reduction(spark):
+    from tuatara_spark.ops import linkgraph
+    links = spark.createDataFrame(
+        [("https://www.A.com/x", "https://b.com/y"),
+         ("https://a.com/z", "https://B.com/w"),      # same host edge
+         ("https://a.com/z", "https://a.com/self"),   # self loop
+         ("nota url", "https://b.com/")],             # unparseable src
+        "url string, href string")
+    got = {(r.src, r.dst) for r in linkgraph.host_edges(links).collect()}
+    assert got == {("a.com", "b.com")}

@@ -2811,6 +2811,51 @@ FROM keyed ORDER BY surt, ts14
 """
 
 
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over a synthesized 50-host link graph
+    (ops/linkgraph.py): three fixed-point iterations on a 10^9 scale
+    with floor division — bit-identical across engines, no float drift.
+    The oracle UNROLLS the three iterations as chained CTEs, so the
+    Spark loop's join-aggregate recurrence (including the dangling-mass
+    and damping semantics) is pinned value-for-value."""
+    from tuatara_spark.ops import linkgraph
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50)
+                 .cast("string")).alias("dst"))
+        .where(F.col("src") != F.col("dst")))
+    return linkgraph.pagerank(edges, iters=3).orderBy("node")
+
+
+def _pagerank_iter_sql(prev: str, name: str) -> str:
+    return f"""
+{name} AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT)
+                AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(r.r // o.deg) AS m
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             JOIN outdeg o ON e.src = o.node GROUP BY 1) s USING (node))"""
+
+
+_PAGERANK_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+                  'h' || CAST((doc_id * 7 + 3) % 50 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 50 != (doc_id * 7 + 3) % 50),
+outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+{_pagerank_iter_sql('r0', 'i1')},
+{_pagerank_iter_sql('i1', 'i2')},
+{_pagerank_iter_sql('i2', 'i3')}
+SELECT node, r AS rank FROM i3 ORDER BY node
+"""
+
+
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (ops/training.py): language
     rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
@@ -3158,6 +3203,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     "gopher_repetition_docs": (q_gopher_repetition_docs, _GOPHER_REP_SQL),
     "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
+    "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
