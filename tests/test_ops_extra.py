@@ -907,3 +907,23 @@ def test_host_edges_reduction(spark):
         "url string, href string")
     got = {(r.src, r.dst) for r in linkgraph.host_edges(links).collect()}
     assert got == {("a.com", "b.com")}
+
+
+def test_frontier_schedule_politeness(spark):
+    from tuatara_spark.ops import frontier
+    urls = spark.createDataFrame(
+        [("a.com", "/z", 1), ("a.com", "/a", 1), ("a.com", "/m", 9),
+         ("b.com", "/x", 0)],
+        "host string, url string, pri int")
+    out = frontier.schedule(urls, priority_col="pri", delay_ms=250,
+                            n_slots=8).collect()
+    a = sorted([r for r in out if r.host == "a.com"],
+               key=lambda r: r.fetch_rank)
+    # priority desc first, then url asc; offsets spaced by delay_ms
+    assert [(r.url, r.fetch_rank, r.fetch_offset_ms) for r in a] == [
+        ("/m", 1, 0), ("/a", 2, 250), ("/z", 3, 500)]
+    # one slot per host: all of a.com's rows share it, in [0, n_slots)
+    slots = {r.slot for r in a}
+    assert len(slots) == 1 and 0 <= slots.pop() < 8
+    b = [r for r in out if r.host == "b.com"]
+    assert b[0].fetch_rank == 1 and b[0].fetch_offset_ms == 0

@@ -2856,6 +2856,40 @@ SELECT node, r AS rank FROM i3 ORDER BY node
 """
 
 
+def q_frontier_schedule_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness schedule (ops/frontier.py): per-host
+    (priority DESC, url) fetch ranks, delay_ms-spaced offsets, and the
+    md5-hashed host→slot assignment that gives each host one
+    serializing owner. The oracle recomputes rank, offset and the hash
+    slot verbatim."""
+    from tuatara_spark.ops import frontier
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("/u/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        (F.col("doc_id") % 5).alias("pri"))
+    return (frontier.schedule(urls, priority_col="pri", delay_ms=500,
+                              n_slots=4)
+            .orderBy("host", "fetch_rank"))
+
+
+_FRONTIER_SQL = """
+WITH u AS (SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+                  '/u/' || CAST(doc_id AS VARCHAR) AS url,
+                  doc_id % 5 AS pri FROM documents),
+r AS (SELECT host, url,
+             CAST(row_number() OVER (PARTITION BY host
+                    ORDER BY pri DESC, url ASC) AS INTEGER) AS fetch_rank
+      FROM u)
+SELECT host, url, fetch_rank,
+       CAST((fetch_rank - 1) * 500 AS BIGINT) AS fetch_offset_ms,
+       CAST(CAST(('0x' || substr(md5(host || 's1'), 1, 8)) AS BIGINT) % 4
+            AS INTEGER) AS slot
+FROM r ORDER BY host, fetch_rank
+"""
+
+
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (ops/training.py): language
     rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
@@ -3204,6 +3238,7 @@ REGISTRY: dict[str, tuple] = {
     "gopher_repetition_docs": (q_gopher_repetition_docs, _GOPHER_REP_SQL),
     "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
     "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
+    "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
