@@ -211,14 +211,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # because its whole source chain is heavier)
     left = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_hash")
+    # ONE pair-keyed shuffle does both dedup and verify-stage widening:
+    # hashpartitioning(id_a, id_b) satisfies dropDuplicates' clustering
+    # requirement, so no second exchange — and the explicit width keeps
+    # the small-bytes/heavy-cpu verify stage wide where AQE would
+    # coalesce it to one task
     cand = (left.join(right, ["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
-            # exact-Jaccard verification is the expensive stage (array ops
-            # per pair); explicit repartition keeps it wide — AQE would
-            # coalesce this small-bytes/heavy-cpu shuffle to one task
-            .repartition(_wide(df, verify_partitions)))
+            .repartition(_wide(df, verify_partitions), "id_a", "id_b")
+            .dropDuplicates())
     sh = sig.select("_id", "shingles", F.size("shingles").alias("_ns"))
     cand = (cand
             .join(sh.select(F.col("_id").alias("id_a"),
