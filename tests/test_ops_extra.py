@@ -927,3 +927,20 @@ def test_frontier_schedule_politeness(spark):
     assert len(slots) == 1 and 0 <= slots.pop() < 8
     b = [r for r in out if r.host == "b.com"]
     assert b[0].fetch_rank == 1 and b[0].fetch_offset_ms == 0
+
+
+def test_anchor_stats_topk_and_ties(spark):
+    from tuatara_spark.ops import linkgraph
+    links = spark.createDataFrame(
+        [("s1", "/t", "home"), ("s2", "/t", "home"), ("s2", "/t", "blog"),
+         ("s3", "/t", "blog"), ("s3", "/t", "about"), ("s1", "/t", ""),
+         ("s1", "/u", "")],
+        "url string, href string, anchor string")
+    out = linkgraph.anchor_stats(links, k=2).collect()
+    t = sorted([r for r in out if r.dst == "/t"], key=lambda r: r.anchor_rank)
+    assert t[0].in_degree == 6 and t[0].n_sources == 3
+    # home(2) and blog(2) tie on count -> anchor ASC: blog first
+    assert [(r.anchor_rank, r.anchor, r.anchor_n) for r in t] == [
+        (1, "blog", 2), (2, "home", 2)]      # k=2 drops about(1)
+    u = [r for r in out if r.dst == "/u"]    # only empty anchors
+    assert [(u[0].in_degree, u[0].anchor_rank, u[0].anchor)] == [(1, 0, "")]

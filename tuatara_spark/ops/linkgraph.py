@@ -74,3 +74,43 @@ def pagerank(edges: DataFrame, iters: int = 3,
                      + F.expr("(85 * coalesce(_m, 0L)) div 100"))
                     .cast("long").alias("rank")))
     return ranks
+
+
+def anchor_stats(links: DataFrame, dst_col: str = "href",
+                 src_col: str = "url", anchor_col: str = "anchor",
+                 k: int = 3, min_count: int = 1) -> DataFrame:
+    """Per link TARGET: in-degree, distinct source count, and the top-k
+    anchor texts by count — the classic external document signal (anchor
+    text describes the target better than the target describes itself;
+    used for retrieval and as a pretraining quality prior).
+
+    Scale shape: in-degree and the (dst, anchor) counts are map-side-
+    combinable aggregations, so a mega-target (everyone links to the big
+    sites) receives one partial row per upstream partition — in-link
+    skew never concentrates raw rows. The top-k window then runs over
+    COLLAPSED (dst, anchor, count) rows: its partition size is the
+    target's distinct-anchor count, not its in-degree. ``min_count``
+    prunes singleton anchors before the window for further headroom.
+    Determinism: ties rank by (count DESC, anchor ASC).
+    """
+    from pyspark.sql import Window
+    e = links.select(F.col(dst_col).alias("dst"),
+                     F.col(src_col).alias("src"),
+                     F.trim(F.col(anchor_col)).alias("anchor"))
+    deg = e.groupBy("dst").agg(
+        F.count("*").alias("in_degree"),
+        F.count_distinct("src").alias("n_sources"))
+    ac = (e.where(F.col("anchor") != "")
+          .groupBy("dst", "anchor").agg(F.count("*").alias("anchor_n"))
+          .where(F.col("anchor_n") >= min_count))
+    w = Window.partitionBy("dst").orderBy(F.col("anchor_n").desc(),
+                                          F.col("anchor").asc())
+    top = (ac.withColumn("anchor_rank", F.row_number().over(w))
+           .where(F.col("anchor_rank") <= k))
+    return (deg.join(top, "dst", "left")
+            .select("dst", "in_degree", "n_sources",
+                    F.coalesce("anchor_rank", F.lit(0)).cast("int")
+                    .alias("anchor_rank"),
+                    F.coalesce("anchor", F.lit("")).alias("anchor"),
+                    F.coalesce("anchor_n", F.lit(0)).cast("long")
+                    .alias("anchor_n")))

@@ -2856,6 +2856,54 @@ SELECT node, r AS rank FROM i3 ORDER BY node
 """
 
 
+def q_anchor_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target (ops/linkgraph.py
+    anchor_stats): in-degree, distinct sources, and top-3 anchors by
+    count with deterministic (count DESC, anchor ASC) tie-break, over a
+    synthesized link table with shared targets, repeated anchors and
+    empty anchors. The oracle recomputes the aggregations and the
+    ranked window verbatim."""
+    from tuatara_spark.ops import linkgraph
+    links = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 40)
+                 .cast("string"), F.lit(".com/p")).alias("url"),
+        F.concat(F.lit("/t/"), ((F.col("doc_id") * 3 + 1) % 20)
+                 .cast("string")).alias("href"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("click here"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("home"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("home"))
+        .otherwise(F.lit("")).alias("anchor"))
+    return (linkgraph.anchor_stats(links, k=3)
+            .orderBy("dst", "anchor_rank", "anchor"))
+
+
+_ANCHOR_SQL = """
+WITH links AS (
+  SELECT 'https://s' || CAST(doc_id % 40 AS VARCHAR) || '.com/p' AS src,
+         '/t/' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR) AS dst,
+         CASE doc_id % 4 WHEN 0 THEN 'click here'
+                         WHEN 1 THEN 'home'
+                         WHEN 2 THEN 'home' ELSE '' END AS anchor
+  FROM documents),
+deg AS (SELECT dst, count(*) AS in_degree,
+               count(DISTINCT src) AS n_sources
+        FROM links GROUP BY 1),
+ac AS (SELECT dst, anchor, count(*) AS anchor_n
+       FROM links WHERE anchor != '' GROUP BY 1, 2),
+top AS (SELECT dst, anchor, anchor_n,
+               CAST(row_number() OVER (PARTITION BY dst
+                 ORDER BY anchor_n DESC, anchor ASC) AS INTEGER)
+                 AS anchor_rank
+        FROM ac QUALIFY anchor_rank <= 3)
+SELECT deg.dst, deg.in_degree, deg.n_sources,
+       CAST(coalesce(top.anchor_rank, 0) AS INTEGER) AS anchor_rank,
+       coalesce(top.anchor, '') AS anchor,
+       CAST(coalesce(top.anchor_n, 0) AS BIGINT) AS anchor_n
+FROM deg LEFT JOIN top USING (dst)
+ORDER BY dst, anchor_rank, anchor
+"""
+
+
 def q_frontier_schedule_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness schedule (ops/frontier.py): per-host
     (priority DESC, url) fetch ranks, delay_ms-spaced offsets, and the
@@ -3239,6 +3287,7 @@ REGISTRY: dict[str, tuple] = {
     "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
     "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
     "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
+    "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
