@@ -944,3 +944,23 @@ def test_anchor_stats_topk_and_ties(spark):
         (1, "blog", 2), (2, "home", 2)]      # k=2 drops about(1)
     u = [r for r in out if r.dst == "/u"]    # only empty anchors
     assert [(u[0].in_degree, u[0].anchor_rank, u[0].anchor)] == [(1, 0, "")]
+
+
+def test_bm25_rank_hand_computed(spark):
+    from tuatara_spark.ops import search
+    # 2 docs: doc 1 has the term twice in 4 tokens, doc 2 once in 2
+    docs = spark.createDataFrame(
+        [(1, "apple pie apple tart"), (2, "apple cake"), (3, "no hit")],
+        "doc_id long, text string")
+    out = search.bm25_rank(docs, ["apple"], limit=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]   # tf=2 beats the length penalty
+    # hand-run: N=3, total=8, avgdl_e3=2666; df(apple)=2
+    # idf_e6 = ((2*1+1)*1e6)//5 = 600000
+    # doc1: tf=2, dl=4 -> (600000*22*2*2666)//(10*2*2666+3*2666+9*4000)
+    got = {r.doc_id: (r.n_terms_hit, r.score_e6) for r in out}
+    idf = ((2 * (3 - 2) + 1) * 10**6) // (2 * 2 + 1)
+    a = 2666
+    d1 = (idf * 22 * 2 * a) // (10 * 2 * a + 3 * a + 9 * 4 * 1000)
+    d2 = (idf * 22 * 1 * a) // (10 * 1 * a + 3 * a + 9 * 2 * 1000)
+    assert got == {1: (1, d1), 2: (1, d2)}
+    assert 3 not in got                        # zero-hit docs excluded

@@ -1,0 +1,77 @@
+"""Corpus search scoring: an integer-exact BM25-family ranker.
+
+Reference parity: jackvial/tuatara has no retrieval layer; this is the
+standard bag-of-words relevance score (Robertson/Spärck Jones BM25,
+public SIGIR/TREC literature) used to mine topical subsets of a crawl
+corpus for curriculum/finetuning data.
+
+Why integer arithmetic: float BM25 differs across engines in summation
+order and ln() ulps, which would break the value-hash oracle. Two exact
+substitutions make every intermediate a BIGINT (documented semantics,
+not silent approximation):
+
+* k1 = 12/10 and b = 3/4 enter as rationals; multiplying the Robertson
+  term through by 10·avgdl_e3 clears all denominators::
+
+      term = idf_e6 · 22 · tf · A  //  (10·tf·A + 3·A + 9·dl·1000)
+
+  where A = avgdl_e3 = (total_tokens·1000) // n_docs and dl is the
+  document's token count.
+* idf is the LOG-FREE rational surrogate
+  ``((2(N − df) + 1)·10^6) // (2·df + 1)`` — exactly the argument of
+  Robertson's ln, un-compressed. Monotone in df (rare terms weigh
+  more), bit-exact everywhere; rankings differ from log-BM25 only in
+  how steeply rarity is rewarded.
+
+BIGINT headroom: the largest intermediate is idf_e6·22·tf·avgdl_e3;
+at extreme corpus sizes (idf_e6 grows with N/df) shrink ``IDF_SCALE``
+so the product stays under 2^63 — the scale is a knob, not a constant
+the math depends on.
+
+Scale shape: the token explode filters to the query's terms FIRST
+(a broadcast ``isin`` over a handful of literals), so only matching
+tokens ever shuffle; tf/df/dl are map-side-combinable aggregations; the
+global scalars (N, avgdl) are one tiny aggregate broadcast back via a
+1-row cross join. No windows, no Python, no floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+IDF_SCALE = 10 ** 6
+
+
+def bm25_rank(df: DataFrame, terms: list[str], text_col: str = "text",
+              id_col: str = "doc_id", limit: int = 50) -> DataFrame:
+    """(doc_id, n_terms_hit, score_e6) for documents matching ≥1 query
+    term, ordered by (score DESC, doc_id) and truncated to ``limit``
+    (compiles to TakeOrdered — no global sort)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(
+            rf"filter(split(lower(trim({text_col})), '\\s+'), "
+            "x -> x != '')")).alias("_w"))
+    dl = toks.groupBy("_id").agg(F.count("*").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(*)").alias("avgdl_e3"))
+    hit = toks.where(F.col("_w").isin([t.lower() for t in terms]))
+    tf = hit.groupBy("_id", "_w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("_w").agg(F.count("*").alias("term_df"))
+    scored = (tf.join(dfreq, "_w").join(dl, "_id")
+              .crossJoin(F.broadcast(scalars))
+              .withColumn("idf_e6", F.expr(
+                  f"((2 * (n_docs - term_df) + 1) * {IDF_SCALE}) "
+                  "div (2 * term_df + 1)"))
+              .withColumn("term_score", F.expr(
+                  "(idf_e6 * 22 * tf * avgdl_e3) div "
+                  "(10 * tf * avgdl_e3 + 3 * avgdl_e3 + 9 * dl * 1000)")))
+    return (scored.groupBy("_id")
+            .agg(F.count("*").alias("n_terms_hit"),
+                 F.sum("term_score").alias("score_e6"))
+            .select(F.col("_id").alias(id_col),
+                    F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+                    F.col("score_e6").cast("long").alias("score_e6"))
+            .orderBy(F.col("score_e6").desc(), F.col(id_col))
+            .limit(limit))

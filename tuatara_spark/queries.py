@@ -2856,6 +2856,48 @@ SELECT node, r AS rank FROM i3 ORDER BY node
 """
 
 
+def q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25-family ranking (ops/search.py): four query
+    terms scored over the documents table with rational k1/b cleared
+    through the denominator and the log-free rational idf — every
+    intermediate a BIGINT, so the oracle (the identical arithmetic in
+    ANSI SQL) matches value-for-value including the final
+    (score DESC, doc_id) top-50."""
+    from tuatara_spark.ops import search
+    return search.bm25_rank(_docs(spark, sf_dir),
+                            ["window", "query", "batch", "table"],
+                            limit=50)
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    t -> t != '')) AS w
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+sc AS (SELECT count(*) AS n_docs,
+              (sum(dl) * 1000) // count(*) AS avgdl_e3 FROM dl),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       WHERE w IN ('window', 'query', 'batch', 'table') GROUP BY 1, 2),
+dfreq AS (SELECT w, count(*) AS term_df FROM tf GROUP BY 1),
+term AS (SELECT tf.doc_id,
+                ((2 * (sc.n_docs - dfreq.term_df) + 1) * 1000000)
+                  // (2 * dfreq.term_df + 1) AS idf_e6,
+                tf.tf, dl.dl, sc.avgdl_e3
+         FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+         CROSS JOIN sc),
+s AS (SELECT doc_id, count(*) AS n_terms_hit,
+             sum((idf_e6 * 22 * tf * avgdl_e3)
+                 // (10 * tf * avgdl_e3 + 3 * avgdl_e3 + 9 * dl * 1000))
+               AS score_e6
+      FROM term GROUP BY 1)
+SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       CAST(score_e6 AS BIGINT) AS score_e6
+FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
+"""
+
+
 def q_anchor_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per link target (ops/linkgraph.py
     anchor_stats): in-degree, distinct sources, and top-3 anchors by
@@ -3288,6 +3330,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
     "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
     "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
+    "bm25_rank_docs": (q_bm25_rank_docs, _BM25_SQL),
     # rows-only (xxhash64 / rendered-payload based); semantics pinned by
     # the in-window recall/precision/determinism gates above
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
