@@ -201,3 +201,38 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_other")
+
+
+def test_round4_ops_plan_shapes(spark):
+    """The scale claims of the round-4 operators, read off the plans:
+    bm25 ends in TakeOrdered (no global sort); the BM25 scalar join is
+    a broadcast; pagerank's iteration joins never go cartesian; and
+    none of the new ops evaluate Python."""
+    from pyspark.sql import functions as F
+    from tuatara_spark.ops import frontier, linkgraph, search
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} the table query window {i}") for i in range(40)],
+        "doc_id long, text string")
+    bm25 = search.bm25_rank(docs, ["table", "query"], limit=10)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") + 3) % 7).cast("string"))
+        .alias("dst")).where(F.col("src") != F.col("dst"))
+    pr = linkgraph.pagerank(edges, iters=2)
+    urls = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("/u/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    sched = frontier.schedule(urls)
+    plans = {"bm25": _explain(bm25), "pagerank": _explain(pr),
+             "frontier": _explain(sched)}
+    from tuatara_spark.ops import dedup as _dd
+    _dd.release_caches()
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert "TakeOrdered" in plans["bm25"]
+    assert "BroadcastNestedLoopJoin" in plans["bm25"]  # the 1-row scalars
