@@ -964,3 +964,20 @@ def test_bm25_rank_hand_computed(spark):
     d2 = (idf * 22 * 1 * a) // (10 * 1 * a + 3 * a + 9 * 2 * 1000)
     assert got == {1: (1, d1), 2: (1, d2)}
     assert 3 not in got                        # zero-hit docs excluded
+
+
+def test_dup_ngram_coverage_hand_computed(spark):
+    from tuatara_spark.ops import textstats
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f a b c d e f"),   # dup 5-grams cover ALL tokens
+         (2, "x y z w v"),                 # 5 distinct tokens: no dups
+         (3, "x y")],                      # shorter than n: no grams
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textstats.dup_ngram_coverage(docs, n=5).collect()}
+    r1 = rows[1]
+    # "a b c d e" at p0/p6, "b c d e f" at p1/p7 -> union covers 0..11
+    assert (r1.n_tokens, r1.covered_tokens, r1.covered_chars) == (12, 12, 12)
+    assert not r1.ok_dup_ngram            # 100% > 15%
+    assert (rows[2].covered_tokens, rows[2].ok_dup_ngram) == (0, True)
+    assert (rows[3].n_tokens, rows[3].covered_tokens) == (2, 0)

@@ -261,8 +261,8 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     ``\\s+``-splits; a top gram's character mass is its occurrence
     count × its non-space length, against the total token-character
     mass. The duplicate-n-gram POSITION-UNION fractions (A1's 5..10-gram
-    rules) need per-token interval unions and are intentionally not
-    implemented.
+    rules) need per-token interval unions and live in the companion
+    :func:`dup_ngram_coverage`.
 
     Scale shape: one keyed repartition by ``id_col``, then every
     explode→groupBy((id, value))→groupBy(id) chain and the n-gram lead
@@ -367,3 +367,68 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
                         & F.col("ok_dup_line_chars")
                         & F.col("ok_dup_para_chars") & F.col("ok_top2")
                         & F.col("ok_top3") & F.col("ok_top4")))
+
+
+def dup_ngram_coverage(df: DataFrame, n: int = 5,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_frac_pct: int = 15) -> DataFrame:
+    """The Gopher A1 duplicate-n-gram rule that
+    :func:`gopher_repetition` documents as separate: the fraction of a
+    document's characters covered by the POSITION-UNION of all word
+    n-grams occurring ≥2 times in it (overlapping occurrences counted
+    once — this is why the top-gram fractions can't substitute).
+    Returns per-doc token totals, covered-token/char counts, and the
+    cross-multiplied integer gate ``covered_chars·100 ≤
+    max_frac_pct·token_chars``.
+
+    Exact algorithm, all Catalyst: positional n-grams via lead windows
+    → per-doc gram counts → occurrences of duplicated grams explode to
+    their covered position ranges → DISTINCT positions (the interval
+    union) → join back to token lengths. EVERY stage — the gram window,
+    both groupBys, the dup join, the position distinct, the length
+    join — clusters by the doc id, so after the single widening
+    repartition nothing reshuffles; the explode fan-out is bounded by
+    n × duplicated-gram occurrences."""
+    from pyspark.sql import Window
+    wide = df.sparkSession.sparkContext.defaultParallelism * 2
+    tok = (df.repartition(wide, F.col(id_col))
+           .select(F.col(id_col).alias("_id"), F.posexplode(F.expr(
+               rf"filter(split(lower(trim({text_col})), '\\s+'), "
+               "x -> x != '')")).alias("_p", "_w")))
+    totals = tok.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("_w")).alias("token_chars"))
+    w = Window.partitionBy("_id").orderBy("_p")
+    leads = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, n)]
+    grams = (tok.select("_id", "_p",
+                        F.concat_ws(" ", *leads).alias("_g"),
+                        F.lead("_w", n - 1).over(w).alias("_last"))
+             .where(F.col("_last").isNotNull()).drop("_last"))
+    dup = (grams.groupBy("_id", "_g").agg(F.count("*").alias("_c"))
+           .where(F.col("_c") >= 2).select("_id", "_g"))
+    covered = (grams.join(dup, ["_id", "_g"])
+               .select("_id", F.explode(F.expr(
+                   f"sequence(_p, _p + {n - 1})")).alias("_cp"))
+               .distinct())
+    # fresh column names on the length side: covered shares tok's
+    # lineage, and a same-name self-join is ambiguous to the analyzer
+    tlen = tok.select(F.col("_id").alias("_tid"),
+                      F.col("_p").alias("_tp"),
+                      F.length("_w").alias("_len"))
+    cstats = (covered.join(tlen, (covered["_id"] == tlen["_tid"])
+                           & (covered["_cp"] == tlen["_tp"]))
+              .groupBy("_id").agg(
+                  F.count("*").alias("covered_tokens"),
+                  F.sum("_len").alias("covered_chars")))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    out = (totals.join(cstats, "_id", "left")
+           .select(F.col("_id").alias(id_col),
+                   z("n_tokens").alias("n_tokens"),
+                   z("token_chars").alias("token_chars"),
+                   z("covered_tokens").alias("covered_tokens"),
+                   z("covered_chars").alias("covered_chars")))
+    return out.withColumn(
+        "ok_dup_ngram",
+        F.col("covered_chars") * 100
+        <= F.lit(max_frac_pct) * F.col("token_chars"))

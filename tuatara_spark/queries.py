@@ -1154,6 +1154,71 @@ FROM j ORDER BY doc_id
 """
 
 
+def q_dup_ngram_docs(spark, sf_dir):
+    """Gopher's duplicate-5-gram position-union character fraction
+    (ops/textstats.py dup_ngram_coverage) over the same synthesized
+    repetition-rich text as `gopher_repetition_docs` — repeated
+    paragraphs guarantee duplicated 5-grams, so the interval-union
+    path actually fires. The oracle re-implements positional grams,
+    the ≥2 dup set, the DISTINCT covered-position union and the
+    length join-back in ANSI SQL."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_REP_SYNTH_SPARK).alias("text"))
+    return (textstats.dup_ngram_coverage(docs, n=5, max_frac_pct=15)
+            .orderBy("doc_id"))
+
+
+_DUP_NGRAM_SQL = r"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2,
+         substr(text, 81, 40) AS l3
+  FROM documents),
+sy AS (
+  SELECT doc_id,
+         l1 || chr(10) || l2 || chr(10) ||
+           CASE WHEN doc_id % 2 = 0 THEN l1 ELSE l3 END AS p1,
+         l3 FROM base),
+t AS (
+  SELECT doc_id,
+         p1 || chr(10) || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN p1 ELSE 'tail ' || l3 END AS txt
+  FROM sy),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(lower(trim(txt)), '\s+', ' ', 'g'), ' '),
+           x -> x != '') AS l
+  FROM t),
+tok AS (SELECT doc_id, i - 1 AS p, l[i] AS w
+        FROM toks, unnest(range(1, len(l) + 1)) AS u(i)),
+totals AS (SELECT doc_id, count(*) AS n_tokens,
+                  sum(length(w)) AS token_chars
+           FROM tok GROUP BY 1),
+grams AS (SELECT doc_id, i - 1 AS p,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                      || l[i+3] || ' ' || l[i+4] AS g
+          FROM toks, unnest(range(1, len(l) - 3)) AS u(i)),
+dup AS (SELECT doc_id, g FROM grams GROUP BY 1, 2 HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT gr.doc_id, u.cp
+        FROM grams gr JOIN dup USING (doc_id, g),
+             unnest(range(gr.p, gr.p + 5)) AS u(cp)),
+cst AS (SELECT c.doc_id, count(*) AS covered_tokens,
+               sum(length(t2.w)) AS covered_chars
+        FROM cov c JOIN tok t2 ON c.doc_id = t2.doc_id AND c.cp = t2.p
+        GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(totals.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(totals.token_chars, 0) AS BIGINT) AS token_chars,
+       CAST(coalesce(cst.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(cst.covered_chars, 0) AS BIGINT) AS covered_chars,
+       coalesce(cst.covered_chars, 0) * 100
+         <= 15 * coalesce(totals.token_chars, 0) AS ok_dup_ngram
+FROM documents d
+LEFT JOIN totals USING (doc_id) LEFT JOIN cst USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_top_terms_docs(spark, sf_dir):
     """Per-document top-3 characteristic terms, ranked by an INTEGER-exact
     tf-idf-style score ``tf * 10^6 div df`` (no float logarithm — ulp
@@ -3328,6 +3393,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
     "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
+    "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
