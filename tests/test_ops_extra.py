@@ -981,3 +981,24 @@ def test_dup_ngram_coverage_hand_computed(spark):
     assert not r1.ok_dup_ngram            # 100% > 15%
     assert (rows[2].covered_tokens, rows[2].ok_dup_ngram) == (0, True)
     assert (rows[3].n_tokens, rows[3].covered_tokens) == (2, 0)
+
+
+def test_bpe_train_classic_and_overlap(spark):
+    from tuatara_spark.ops import dedup, search
+    rows = [(["a", "a", "b"],)] * 3 + [(["a", "a", "c"],)] * 3 \
+        + [(["b", "c"],)] * 2
+    df = spark.createDataFrame(rows, "syms array<string>")
+    assert search.bpe_train(df, k=3) == [
+        (1, "a", "a", "aa"), (2, "aa", "b", "aab"), (3, "aa", "c", "aac")]
+    dedup.release_caches()
+    # leftmost-first non-overlap: "a a a" yields ONE (a,a) merge site,
+    # and after the merge no (a,a) pair remains -> round 2 merges (aa,a)
+    df2 = spark.createDataFrame([(["a", "a", "a"],)] * 2,
+                                "syms array<string>")
+    assert search.bpe_train(df2, k=2) == [
+        (1, "a", "a", "aa"), (2, "aa", "a", "aaa")]
+    dedup.release_caches()
+    # exhaustion: fewer pairs than k rounds stops early
+    df3 = spark.createDataFrame([(["x", "y"],)], "syms array<string>")
+    assert search.bpe_train(df3, k=5) == [(1, "x", "y", "xy")]
+    dedup.release_caches()

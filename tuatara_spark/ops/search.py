@@ -75,3 +75,65 @@ def bm25_rank(df: DataFrame, terms: list[str], text_col: str = "text",
                     F.col("score_e6").cast("long").alias("score_e6"))
             .orderBy(F.col("score_e6").desc(), F.col(id_col))
             .limit(limit))
+
+
+def bpe_train(df: DataFrame, col: str = "syms",
+              k: int = 8) -> list[tuple[int, str, str, str]]:
+    """Distributed BPE merge training (Sennrich/Haddow/Birch 2016, the
+    public ACL paper): ``k`` rounds of count-all-adjacent-pairs →
+    merge the most frequent pair corpus-wide. Input is a DataFrame of
+    symbol ARRAYS (characters, bytes, or pre-split units — the op is
+    representation-agnostic); returns [(rank, left, right, merged)].
+
+    Determinism: the winning pair each round is (count DESC, left ASC,
+    right ASC) — bit-stable across engines, partitionings and cluster
+    sizes, which is what makes a tokenizer reproducible.
+
+    Scale shape: each round is one explode of adjacent pairs (via two
+    shifted slices zipped — no self-join) into a map-side-combinable
+    count, then a TakeOrdered(1); the single winning rule is a SCALAR,
+    so the driver round-trip is one row per round — the irreducible
+    sequential core of BPE (rule r+1 depends on r), not a
+    collect-the-data antipattern. The merge applies corpus-wide as a
+    left FOLD over each array (``aggregate`` HOF): a left fold gives
+    the standard leftmost-first non-overlapping semantics ("a a a"
+    under (a,a) → ["aa", "a"]) for free. The fold is Catalyst-
+    interpreted per element — the documented slow path traded for
+    correct sequential-merge semantics inside one row; rows stay
+    embarrassingly parallel.
+    """
+    from tuatara_spark.ops.dedup import _persist
+
+    def apply_merge(left: str, right: str):
+        def step(acc, s):
+            hit = ((F.size(acc) > 0)
+                   & (F.element_at(acc, -1) == F.lit(left))
+                   & (s == F.lit(right)))
+            return F.when(hit, F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)))) \
+                .otherwise(F.concat(acc, F.array(s)))
+        return F.aggregate(F.col(col),
+                           F.array().cast("array<string>"), step)
+
+    cur = _persist(df.select(col))
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(1, k + 1):
+        n = F.size(F.col(col))
+        pairs = (cur.where(n >= 2)   # slice(length<1) would refuse
+                 .select(F.explode(F.arrays_zip(
+                     F.slice(F.col(col), 1, n - 1).alias("l"),
+                     F.slice(F.col(col), 2, n - 1).alias("r")))
+                     .alias("p")))
+        top = (pairs.groupBy(F.col("p.l").alias("l"),
+                             F.col("p.r").alias("r"))
+               .agg(F.count("*").alias("c"))
+               .orderBy(F.col("c").desc(), F.col("l").asc(),
+                        F.col("r").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        left, right = top[0].l, top[0].r
+        merges.append((rank, left, right, left + right))
+        cur = _persist(cur.select(apply_merge(left, right).alias(col)))
+    return merges

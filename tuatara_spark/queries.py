@@ -2963,6 +2963,37 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
+def q_bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (ops/search.py bpe_train) on a
+    DESIGNED three-class symbol corpus ([a a b] / [a a c] / [b c] by
+    doc_id % 3): the pair-frequency margins are structural, so the
+    learned merge table is the same at every scale factor and the
+    oracle can state it closed-form — (a,a) dominates with ~2N/3, then
+    (aa,b) beats (aa,c) beats (b,c) through the deterministic
+    (count DESC, pair ASC) tie-break. Pins round ordering, the merge
+    application between rounds, and the tie-break rule."""
+    from tuatara_spark.ops import search
+    m = F.col("doc_id") % 3
+    syms = _docs(spark, sf_dir).select(
+        F.when(m == 0, F.array(F.lit("a"), F.lit("a"), F.lit("b")))
+        .when(m == 1, F.array(F.lit("a"), F.lit("a"), F.lit("c")))
+        .otherwise(F.array(F.lit("b"), F.lit("c"))).alias("syms"))
+    merges = search.bpe_train(syms, k=3)
+    from tuatara_spark.ops import dedup as _dd
+    _dd.release_caches()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string")
+
+
+_BPE_SQL = """
+SELECT * FROM (VALUES (1, 'a', 'a', 'aa'),
+                      (2, 'aa', 'b', 'aab'),
+                      (3, 'aa', 'c', 'aac'))
+  AS t(merge_rank, "left", "right", merged)
+ORDER BY merge_rank
+"""
+
+
 def q_anchor_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per link target (ops/linkgraph.py
     anchor_stats): in-degree, distinct sources, and top-3 anchors by
@@ -3394,6 +3425,7 @@ REGISTRY: dict[str, tuple] = {
     "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
     "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
+    "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
