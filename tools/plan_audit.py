@@ -51,6 +51,23 @@ AUDIT = [
      "narrow (id, band) shuffle for candidates, no CartesianProduct"),
     ("ann_cosine_topk",
      "TakeOrderedAndProject (global top-k without a full sort)"),
+    ("cdx_index_docs",
+     "pure-Catalyst projection into ONE range-partitioned global sort "
+     "on (surt, ts14) — the sharded-index build shape; no Python nodes"),
+    ("pagerank_hosts",
+     "per-iteration src-keyed joins + partial-aggregated groupBy(dst); "
+     "no CartesianProduct, no Python nodes"),
+    ("bm25_rank_docs",
+     "term filter before any exchange, partial-aggregated tf/df/dl, "
+     "BroadcastNestedLoopJoin only for the 1-row scalars, final "
+     "TakeOrderedAndProject"),
+    ("dup_ngram_docs",
+     "every groupBy/join clustered by the doc id behind the one "
+     "widening repartition; lead windows partitioned by id (no global "
+     "window)"),
+    ("anchor_stats_docs",
+     "two partial-aggregated groupBys then a window over collapsed "
+     "(dst, anchor, count) rows"),
 ]
 
 
