@@ -117,3 +117,18 @@ def test_charset_mention_in_body_text_does_not_missniff(spark):
     assert got["u1"][0] == "utf-8"
     assert "café" in got["u1"][1]
     assert got["u2"][0] == "iso-8859-1"  # the real tag still wins
+
+
+def test_normalize_nfc_changes_and_passthrough(spark):
+    from tuatara_spark.ops import encoding
+    rows = [(1, "café"),      # decomposed -> composes
+            (2, "café"),       # already NFC -> unchanged
+            (3, "plain ascii"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_nfc, r.nfc_changed)
+           for r in encoding.normalize_nfc(df).collect()}
+    assert got[1] == ("café", True)
+    assert got[2] == ("café", False)
+    assert got[3] == ("plain ascii", False)
+    assert got[4] == (None, None)   # null propagates, comparison null

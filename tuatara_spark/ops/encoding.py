@@ -104,3 +104,35 @@ def sniff_decode(df: DataFrame, bin_col: str = "html",
     cs = charset_col(bin_col)
     return (df.withColumn(charset_out, cs)
             .withColumn(out_col, decoded_col(bin_col, F.col(charset_out))))
+
+
+def normalize_nfc(df, text_col: str = "text",
+                  out_col: str = "text_nfc"):
+    """Unicode NFC normalization — the step crawl text needs before any
+    hash-based dedup or exact-match decontamination (the same visible
+    string arrives both precomposed (é) and decomposed (e + U+0301);
+    un-normalized they hash apart and dedup silently misses).
+
+    This is the repo's one deliberate Python-path TEXT op: Spark has no
+    built-in Unicode-normalize expression, so the column rides an
+    Arrow-batched ``pandas_udf`` — one Arrow exchange per batch, the
+    per-row work being CPython's C-implemented ``unicodedata.normalize``
+    (ICU-class throughput, nothing like row-at-a-time Python UDF cost).
+    Adds ``out_col`` and ``nfc_changed``; at 10^12 rows it remains an
+    embarrassingly parallel projection with no shuffle.
+    """
+    import pandas  # noqa: F401 — must be module-resolvable for the
+    # pandas_udf type-hint inference below
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+    _nfc_batch.__annotations__ = {"s": pandas.Series,
+                                  "return": pandas.Series}
+    _nfc = pandas_udf("string")(_nfc_batch)
+
+    out = df.withColumn(out_col, _nfc(F.col(text_col)))
+    return out.withColumn("nfc_changed",
+                          F.col(out_col) != F.col(text_col))

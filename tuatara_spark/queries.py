@@ -2963,6 +2963,45 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
+def q_normalize_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (ops/encoding.py normalize_nfc — the
+    repo's one Python-path text op, Arrow-batched pandas_udf): every
+    3rd doc gets a decomposed é (e + U+0301), every 5th a decomposed Å
+    (A + U+030A), the rest pass through unchanged. The oracle is
+    DuckDB's utf8proc-backed nfc_normalize over the same synthesis —
+    two independent Unicode implementations agreeing byte-for-byte."""
+    from tuatara_spark.ops import encoding
+    m3 = F.col("doc_id") % 3
+    m5 = F.col("doc_id") % 5
+    # NOTE: Spark's chr() is ASCII-mod-256 (chr(769) -> \x01), unlike
+    # DuckDB's codepoint chr — the combining marks ride as literals
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 24),
+                 F.when(m3 == 0, F.lit(" café"))
+                 .otherwise(F.lit("")),
+                 F.when(m5 == 0, F.lit(" Å"))
+                 .otherwise(F.lit(""))).alias("text"))
+    return (encoding.normalize_nfc(docs)
+            .select("doc_id", "text_nfc", "nfc_changed")
+            .orderBy("doc_id"))
+
+
+_NFC_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, 24)
+           || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' A' || chr(778)
+                   ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       nfc_normalize(text) != text AS nfc_changed
+FROM src ORDER BY doc_id
+"""
+
+
 def q_bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (ops/search.py bpe_train) on a
     DESIGNED three-class symbol corpus ([a a b] / [a a c] / [b c] by
@@ -3426,6 +3465,7 @@ REGISTRY: dict[str, tuple] = {
     "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
+    "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
