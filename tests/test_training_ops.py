@@ -186,3 +186,22 @@ def test_randomized_invariants_segment_dedup_and_packing(spark):
         for r in out:
             assert r.offset == acc
             acc += r.n_tokens
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    from tuatara_spark.ops import training
+    urls = spark.createDataFrame(
+        [("https://x.bad.com/a",), ("https://bad.com/b",),
+         ("https://notbad.com/c",), ("https://ads.bad.com:8080/d",),
+         ("https://good.org/e",)], "url string")
+    blocked = spark.createDataFrame(
+        [("bad.com",), ("ads.bad.com",)], "domain string")
+    got = {r.url: (r.blocked, r.matched_domain)
+           for r in training.url_blocklist(urls, blocked).collect()}
+    assert got["https://x.bad.com/a"] == (True, "bad.com")
+    assert got["https://bad.com/b"] == (True, "bad.com")
+    # label boundary: notbad.com must NOT match bad.com
+    assert got["https://notbad.com/c"] == (False, "")
+    # longest (most specific) rule wins; port stripped before matching
+    assert got["https://ads.bad.com:8080/d"] == (True, "ads.bad.com")
+    assert got["https://good.org/e"] == (False, "")

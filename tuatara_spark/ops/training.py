@@ -229,3 +229,44 @@ def with_order_rank(df: DataFrame, order_col: str,
             .withColumn(rank_col, (F.col("_off") + F.col("_in"))
                         .cast("long"))
             .drop("_pid", "_in", "_off"))
+
+
+def url_blocklist(df: DataFrame, blocked: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Domain-blocklist filtering (the UT1/adult-domain pass every
+    public crawl pipeline runs first): a URL is blocked when ANY
+    label-boundary suffix of its host — ``a.b.c`` → {a.b.c, b.c, c} —
+    appears in ``blocked`` (one ``domain`` column). Label boundaries
+    matter: ``nottracker.net`` must NOT match a ``tracker.net`` entry,
+    which substring/endswith checks get wrong.
+
+    Adds ``host``, ``blocked`` and ``matched_domain`` (the LONGEST
+    matching suffix — most specific rule, deterministic).
+
+    Scale shape: each URL explodes into its ≤label-count suffix chain
+    (a tiny per-row ``transform``) and joins the blocklist on the
+    suffix — a broadcast hash join for any real blocklist (UT1 ≈ 4M
+    rows ≈ tens of MB), degrading to a shuffle join on the suffix key
+    if a caller feeds something enormous. No regex scan over the list,
+    no O(|list|) per-row work — cost is O(host labels) per URL.
+    """
+    host = F.regexp_replace(
+        F.regexp_extract(F.lower(F.col(url_col)), r"^https?://([^/?#]+)", 1),
+        r":\d+$", "")
+    u = df.withColumn("host", host)
+    labels = F.split(F.col("host"), r"\.")
+    chain = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels) - i),
+                               "."))
+    sfx = u.select(F.col(url_col), F.explode(chain).alias("_sfx"))
+    b = blocked.select(F.col("domain").alias("_sfx")).distinct()
+    hits = (sfx.join(b, "_sfx")
+            .groupBy(url_col)
+            .agg(F.max(F.struct(F.length("_sfx").alias("l"),
+                                F.col("_sfx").alias("d"))).alias("_m"))
+            .select(url_col, F.col("_m.d").alias("matched_domain")))
+    return (u.join(hits, url_col, "left")
+            .withColumn("blocked", F.col("matched_domain").isNotNull())
+            .withColumn("matched_domain",
+                        F.coalesce("matched_domain", F.lit(""))))

@@ -2963,6 +2963,62 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
+def q_url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (ops/training.py url_blocklist):
+    synthesized hosts exercise exact matches, sub-domain suffix
+    matches, the label-boundary negative (nottracker.net vs a
+    tracker.net entry), and longest-suffix precedence when both a
+    domain and its parent are listed. The oracle re-implements the
+    suffix-chain explode and the longest-match argmax in SQL."""
+    from tuatara_spark.ops import training
+    k = F.col("doc_id") % 5
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"),
+                 F.when(k == 0, F.lit("x.bad.com"))
+                 .when(k == 1, F.lit("good.com"))
+                 .when(k == 2, F.lit("ads.bad.com"))
+                 .when(k == 3, F.lit("nottracker.net"))
+                 .otherwise(F.lit("sub.tracker.net")),
+                 F.lit("/p/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    blocked = spark.createDataFrame(
+        [("bad.com",), ("ads.bad.com",), ("tracker.net",)],
+        "domain string")
+    return (training.url_blocklist(urls, blocked)
+            .select("url", "host", "blocked", "matched_domain")
+            .orderBy("url"))
+
+
+_URL_BLOCKLIST_SQL = r"""
+WITH u AS (
+  SELECT 'https://' ||
+         CASE doc_id % 5 WHEN 0 THEN 'x.bad.com'
+                         WHEN 1 THEN 'good.com'
+                         WHEN 2 THEN 'ads.bad.com'
+                         WHEN 3 THEN 'nottracker.net'
+                         ELSE 'sub.tracker.net' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT url,
+             regexp_replace(regexp_extract(lower(url),
+               '^https?://([^/?#]+)', 1), ':\d+$', '') AS host
+      FROM u),
+b AS (SELECT * FROM (VALUES ('bad.com'), ('ads.bad.com'),
+                            ('tracker.net')) AS t(domain)),
+sfx AS (SELECT h.url,
+               list_aggr(string_split(h.host, '.')[i:], 'string_agg', '.')
+                 AS s
+        FROM h, unnest(range(1, len(string_split(h.host, '.')) + 1))
+             AS g(i)),
+hits AS (SELECT sfx.url, max_by(sfx.s, length(sfx.s)) AS matched_domain
+         FROM sfx JOIN b ON sfx.s = b.domain GROUP BY 1)
+SELECT h.url, h.host, hits.matched_domain IS NOT NULL AS blocked,
+       coalesce(hits.matched_domain, '') AS matched_domain
+FROM h LEFT JOIN hits USING (url)
+ORDER BY h.url
+"""
+
+
 def q_normalize_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (ops/encoding.py normalize_nfc — the
     repo's one Python-path text op, Arrow-batched pandas_udf): every
@@ -3466,6 +3522,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
+    "url_blocklist_docs": (q_url_blocklist_docs, _URL_BLOCKLIST_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
