@@ -946,6 +946,35 @@ def test_anchor_stats_topk_and_ties(spark):
     assert [(u[0].in_degree, u[0].anchor_rank, u[0].anchor)] == [(1, 0, "")]
 
 
+def test_sitemap_parse_urlset_index_and_malformed(spark):
+    from tuatara_spark.ops import frontier
+    urlset = ("<urlset><url><loc> https://a.com/p1 </loc>"
+              "<lastmod>2024-02-03</lastmod><priority>0.8</priority></url>"
+              "<url><loc>https://a.com/p2</loc>"
+              "<changefreq>daily</changefreq></url></urlset>")
+    index = ('<?xml version="1.0"?><sitemapindex><sitemap>'
+             "<loc>https://b.com/more.xml</loc>"
+             "<lastmod>2024-01-01</lastmod></sitemap></sitemapindex>")
+    docs = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index),
+         ("c.com", "<urlset><url><lastmod>x</lastmod></url></urlset>"),
+         ("d.com", "not xml at all")],
+        "host string, sitemap_xml string")
+    out = frontier.parse_sitemaps(docs).collect()
+    a = sorted([r for r in out if r.host == "a.com"],
+               key=lambda r: r.doc_pos)
+    # whitespace inside <loc> is trimmed; absent fields come back empty
+    assert [(r.doc_pos, r.is_index, r.loc, r.lastmod, r.changefreq,
+             r.priority) for r in a] == [
+        (0, False, "https://a.com/p1", "2024-02-03", "", "0.8"),
+        (1, False, "https://a.com/p2", "", "daily", "")]
+    b = [r for r in out if r.host == "b.com"]
+    assert [(r.is_index, r.loc, r.lastmod) for r in b] == [
+        (True, "https://b.com/more.xml", "2024-01-01")]
+    # a <url> with no <loc>, and a non-XML doc, yield no rows (never fail)
+    assert not [r for r in out if r.host in ("c.com", "d.com")]
+
+
 def test_bm25_rank_hand_computed(spark):
     from tuatara_spark.ops import search
     # 2 docs: doc 1 has the term twice in 4 tokens, doc 2 once in 2

@@ -47,3 +47,34 @@ def schedule(urls: DataFrame, host_col: str = "host",
         rank.alias("fetch_rank"),
         ((rank - 1) * delay_ms).cast("long").alias("fetch_offset_ms"),
         slot.alias("slot"))
+
+
+def parse_sitemaps(df: DataFrame, host_col: str = "host",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap parsing (the public sitemaps.org 0.9 protocol) — the URL
+    discovery feed for :func:`schedule`: one row per ``<url>`` entry
+    with its ``loc`` (required), and optional ``lastmod``,
+    ``changefreq`` and ``priority``. ``<sitemapindex>`` documents yield
+    rows flagged ``is_index`` whose ``loc`` is a child sitemap URL to
+    fetch, not a page.
+
+    Pure Catalyst: the entry blocks come from one ``regexp_extract_all``
+    over the document and each field from an anchored extract within
+    its block — a shuffle-free projection at any scale. Deliberately a
+    tag-scanner, not an XML parser (same trade the HTML ops make):
+    malformed XML yields fewer rows, never a failed task. ``doc_pos``
+    preserves document order."""
+    entry_re = r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>"
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(entry_re), 1)
+    is_index = F.col(xml_col).rlike(r"(?s)<sitemapindex[\s>]")
+    e = df.select(F.col(host_col).alias("host"), is_index.alias("is_index"),
+                  F.posexplode(blocks).alias("doc_pos", "_b"))
+    def field(tag: str):
+        return F.regexp_extract(
+            "_b", rf"(?s)<{tag}[^>]*>\s*(.*?)\s*</{tag}>", 1)
+    return (e.select("host", "doc_pos", "is_index",
+                     field("loc").alias("loc"),
+                     field("lastmod").alias("lastmod"),
+                     field("changefreq").alias("changefreq"),
+                     field("priority").alias("priority"))
+            .where(F.col("loc") != ""))

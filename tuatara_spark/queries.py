@@ -2963,6 +2963,83 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
+def q_sitemap_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (ops/frontier.py parse_sitemaps): every 4th doc
+    carries a <sitemapindex> (child-sitemap rows flagged is_index), the
+    rest two-entry <urlset> documents with optional lastmod/priority
+    fields; whitespace inside tags exercises the trim. The oracle
+    re-runs the same block + field extraction with positional unnest."""
+    from tuatara_spark.ops import frontier
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 6).cast("string")
+    host = F.concat(F.lit("s"), k, F.lit(".example.com"))
+    idx_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc> https://'),
+        host, F.lit("/more-"), did,
+        F.lit(".xml </loc></sitemap></sitemapindex>"))
+    set_xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host, F.lit("/p/"), did,
+        F.lit("</loc><lastmod>2024-01-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://"), host,
+        F.lit("/q/"), did, F.lit("</loc></url></urlset>"))
+    docs = _docs(spark, sf_dir).select(
+        host.alias("host"),
+        F.when(m == 0, idx_xml).otherwise(set_xml).alias("sitemap_xml"))
+    return (frontier.parse_sitemaps(docs)
+            .orderBy("host", "loc", "doc_pos"))
+
+
+_SITEMAP_SQL = r"""
+WITH src AS (
+  SELECT 's' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN doc_id % 4 = 0 THEN
+           '<?xml version="1.0"?><sitemapindex><sitemap><loc> https://s'
+             || CAST(doc_id % 6 AS VARCHAR) || '.example.com/more-'
+             || CAST(doc_id AS VARCHAR)
+             || '.xml </loc></sitemap></sitemapindex>'
+         ELSE
+           '<urlset><url><loc>https://s' || CAST(doc_id % 6 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             || '</loc><lastmod>2024-01-0'
+             || CAST(doc_id % 9 + 1 AS VARCHAR)
+             || '</lastmod><priority>0.'
+             || CAST(doc_id % 10 AS VARCHAR)
+             || '</priority></url><url><loc>https://s'
+             || CAST(doc_id % 6 AS VARCHAR) || '.example.com/q/'
+             || CAST(doc_id AS VARCHAR) || '</loc></url></urlset>'
+         END AS sitemap_xml
+  FROM documents),
+blocks AS (
+  SELECT host,
+         regexp_matches(sitemap_xml, '(?s)<sitemapindex[\s>]')
+           AS is_index,
+         regexp_extract_all(sitemap_xml,
+           '(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>', 1)
+           AS bl
+  FROM src),
+e AS (
+  SELECT host, is_index, CAST(i - 1 AS INTEGER) AS doc_pos,
+         bl[i] AS b
+  FROM blocks, unnest(range(1, len(bl) + 1)) AS u(i)),
+f AS (
+  SELECT host, doc_pos, is_index,
+         regexp_extract(b, '(?s)<loc[^>]*>\s*(.*?)\s*</loc>', 1) AS loc,
+         regexp_extract(b, '(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>', 1)
+           AS lastmod,
+         regexp_extract(b,
+           '(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>', 1)
+           AS changefreq,
+         regexp_extract(b, '(?s)<priority[^>]*>\s*(.*?)\s*</priority>', 1)
+           AS priority
+  FROM e)
+SELECT * FROM f WHERE loc != '' ORDER BY host, loc, doc_pos
+"""
+
+
 def q_url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist filtering (ops/training.py url_blocklist):
     synthesized hosts exercise exact matches, sub-domain suffix
@@ -3523,6 +3600,7 @@ REGISTRY: dict[str, tuple] = {
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
     "url_blocklist_docs": (q_url_blocklist_docs, _URL_BLOCKLIST_SQL),
+    "sitemap_parse_docs": (q_sitemap_parse_docs, _SITEMAP_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
