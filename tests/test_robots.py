@@ -162,3 +162,28 @@ def test_wildcard_free_rules_keep_startswith_semantics(spark):
     got = _eval(spark, ["/anything", "/ok/x"], agent="any", robots=robots)
     assert got["/anything"] == (False, "*")
     assert got["/ok/x"] == (True, "/ok/")
+
+
+def test_sitemap_urls_global_and_comment_stripped(spark):
+    from tuatara_spark.ops import robots as R
+    txt = ("# hi\nSitemap: https://a/s.xml\nUser-agent: x\n"
+           "Disallow: /p\nsitemap: https://a/t.xml # mirror\n"
+           "Sitemap:\n")  # empty value → no row
+    df = spark.createDataFrame([("a", txt)], "host string, robots_txt string")
+    got = [(r.ln, r.sitemap_url) for r in
+           R.sitemap_urls(df).orderBy("ln").collect()]
+    # case-insensitive directive, group-independent, comment dropped
+    assert got == [(1, "https://a/s.xml"), (4, "https://a/t.xml")]
+
+
+def test_crawl_delays_groups_fractions_and_bad_values(spark):
+    from tuatara_spark.ops import robots as R
+    txt = ("User-agent: a\nCrawl-delay: 2\nCrawl-delay: 0.25\n"
+           "User-agent: b\n\nUser-agent: c\nCrawl-delay: 1.5\n"
+           "User-agent: d\nCrawl-delay: nope\n"
+           "User-agent: e\nCrawl-delay: -1\n")
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    got = {r.agent: r.crawl_delay_ms for r in R.crawl_delays(df).collect()}
+    # last-writer wins in a's group; b+c share a blank-line-split group;
+    # unparseable (d) and negative (e) values drop the row
+    assert got == {"a": 250, "b": 1500, "c": 1500}

@@ -121,3 +121,62 @@ def evaluate(urls: DataFrame, rules: DataFrame, agent: str,
                     .alias("allowed"),
                     F.coalesce(F.col("_best.p"), F.lit(""))
                     .alias("matched_rule")))
+
+
+def sitemap_urls(df: DataFrame, host_col: str = "host",
+                 content_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` directive extraction: (host, ln, sitemap_url), one
+    row per Sitemap line in document order. Per the sitemaps.org
+    protocol (and RFC 9309's "other records" rule) the directive is
+    GLOBAL — independent of any User-agent group — so this is a plain
+    line explode + filter, no group window. The value regex stops at
+    whitespace/``#`` (URLs never contain either), so trailing comments
+    are dropped. Feeds :func:`tuatara_spark.ops.frontier.parse_sitemaps`
+    with the per-host sitemap fetch list."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), "\n"))
+        .alias("ln", "line"))
+    d = F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1))
+    v = F.regexp_extract("line", _VALUE_RE, 1)
+    return (lines.select("host", "ln", d.alias("d"),
+                         v.alias("sitemap_url"))
+            .where((F.col("d") == "sitemap") & (F.col("sitemap_url") != ""))
+            .drop("d"))
+
+
+def crawl_delays(df: DataFrame, host_col: str = "host",
+                 content_col: str = "robots_txt") -> DataFrame:
+    """``Crawl-delay`` extraction: (host, agent, crawl_delay_ms). The
+    directive is not in RFC 9309 but is the de-facto standard all major
+    non-Google crawlers honor; like Allow/Disallow it is GROUP-scoped,
+    so this reuses the same blank-line-tolerant group detection as
+    :func:`parse_robots`. Seconds values may be fractional ("0.5") —
+    parsed as DECIMAL and scaled to integer milliseconds so downstream
+    scheduling (ops/frontier.py schedule delay_ms) and the value-hash
+    oracle stay float-free. Unparseable values drop the row (never fail
+    the task); several Crawl-delay lines in one group keep the LAST
+    (max ln), matching last-writer-wins parser behavior."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), "\n"))
+        .alias("ln", "line"))
+    d = F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1))
+    v = F.regexp_extract("line", _VALUE_RE, 1)
+    lines = (lines.select("host", "ln", d.alias("d"), v.alias("v"))
+             .where(F.col("d") != ""))
+    is_ua = F.col("d") == "user-agent"
+    w = Window.partitionBy("host").orderBy("ln")
+    starts = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    lines = lines.withColumn(
+        "grp", F.sum(starts.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = (lines.where(is_ua)
+              .select("host", "grp", F.lower("v").alias("agent")))
+    delays = (lines.where(F.col("d") == "crawl-delay")
+              .withColumn("_ms", (F.expr(
+                  "try_cast(v AS decimal(12,3))") * 1000).cast("long"))
+              .where(F.col("_ms").isNotNull() & (F.col("_ms") >= 0))
+              .groupBy("host", "grp")
+              .agg(F.max_by("_ms", "ln").alias("crawl_delay_ms")))
+    return agents.join(delays, ["host", "grp"]).drop("grp")

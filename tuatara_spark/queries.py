@@ -2799,6 +2799,89 @@ FROM u ORDER BY host, path
 """
 
 
+def _robots_directives_fixture(spark: SparkSession, sf_dir: str):
+    """Per-host robots.txt exercising the non-rule directives: a global
+    ``Sitemap:`` line before any group, a fastbot group whose SECOND
+    Crawl-delay wins (last-writer), a blank line BETWEEN the slowpoke
+    and tuatara User-agent lines (one shared group, delay 1.5 s), an
+    extra Sitemap line with a trailing comment on even hosts, and a
+    badbot group whose delay is unparseable (row dropped)."""
+    ks = (_docs(spark, sf_dir).select((F.col("doc_id") % 8).alias("k"))
+          .distinct())
+    s = F.col("k").cast("string")
+    base = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for h"), s),
+        F.concat(F.lit("Sitemap: https://h"), s,
+                 F.lit(".example/sitemap.xml")),
+        F.lit("User-agent: fastbot"),
+        F.lit("Crawl-delay: 0.5"),
+        F.concat(F.lit("Crawl-delay: "), s),
+        F.lit("User-agent: slowpoke"),
+        F.lit(""),
+        F.lit("User-agent: tuatara"),
+        F.lit("Crawl-delay: 1.5"))
+    extra = F.concat(F.lit("Sitemap: https://h"), s,
+                     F.lit(".example/extra.xml # mirror"))
+    tail = F.lit("User-agent: badbot\nCrawl-delay: soon")
+    txt = F.when(F.col("k") % 2 == 0,
+                 F.concat_ws("\n", base, extra, tail)) \
+           .otherwise(F.concat_ws("\n", base, tail))
+    return ks.select(F.concat(F.lit("h"), s).alias("host"),
+                     txt.alias("robots_txt"))
+
+
+def q_robots_sitemaps_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` directive extraction (ops/robots.py sitemap_urls):
+    global lines (outside any group), a second sitemap with a trailing
+    ``#`` comment on even hosts, document-order line numbers. The
+    oracle states the (host, ln, url) rows closed-form, pinning the
+    group-independence and comment-stripping semantics."""
+    from tuatara_spark.ops import robots as R
+    hosts = _robots_directives_fixture(spark, sf_dir)
+    return R.sitemap_urls(hosts).orderBy("host", "ln")
+
+
+_ROBOTS_SITEMAPS_SQL = """
+WITH ks AS (SELECT DISTINCT doc_id % 8 AS k FROM documents),
+r AS (
+  SELECT k, 1 AS ln,
+         'https://h' || CAST(k AS VARCHAR) || '.example/sitemap.xml'
+           AS sitemap_url
+  FROM ks
+  UNION ALL
+  SELECT k, 9,
+         'https://h' || CAST(k AS VARCHAR) || '.example/extra.xml'
+  FROM ks WHERE k % 2 = 0)
+SELECT 'h' || CAST(k AS VARCHAR) AS host, CAST(ln AS INTEGER) AS ln,
+       sitemap_url
+FROM r ORDER BY host, ln
+"""
+
+
+def q_robots_crawl_delay_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Crawl-delay`` extraction (ops/robots.py crawl_delays): the
+    fastbot group's second delay overrides its first (last-writer),
+    slowpoke+tuatara share one blank-line-separated group (fractional
+    1.5 s → 1500 ms, integer-exact via DECIMAL scaling), and badbot's
+    unparseable value drops the row. Closed-form oracle."""
+    from tuatara_spark.ops import robots as R
+    hosts = _robots_directives_fixture(spark, sf_dir)
+    return R.crawl_delays(hosts).orderBy("host", "agent")
+
+
+_ROBOTS_DELAY_SQL = """
+WITH ks AS (SELECT DISTINCT doc_id % 8 AS k FROM documents),
+r AS (
+  SELECT k, 'fastbot' AS agent, CAST(k * 1000 AS BIGINT) AS ms FROM ks
+  UNION ALL SELECT k, 'slowpoke', 1500 FROM ks
+  UNION ALL SELECT k, 'tuatara', 1500 FROM ks)
+SELECT 'h' || CAST(k AS VARCHAR) AS host, agent,
+       CAST(ms AS BIGINT) AS crawl_delay_ms
+FROM r ORDER BY host, agent
+"""
+
+
 _CDX_URL_SPARK = (
     "concat('https://WWW', cast(doc_id % 2 as string), '.H', "
     "cast(doc_id % 7 as string), '.Example.com', "
@@ -3601,6 +3684,9 @@ REGISTRY: dict[str, tuple] = {
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
     "url_blocklist_docs": (q_url_blocklist_docs, _URL_BLOCKLIST_SQL),
     "sitemap_parse_docs": (q_sitemap_parse_docs, _SITEMAP_SQL),
+    "robots_sitemaps_docs": (q_robots_sitemaps_docs, _ROBOTS_SITEMAPS_SQL),
+    "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
+                                _ROBOTS_DELAY_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
