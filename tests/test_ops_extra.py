@@ -1031,3 +1031,33 @@ def test_bpe_train_classic_and_overlap(spark):
     df3 = spark.createDataFrame([(["x", "y"],)], "syms array<string>")
     assert search.bpe_train(df3, k=5) == [(1, "x", "y", "xy")]
     dedup.release_caches()
+
+
+def test_bloom_seen_set_membership_and_path_agreement(spark):
+    from tuatara_spark.ops import frontier
+    seen = spark.range(80).selectExpr("concat('u', id) AS url")
+    cand = spark.range(160).selectExpr("concat('u', id) AS url")
+    bloom = frontier.bloom_build(seen, m_bits=1 << 13, k=4).persist()
+    try:
+        a = {r.url: r.possibly_seen for r in frontier.bloom_might_contain(
+            cand, bloom, m_bits=1 << 13, k=4, broadcast=True).collect()}
+        b = {r.url: r.possibly_seen for r in frontier.bloom_might_contain(
+            cand, bloom, m_bits=1 << 13, k=4, broadcast=False).collect()}
+        # no false negatives, ever; both probe strategies agree exactly
+        assert all(a[f"u{i}"] for i in range(80))
+        assert a == b
+        # tiny saturation (320 bits in 8192) → the unseen half is
+        # overwhelmingly reported new (FP bound, not an exact count)
+        fp = sum(a[f"u{i}"] for i in range(80, 160))
+        assert fp <= 4
+    finally:
+        bloom.unpersist()
+
+
+def test_bloom_tiny_filter_saturates_to_all_seen(spark):
+    from tuatara_spark.ops import frontier
+    seen = spark.range(300).selectExpr("concat('x', id) AS url")
+    cand = spark.range(300, 310).selectExpr("concat('x', id) AS url")
+    bloom = frontier.bloom_build(seen, m_bits=64, k=4)  # 1 word, saturated
+    out = frontier.bloom_might_contain(cand, bloom, m_bits=64, k=4)
+    assert all(r.possibly_seen for r in out.collect())

@@ -236,3 +236,25 @@ def test_round4_ops_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
     assert "TakeOrdered" in plans["bm25"]
     assert "BroadcastNestedLoopJoin" in plans["bm25"]  # the 1-row scalars
+
+
+def test_bloom_plan_shapes(spark):
+    """Bloom build must partial-aggregate bit_or map-side (the shuffle
+    carries words, not URLs); the broadcast probe must never shuffle
+    the candidate table (no hash partitioning on the probe column) and
+    must stay JVM-side."""
+    from tuatara_spark.ops import frontier
+    seen = spark.range(50).selectExpr("concat('u', id) AS url")
+    cand = spark.range(100).selectExpr("concat('u', id) AS url")
+    bloom = frontier.bloom_build(seen, m_bits=1 << 12, k=4)
+    build_plan = _explain(bloom)
+    assert "partial_bit_or" in build_plan
+    probe = frontier.bloom_might_contain(cand, bloom, m_bits=1 << 12, k=4)
+    plan = _explain(probe)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    # the only exchanges are the bitmap's own (word shuffle, single-row
+    # collect, broadcast) — candidates are never hash-partitioned
+    assert "hashpartitioning(url" not in plan
+    assert "hashpartitioning(_v" not in plan
+    assert "forall" in plan

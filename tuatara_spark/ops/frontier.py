@@ -78,3 +78,87 @@ def parse_sitemaps(df: DataFrame, host_col: str = "host",
                      field("changefreq").alias("changefreq"),
                      field("priority").alias("priority"))
             .where(F.col("loc") != ""))
+
+
+# --- Bloom-filter seen-set -------------------------------------------------
+# The classic crawl-frontier membership structure (Bloom 1970, CACM): at
+# web scale the "have we already fetched this URL" set is 10^11+ entries,
+# far too big for an exact broadcast — a bit array with k hashes answers
+# "definitely new" / "possibly seen" in O(k) with a tunable false-positive
+# rate ((1-e^{-kn/m})^k). Hashes are md5-derived (first 8 hex chars per
+# (value, salt) pair → a 32-bit integer) so the DuckDB oracle reproduces
+# every bit position exactly — xxhash64 would be faster but is not
+# portable across engines (see round-workflow notes).
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """k portable hash positions in [0, m_bits) for a string column."""
+    return [
+        (F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{i}"))), 1, 8),
+                16, 10).cast("long") % m_bits)
+        for i in range(k)]
+
+
+def bloom_build(df: DataFrame, col: str = "url",
+                m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Distributed Bloom bitmap build: → (word_idx, bits) — the m_bits
+    array packed into 64-bit words, one row per NON-ZERO word. The
+    explode produces k rows per input value; ``bit_or`` is map-side
+    combinable, so each task emits at most m_bits/64 partial words and
+    the shuffle carries words, not URLs — the reduction is bounded by
+    the bitmap size regardless of input cardinality. No driver
+    collect: the bitmap stays a DataFrame (persist + reuse across
+    candidate batches is the intended pattern)."""
+    c = F.col(col)
+    pos = F.explode(F.array(*_bloom_positions(c, m_bits, k))).alias("p")
+    p = df.select(pos)
+    return (p.groupBy(F.expr("p div 64").alias("word_idx"))
+            .agg(F.bit_or(F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 64 as int))"))
+                 .alias("bits")))
+
+
+def bloom_might_contain(candidates: DataFrame, bloom: DataFrame,
+                        col: str = "url", m_bits: int = 1 << 20,
+                        k: int = 4, broadcast: bool = True) -> DataFrame:
+    """Adds ``possibly_seen``: True iff all k of the candidate's bit
+    positions are set in ``bloom`` (same ``m_bits``/``k`` as the
+    build); a word absent from the bitmap is an unset bit.
+
+    Two probe strategies, chosen by ``broadcast``:
+
+    * ``True`` (default): the bitmap - at most m_bits/64 rows,
+      ~128 KiB per 2^20 bits - collapses into a ONE-ROW ``map<long,
+      long>`` cross-joined broadcast against the candidates, and
+      ``forall`` over the k positions evaluates entirely inside
+      whole-stage codegen. The candidate table NEVER shuffles - the
+      probe is a per-row map lookup, which is what makes this viable
+      as a filter stage in front of a 10^10-row fetch list.
+    * ``False``: for bitmaps too big to broadcast (10^11-URL
+      frontiers want m_bits ~ 10^12), candidates explode to k
+      (word_idx, bit) probes shuffle-joined against the word table,
+      then regroup - moves (id, word) pairs, never the text corpus."""
+    c = F.col(col)
+    if broadcast:
+        bm = bloom.agg(F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))).alias("_bm"))
+        ps = F.array(*_bloom_positions(c, m_bits, k))
+        return (candidates.select(c.alias(col), ps.alias("_ps"))
+                .crossJoin(F.broadcast(bm))
+                .select(col, F.expr(
+                    "forall(_ps, p -> shiftright(coalesce("
+                    "element_at(_bm, p div 64), cast(0 as bigint)), "
+                    "cast(p % 64 as int)) % 2 != 0)")
+                    .alias("possibly_seen")))
+    probes = candidates.select(
+        c.alias("_v"),
+        F.explode(F.array(*_bloom_positions(c, m_bits, k))).alias("p"))
+    probes = probes.select(
+        "_v", F.expr("p div 64").alias("word_idx"),
+        (F.col("p") % 64).cast("int").alias("bit"))
+    hit = (probes.join(bloom, "word_idx", "left")
+           .select("_v", F.expr(
+               "shiftright(coalesce(bits, cast(0 as bigint)), bit) % 2 != 0")
+               .alias("_set")))
+    return (hit.groupBy("_v")
+            .agg(F.min("_set").alias("possibly_seen"))
+            .select(F.col("_v").alias(col), "possibly_seen"))
