@@ -1061,3 +1061,38 @@ def test_bloom_tiny_filter_saturates_to_all_seen(spark):
     bloom = frontier.bloom_build(seen, m_bits=64, k=4)  # 1 word, saturated
     out = frontier.bloom_might_contain(cand, bloom, m_bits=64, k=4)
     assert all(r.possibly_seen for r in out.collect())
+
+
+def test_bigram_lm_hand_computed(spark):
+    from tuatara_spark.ops import lm
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat sat"),
+         (2, "zzz qqq vvv"), (3, "the"), (4, "")],
+        "doc_id long, text string")
+    model = lm.train_bigram_lm(docs.where("doc_id < 2"))
+    m = {(r.w1, r.w2): (r.pair_count, r.left_count)
+         for r in model.collect()}
+    # P(cat|the)=2/3, P(sat|cat)=2/2, P(mat|the)=1/3, chain 1/1s
+    assert m == {("the", "cat"): (2, 3), ("cat", "sat"): (2, 2),
+                 ("the", "mat"): (1, 3), ("sat", "on"): (1, 1),
+                 ("on", "the"): (1, 1)}
+    got = {r.doc_id: (r.n_bigrams, r.n_oov, r.score_e6)
+           for r in lm.score_bigram_lm(docs, model).collect()}
+    # doc 0: (666666+1000000+1000000+1000000+333333) div 5
+    assert got == {0: (5, 0, 799999), 1: (2, 0, 833333),
+                   2: (2, 2, 0)}  # 3 and 4 have no bigram -> absent
+
+
+def test_bigram_lm_min_count_prunes_pairs_not_denominators(spark):
+    from tuatara_spark.ops import lm
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string")
+    model = lm.train_bigram_lm(docs, min_count=2)
+    m = {(r.w1, r.w2): (r.pair_count, r.left_count)
+         for r in model.collect()}
+    # a-c (count 1) pruned from the table, but a's left_count still 3
+    assert m == {("a", "b"): (2, 3), ("b", "a"): (2, 2)}
+    got = {r.doc_id: (r.n_oov, r.score_e6)
+           for r in lm.score_bigram_lm(docs, model).collect()}
+    # 5 bigrams: a-b 666666 ×2, b-a 1000000 ×2, a-c OOV
+    assert got == {0: (1, (666666 * 2 + 1000000 * 2) // 5)}

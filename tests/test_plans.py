@@ -258,3 +258,20 @@ def test_bloom_plan_shapes(spark):
     assert "hashpartitioning(url" not in plan
     assert "hashpartitioning(_v" not in plan
     assert "forall" in plan
+
+
+def test_lm_plan_shapes(spark):
+    """LM scoring must stay JVM-side with the bigram explode coming
+    from an in-row array transform (no per-doc window sort before the
+    aggregations) and the LM joined broadcast."""
+    from tuatara_spark.ops import lm
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5}") for i in range(30)],
+        "doc_id long, text string")
+    model = lm.train_bigram_lm(docs)
+    plan = _explain(lm.score_bigram_lm(docs, model))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "Window"):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine on the doc agg

@@ -1,0 +1,103 @@
+"""Corpus bigram language model: distributed training + integer-exact
+document fluency scoring.
+
+Reference parity: jackvial/tuatara has no text-quality layer; this is
+the CCNet-style LM filter (Wenzek et al. 2020, "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", public LREC paper):
+train a language model on a trusted corpus, score every crawled
+document's fluency under it, and bucket/drop the low-scorers. CCNet
+uses KenLM perplexity; float log-probs differ across engines in ln()
+ulps and summation order, which would break the value-hash oracle, so
+the score here is the log-free rational surrogate — the per-bigram
+MLE probability P(w2|w1) = pair_count/left_count scaled to an integer
+``(10^6 · pair_count) div left_count`` and averaged over the
+document's bigrams (OOV bigrams contribute 0, the zero-probability
+penalty). Monotone in the same direction as log-likelihood per token:
+fluent text built from frequent transitions scores high, gibberish and
+boilerplate-noise score low. Every intermediate is a BIGINT.
+
+Scale shape:
+
+* **Training** is two map-side-combinable aggregations: bigrams come
+  from an ARRAY transform over each document's token list (no per-doc
+  window, no pre-shuffle sort), the (w1, w2) count is one shuffle at
+  bigram-vocabulary width, and the left-context totals re-aggregate
+  the ALREADY-REDUCED pair table (sum of pair_count by w1) — never
+  the token stream. ``min_count`` prunes the tail (the 100 TB path:
+  a pruned LM is what you broadcast).
+* **Scoring** explodes each document to its bigrams once, joins the
+  LM — broadcast when it fits (the default; a pruned web LM is
+  ~10^7 rows), hash join on (w1, w2) otherwise — and reduces back to
+  one row per document with a partial-aggregated groupBy.
+
+BIGINT headroom: 10^6 · pair_count stays under 2^63 until a single
+bigram repeats 9·10^12 times; shrink the scale for larger corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PROB_SCALE = 10 ** 6
+
+_TOKS = (r"filter(split(lower(trim({col})), '\\s+'), x -> x != '')")
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2), one row per adjacent token pair — built from the
+    token array in-row (sequence + transform), so the only shuffle in
+    any consumer is its own aggregation."""
+    toks = F.expr(_TOKS.format(col=text_col))
+    # NB sequence(1, 0) steps DOWN in Spark — short docs need the
+    # explicit empty-array branch, not a greatest() clamp
+    pairs = F.expr(
+        "if(size(_ws) < 2, "
+        "cast(array() as array<struct<w1: string, w2: string>>), "
+        "transform(sequence(1, size(_ws) - 1), "
+        "i -> struct(_ws[i - 1] AS w1, _ws[i] AS w2)))")
+    return (df.select(F.col(id_col).alias("_id"), toks.alias("_ws"))
+            .select("_id", F.explode(pairs).alias("_bg"))
+            .select("_id", F.col("_bg.w1").alias("w1"),
+                    F.col("_bg.w2").alias("w2")))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_count: int = 1) -> DataFrame:
+    """→ (w1, w2, pair_count, left_count): the bigram table with its
+    left-context totals, pruned to ``pair_count >= min_count``.
+    ``left_count`` sums the UNPRUNED pair counts so pruning never
+    inflates surviving probabilities."""
+    pairs = (_bigrams(df, text_col, id_col)
+             .groupBy("w1", "w2")
+             .agg(F.count("*").alias("pair_count")))
+    lefts = pairs.groupBy("w1").agg(
+        F.sum("pair_count").alias("left_count"))
+    return (pairs.where(F.col("pair_count") >= min_count)
+            .join(lefts, "w1")
+            .select("w1", "w2", "pair_count", "left_count"))
+
+
+def score_bigram_lm(df: DataFrame, lm: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    broadcast: bool = True) -> DataFrame:
+    """→ (id, n_bigrams, n_oov, score_e6) per document with ≥1 bigram
+    (single-token and empty documents carry no LM evidence and are
+    absent — filter on token count upstream if they need a row).
+    ``score_e6`` is the mean scaled transition probability over ALL
+    the document's bigrams, OOV transitions counting as 0."""
+    bg = _bigrams(df, text_col, id_col)
+    l = F.broadcast(lm) if broadcast else lm
+    j = bg.join(l, ["w1", "w2"], "left")
+    per = (j.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("pair_count").isNull(), 1).otherwise(0))
+        .alias("n_oov"),
+        F.coalesce(F.sum(F.expr(
+            f"({PROB_SCALE} * pair_count) div left_count")), F.lit(0))
+        .alias("_tot")))
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.expr("_tot div n_bigrams").cast("long").alias("score_e6"))

@@ -2882,6 +2882,46 @@ FROM r ORDER BY host, agent
 """
 
 
+def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (ops/lm.py): a bigram LM trained
+    on the even-doc_id half of the corpus scores every document —
+    integer-exact mean transition probability, OOV transitions as 0 —
+    and the top 50 by (score DESC, doc_id) come back. The oracle
+    re-derives the same tokenization, counts and floor divisions in
+    ANSI SQL, so training AND scoring are value-pinned end to end."""
+    from tuatara_spark.ops import lm
+    docs = _docs(spark, sf_dir)
+    model = lm.train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    return (lm.score_bigram_lm(docs, model)
+            .orderBy(F.col("score_e6").desc(), "doc_id").limit(50))
+
+
+_LM_SCORE_SQL = r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+    t -> t != '') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM lt, unnest(range(1, len(ws))) AS u(i)),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg
+       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+lc AS (SELECT w1, sum(pair_count) AS left_count FROM pc GROUP BY 1),
+s AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         count(*) FILTER (WHERE pc.pair_count IS NULL) AS n_oov,
+         coalesce(sum((1000000 * pc.pair_count) // lc.left_count), 0)
+           AS tot
+  FROM bg LEFT JOIN pc USING (w1, w2) LEFT JOIN lc ON pc.w1 = lc.w1
+  GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(tot // n_bigrams AS BIGINT) AS score_e6
+FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
+"""
+
+
 def q_bloom_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter frontier seen-set (ops/frontier.py bloom_build /
     bloom_might_contain): even doc_ids' URLs are inserted, every URL is
@@ -3729,6 +3769,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
                                 _ROBOTS_DELAY_SQL),
     "bloom_seen_docs": (q_bloom_seen_docs, _BLOOM_SQL),
+    "lm_score_docs": (q_lm_score_docs, _LM_SCORE_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
