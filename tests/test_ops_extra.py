@@ -1096,3 +1096,61 @@ def test_bigram_lm_min_count_prunes_pairs_not_denominators(spark):
            for r in lm.score_bigram_lm(docs, model).collect()}
     # 5 bigrams: a-b 666666 ×2, b-a 1000000 ×2, a-c OOV
     assert got == {0: (1, (666666 * 2 + 1000000 * 2) // 5)}
+
+
+def test_hits_hand_computed(spark):
+    from tuatara_spark.ops import linkgraph
+    S = 10 ** 9
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r.node: (r.hub, r.auth)
+           for r in linkgraph.hits(edges, iters=2).collect()}
+    # iter1: a_raw={b:S, c:2S} -> a={b:S/2, c:S}; h_raw={a:1.5S, b:S}
+    #        -> h={a:S, b:666666666, c:0}
+    # iter2: a_raw={b:S, c:1666666666} -> a={b:600000000, c:S}
+    #        h_raw={a:1600000000, b:S} -> h={a:S, b:625000000, c:0}
+    assert got == {"a": (S, 0), "b": (625000000, 600000000),
+                   "c": (0, S)}
+
+
+def test_hits_empty_and_no_edges_nodes(spark):
+    from tuatara_spark.ops import linkgraph
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert linkgraph.hits(empty, iters=1).count() == 0
+    # a node with only in-edges keeps hub 0; only out-edges, auth 0
+    one = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got = {r.node: (r.hub, r.auth)
+           for r in linkgraph.hits(one, iters=2).collect()}
+    S = 10 ** 9
+    assert got == {"x": (S, 0), "y": (0, S)}
+
+
+def test_inverted_index_hand_computed(spark):
+    from tuatara_spark.ops import search
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a"), (4, "")],
+        "doc_id long, text string")
+    got = {r.term: (r.doc_freq, r.total_tf, r.postings)
+           for r in search.inverted_index(docs).collect()}
+    assert got == {"a": (2, 3, "1:0,2 3:0"), "b": (2, 2, "1:1 2:0"),
+                   "c": (1, 1, "2:1")}
+    pruned = {r.term for r in
+              search.inverted_index(docs, max_df=1).collect()}
+    assert pruned == {"c"}
+
+
+def test_tier_by_score_rank_arithmetic(spark):
+    from tuatara_spark.ops import lm
+    scored = spark.createDataFrame(
+        [(i, 100 - 10 * i) for i in range(7)],
+        "doc_id long, score_e6 long")
+    got = {r.doc_id: r.tier
+           for r in lm.tier_by_score(scored, k=3).collect()}
+    # ranks 0..6 best-first; tier = (rank*3) div 7 + 1 -> 3,2,2 split
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}
+    # ties broken by doc_id: equal scores stay deterministic
+    tied = spark.createDataFrame(
+        [(i, 5) for i in range(6)], "doc_id long, score_e6 long")
+    got2 = {r.doc_id: r.tier
+            for r in lm.tier_by_score(tied, k=3).collect()}
+    assert got2 == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}

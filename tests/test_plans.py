@@ -275,3 +275,39 @@ def test_lm_plan_shapes(spark):
         assert bad not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan  # map-side combine on the doc agg
+
+
+def test_hits_invidx_tier_plan_shapes(spark):
+    """The new graph/search/tier ops stay JVM-side: HITS iterations
+    join-aggregate with broadcast 1-row renormalizers (never
+    cartesian); the inverted index's df filter runs on collapsed
+    (term, doc) rows; tiering uses the two-level rank (windows only
+    per-partition plus the tiny per-partition-count offsets window)."""
+    from pyspark.sql import functions as F
+    from tuatara_spark.ops import linkgraph, lm, search
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3}") for i in range(40)],
+        "doc_id long, text string")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") + 3) % 7).cast("string"))
+        .alias("dst")).where(F.col("src") != F.col("dst"))
+    plans = {
+        "hits": _explain(linkgraph.hits(edges, iters=2)),
+        "invidx": _explain(search.inverted_index(docs, max_df=30)),
+        "tier": _explain(lm.tier_by_score(
+            docs.select("doc_id",
+                        (F.col("doc_id") % 9).alias("score_e6")))),
+    }
+    from tuatara_spark.ops import dedup as _dd
+    _dd.release_caches()
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # renormalizing max / corpus count are 1-row broadcasts
+    assert "BroadcastNestedLoopJoin" in plans["hits"]
+    assert "BroadcastNestedLoopJoin" in plans["tier"]
+    # df count partial-aggregates map-side before its shuffle
+    assert "partial_count" in plans["invidx"]

@@ -76,6 +76,60 @@ def pagerank(edges: DataFrame, iters: int = 3,
     return ranks
 
 
+def hits(edges: DataFrame, iters: int = 2,
+         scale: int = SCALE) -> DataFrame:
+    """Integer-exact HITS hubs/authorities (Kleinberg 1999, the public
+    JACM paper) → (node, hub, auth) on a fixed-point ``scale``.
+
+    Exact semantics (stated because normalization varies): hubs start
+    at ``scale``; each iteration computes raw authority
+    ``a_raw(v) = Σ_{u→v} h(u)`` then renormalizes by the corpus max —
+    ``a(v) = (a_raw·scale) div max(a_raw)`` — and symmetrically
+    ``h_raw(u) = Σ_{u→v} a(v)``, ``h = (h_raw·scale) div max(h_raw)``.
+    Max-normalization with floor division replaces the float L2 norm:
+    values stay in [0, scale], every intermediate is a BIGINT, and the
+    result is bit-identical across engines and partitionings (the
+    driver's value-hash compare stays meaningful). Nodes with no
+    in-edges hold authority 0; no out-edges, hub 0 after round 1.
+
+    Scale shape (same as :func:`pagerank`): each half-iteration is ONE
+    shuffle join of the edge table with the narrow (node, score) table
+    on its key — the edge table pre-partitions once per direction and
+    every iteration reuses it — plus a map-side-combinable groupBy on
+    the other endpoint, so mega-host in-degree skew collapses to one
+    partial row per partition. The renormalizing max is a 1-row
+    aggregate broadcast back via a cross join. BIGINT headroom:
+    ``a_raw ≤ in_degree·scale``; at 10^9-in-degree hubs shrink
+    ``scale`` — a knob, not load-bearing.
+    """
+    from tuatara_spark.ops.dedup import _persist
+    edges = _persist(edges.select("src", "dst").distinct())
+    nodes = _persist(edges.select(F.col("src").alias("node"))
+                     .union(edges.select(F.col("dst").alias("node")))
+                     .distinct())
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("_mx"))
+        return (nodes.join(raw, "node", "left")
+                .crossJoin(F.broadcast(mx))
+                .select("node", F.expr(
+                    f"coalesce(({col} * {scale}) div _mx, 0L)")
+                    .cast("long").alias(col)))
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("auth")))
+        auth = _persist(_norm(a_raw, "auth"))
+        h_raw = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("hub")))
+        hub = _persist(_norm(h_raw, "hub"))
+    return hub.join(auth, "node")
+
+
 def anchor_stats(links: DataFrame, dst_col: str = "href",
                  src_col: str = "url", anchor_col: str = "anchor",
                  k: int = 3, min_count: int = 1) -> DataFrame:

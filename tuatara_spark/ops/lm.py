@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 PROB_SCALE = 10 ** 6
+N_TIERS = 3
 
 _TOKS = (r"filter(split(lower(trim({col})), '\\s+'), x -> x != '')")
 
@@ -101,3 +102,33 @@ def score_bigram_lm(df: DataFrame, lm: DataFrame,
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.col("n_oov").cast("long").alias("n_oov"),
         F.expr("_tot div n_bigrams").cast("long").alias("score_e6"))
+
+
+def tier_by_score(scored: DataFrame, score_col: str = "score_e6",
+                  id_col: str = "doc_id", k: int = N_TIERS,
+                  tier_col: str = "tier") -> DataFrame:
+    """CCNet's head/middle/tail split, generalized: bucket rows into
+    ``k`` equal-population tiers by ``score_col`` DESC (tier 1 = best).
+    The tier is pure rank arithmetic — ``tier = (rank·k) div n + 1``
+    with rank 0-based best-first and ties broken by ``id_col`` — so the
+    split is bit-deterministic across engines and cluster sizes (no
+    engine NTILE semantics, no float percentiles).
+
+    Scale shape: the global best-first rank comes from
+    :func:`tuatara_spark.ops.training.with_order_rank` (range partition
+    + broadcast per-partition offsets — a two-level prefix sum, never a
+    single-partition window), and the corpus size ``n`` is one tiny
+    aggregate broadcast back via a 1-row cross join. At 10^11 documents
+    the plan is: one range shuffle, per-partition windows, two
+    broadcasts.
+    """
+    from tuatara_spark.ops.training import with_order_rank
+    neg = scored.withColumn("_negscore", -F.col(score_col))
+    ranked = with_order_rank(neg, "_negscore", rank_col="_rank",
+                             tiebreak_col=id_col)
+    n = scored.agg(F.count("*").alias("_n"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .withColumn(tier_col,
+                        (F.expr(f"(_rank * {k}) div _n") + 1)
+                        .cast("int"))
+            .drop("_negscore", "_rank", "_n"))

@@ -77,6 +77,61 @@ def bm25_rank(df: DataFrame, terms: list[str], text_col: str = "text",
             .limit(limit))
 
 
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_df: int | None = None) -> DataFrame:
+    """Positional inverted index → one row per term:
+    ``(term, doc_freq, total_tf, postings)`` where ``postings`` is the
+    canonical wire string ``"id:p0,p1 id:p0 …"`` — documents ascending
+    by id, 0-based token positions ascending within each document. A
+    deterministic string (not array<struct>) so the index is directly
+    writable/diffable and the driver's value-hash compare sees
+    identical bytes from any engine.
+
+    ``max_df`` prunes stopword-grade terms (df > max_df) BEFORE any
+    postings are materialized — the skew guard: a term's final-stage
+    group size is its document frequency, and the head of the Zipf
+    curve is exactly the part retrieval systems cut anyway.
+
+    Scale shape: positions come from one posexplode; the (term, doc)
+    reduction collapses each document's occurrences to a single row
+    (count + sorted position list) with the per-doc position string
+    built in-row; ``doc_freq`` is a map-side-combinable count computed
+    on the COLLAPSED rows and joined back (shuffle reuse: same term
+    key), so the df filter sees one row per (term, doc), never raw
+    token rows. The final per-term gather moves exactly the postings
+    content — the index itself — and nothing else.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.expr(
+            rf"filter(split(lower(trim({text_col})), '\\s+'), "
+            "x -> x != '')")).alias("_pos", "_w"))
+    per_doc = (toks.groupBy("_w", "_id")
+               .agg(F.count("*").alias("_tf"),
+                    F.array_join(
+                        F.transform(F.array_sort(F.collect_list("_pos")),
+                                    lambda x: x.cast("string")),
+                        ",").alias("_poss"))
+               .withColumn("_entry", F.concat_ws(":", F.col("_id"),
+                                                 F.col("_poss"))))
+    dfreq = per_doc.groupBy("_w").agg(F.count("*").alias("doc_freq"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
+    return (per_doc.join(dfreq, "_w")
+            .groupBy("_w", "doc_freq")
+            .agg(F.sum("_tf").alias("total_tf"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("_id"), F.col("_entry")))),
+                         lambda s: s["_entry"]), " ").alias("postings"))
+            .select(F.col("_w").alias("term"),
+                    F.col("doc_freq").cast("long").alias("doc_freq"),
+                    F.col("total_tf").cast("long").alias("total_tf"),
+                    "postings"))
+
+
 def bpe_train(df: DataFrame, col: str = "syms",
               k: int = 8) -> list[tuple[int, str, str, str]]:
     """Distributed BPE merge training (Sennrich/Haddow/Birch 2016, the

@@ -2922,6 +2922,138 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
+def q_lm_tier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (ops/lm.py tier_by_score):
+    LM-score every document (model trained on the even half), then
+    bucket into 3 equal-population tiers by pure rank arithmetic —
+    tier = (rank·3) div n + 1 with rank best-first, ties by doc_id.
+    The Spark side ranks via the two-level range-partition prefix sum
+    (no single-partition window); the oracle uses a plain row_number —
+    two different rank machineries must land every document in the
+    identical tier."""
+    from tuatara_spark.ops import lm
+    docs = _docs(spark, sf_dir)
+    model = lm.train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    scored = lm.score_bigram_lm(docs, model).select("doc_id", "score_e6")
+    return (lm.tier_by_score(scored, k=3)
+            .select("doc_id", "score_e6", "tier").orderBy("doc_id"))
+
+
+_LM_TIER_SQL = r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+    t -> t != '') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM lt, unnest(range(1, len(ws))) AS u(i)),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg
+       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+lc AS (SELECT w1, sum(pair_count) AS left_count FROM pc GROUP BY 1),
+s AS (
+  SELECT bg.doc_id,
+         coalesce(sum((1000000 * pc.pair_count) // lc.left_count), 0)
+           // count(*) AS score_e6
+  FROM bg LEFT JOIN pc USING (w1, w2) LEFT JOIN lc ON pc.w1 = lc.w1
+  GROUP BY 1),
+r AS (
+  SELECT doc_id, score_e6,
+         row_number() OVER (ORDER BY score_e6 DESC, doc_id) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM s)
+SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST((rk * 3) // n + 1 AS INT) AS tier
+FROM r ORDER BY doc_id
+"""
+
+
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities over a synthesized 40-host
+    link graph (ops/linkgraph.py hits): two iterations of sum-over-
+    in/out-neighbors with max-renormalization on a 10^9 scale — floor
+    division only, bit-identical across engines. The oracle unrolls
+    both iterations as chained CTEs (each renormalizing max is a scalar
+    subquery), pinning the mutual-reinforcement recurrence
+    value-for-value."""
+    from tuatara_spark.ops import linkgraph
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 11 + 5) % 40)
+                 .cast("string")).alias("dst"))
+        .where(F.col("src") != F.col("dst")))
+    return linkgraph.hits(edges, iters=2).orderBy("node")
+
+
+def _hits_iter_sql(h_prev: str, n: int) -> str:
+    return f"""
+a{n}r AS (SELECT e.dst AS node, sum(h.h) AS ar
+          FROM edges e JOIN {h_prev} h ON e.src = h.node GROUP BY 1),
+a{n} AS (SELECT nn.node, CAST(coalesce(
+           (ar * 1000000000) // (SELECT max(ar) FROM a{n}r), 0)
+           AS BIGINT) AS a
+         FROM nodes nn LEFT JOIN a{n}r USING (node)),
+h{n}r AS (SELECT e.src AS node, sum(a.a) AS hr
+          FROM edges e JOIN a{n} a ON e.dst = a.node GROUP BY 1),
+h{n} AS (SELECT nn.node, CAST(coalesce(
+           (hr * 1000000000) // (SELECT max(hr) FROM h{n}r), 0)
+           AS BIGINT) AS h
+         FROM nodes nn LEFT JOIN h{n}r USING (node))"""
+
+
+_HITS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+                  'h' || CAST((doc_id * 11 + 5) % 40 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 40 != (doc_id * 11 + 5) % 40),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+{_hits_iter_sql('h0', 1)},
+{_hits_iter_sql('h1', 2)}
+SELECT h2.node, h2.h AS hub, a2.a AS auth
+FROM h2 JOIN a2 USING (node) ORDER BY node
+"""
+
+
+def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the corpus (ops/search.py
+    inverted_index): one row per term with document frequency, total
+    term frequency, and the canonical postings wire string
+    "id:p0,p1 id:p0 …" (docs ascending, 0-based positions ascending).
+    max_df=400 exercises the stopword-pruning path. The oracle rebuilds
+    the identical string with ordered string_aggs, so postings content
+    AND ordering are byte-pinned."""
+    from tuatara_spark.ops import search
+    return (search.inverted_index(_docs(spark, sf_dir), max_df=400)
+            .orderBy("term"))
+
+
+_INVIDX_SQL = r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+    t -> t != '') AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+  FROM lt, unnest(range(1, len(ws) + 1)) AS u(i)),
+pd AS (
+  SELECT w, doc_id, count(*) AS tf,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
+  FROM tok GROUP BY 1, 2),
+dfq AS (SELECT w, count(*) AS doc_freq FROM pd GROUP BY 1
+        HAVING count(*) <= 400)
+SELECT pd.w AS term, CAST(dfq.doc_freq AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(pd.doc_id AS VARCHAR) || ':' || poss,
+                  ' ' ORDER BY pd.doc_id) AS postings
+FROM pd JOIN dfq USING (w) GROUP BY 1, 2 ORDER BY term
+"""
+
+
 def q_bloom_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter frontier seen-set (ops/frontier.py bloom_build /
     bloom_might_contain): even doc_ids' URLs are inserted, every URL is
@@ -3770,6 +3902,9 @@ REGISTRY: dict[str, tuple] = {
                                 _ROBOTS_DELAY_SQL),
     "bloom_seen_docs": (q_bloom_seen_docs, _BLOOM_SQL),
     "lm_score_docs": (q_lm_score_docs, _LM_SCORE_SQL),
+    "lm_tier_docs": (q_lm_tier_docs, _LM_TIER_SQL),
+    "hits_hosts": (q_hits_hosts, _HITS_SQL),
+    "inverted_index_docs": (q_inverted_index_docs, _INVIDX_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
