@@ -1154,3 +1154,54 @@ def test_tier_by_score_rank_arithmetic(spark):
     got2 = {r.doc_id: r.tier
             for r in lm.tier_by_score(tied, k=3).collect()}
     assert got2 == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+
+def test_langid_hand_computed(spark):
+    from tuatara_spark.ops import langid
+    train = spark.createDataFrame(
+        [(0, "de", "ababa"), (1, "en", "cdcdc")],
+        "doc_id long, lang string, text string")
+    prof = langid.train_charngram_profiles(train)
+    p = {(r.lang, r.gram): r.rank for r in prof.collect()}
+    assert p == {("de", "aba"): 1, ("de", "bab"): 2,
+                 ("en", "cdc"): 1, ("en", "dcd"): 2}
+    test = spark.createDataFrame(
+        [(10, "aba"), (11, "babab"), (12, "xxx"), (13, "ab")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.pred_lang, r.distance)
+           for r in langid.classify_charngram(test, prof).collect()}
+    # 10: aba matches de rank1 exactly -> dist 0 vs en 100
+    # 11: profile bab(1), aba(2) -> de |1-2|+|2-1|=2, en 200
+    # 12: unknown gram -> 100 both -> tie broken by lang asc ("de")
+    # 13: shorter than one trigram -> absent
+    assert got == {10: ("de", 0), 11: ("de", 2), 12: ("de", 100)}
+
+
+def test_langid_separable_corpus_recovers_labels(spark):
+    from tuatara_spark.ops import langid
+    rows = []
+    for i in range(40):
+        lang, words = (("aa", ["alpha", "beta", "gamma"]) if i % 2 == 0
+                       else ("zz", ["zulu", "yankee", "xray"]))
+        rows.append((i, lang, " ".join(words[j % 3]
+                                       for j in range(i, i + 12))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    prof = langid.train_charngram_profiles(docs.where("doc_id < 20"))
+    pred = langid.classify_charngram(docs.where("doc_id >= 20"), prof)
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    assert all(r.pred_lang == r.lang for r in joined.collect())
+
+
+def test_langid_whitespace_normalization_shared_with_training(spark):
+    from tuatara_spark.ops import langid
+    # tabs/newlines collapse to single spaces BEFORE gramming, so
+    # formatting never shifts the profile
+    a = spark.createDataFrame([(0, "xx", "ab  cd\n\nef")],
+                              "doc_id long, lang string, text string")
+    b = spark.createDataFrame([(0, "xx", "ab cd ef")],
+                              "doc_id long, lang string, text string")
+    pa = {(r.gram, r.rank) for r in
+          langid.train_charngram_profiles(a).collect()}
+    pb = {(r.gram, r.rank) for r in
+          langid.train_charngram_profiles(b).collect()}
+    assert pa == pb

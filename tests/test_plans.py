@@ -311,3 +311,24 @@ def test_hits_invidx_tier_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in plans["tier"]
     # df count partial-aggregates map-side before its shuffle
     assert "partial_count" in plans["invidx"]
+
+
+def test_langid_plan_shapes(spark):
+    """Language-ID inference must stay JVM-side: profiles and the
+    language list reach the document stream only as broadcasts (hash
+    join for profiles, nested-loop for the tiny fan-out), and the
+    per-doc/per-lang reductions partial-aggregate map-side."""
+    from tuatara_spark.ops import langid
+    docs = spark.createDataFrame(
+        [(i, "aa" if i % 2 == 0 else "zz",
+          f"word{i % 5} word{(i + 1) % 5} word{i % 3}")
+         for i in range(30)],
+        "doc_id long, lang string, text string")
+    prof = langid.train_charngram_profiles(docs)
+    plan = _explain(langid.classify_charngram(docs, prof))
+    for bad in ("BatchEvalPython", "ArrowEvalPython",
+                "CartesianProduct"):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan

@@ -1,0 +1,103 @@
+"""Trainable language identification: character-n-gram rank profiles
+with out-of-place distance (Cavnar & Trenkle 1994, "N-Gram-Based Text
+Categorization" — the public SDAIR paper behind TextCat/langid
+heuristics every crawl pipeline runs).
+
+Reference parity: jackvial/tuatara has no language layer; this upgrades
+the repo's marker-list heuristic (ops/textstats.py lang_markers) to a
+model TRAINED on labeled data. Semantics, stated exactly because
+implementations vary: text is lowercased, trimmed, whitespace-collapsed
+to single spaces; its character n-grams are every length-n substring;
+a PROFILE is the top_k grams ranked 1..top_k by (count DESC, gram ASC)
+— the deterministic tie-break makes profiles bit-stable across engines
+and partitionings. A document's distance to a language is the
+out-of-place sum over the document's OWN top_m profile:
+``Σ |doc_rank − lang_rank|`` with missing grams costing ``top_k``
+(the paper's maximum-displacement penalty). Prediction is the argmin
+language, ties broken by language name ascending. Every intermediate is
+an integer — no floats, no smoothing constants to drift.
+
+Scale shape (10^11 documents, a handful of languages):
+
+* **Training** shuffles (lang, gram) count rows — map-side-combinable,
+  so a language's token mass collapses to one partial row per upstream
+  partition — then ranks inside each language's partition (n_langs
+  partitions of vocabulary-sized gram lists; the window is per-lang,
+  never global). The finished profile table is n_langs·top_k rows —
+  kilobytes — and is BROADCAST to scoring.
+* **Scoring** builds each document's top_m profile with a per-doc
+  window (partition size = the doc's distinct grams, bounded), fans
+  out ×n_langs via a broadcast cross join with the tiny language list,
+  left-joins the broadcast profiles, and reduces with one
+  map-side-combinable groupBy per (doc, lang) then an argmin per doc.
+  No global windows, no Python, nothing non-broadcast joins the
+  document stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOP_K = 100
+DOC_TOP_M = 20
+
+
+def _grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """One row per character n-gram occurrence, built in-row from the
+    normalized text (no per-doc window, no Python)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    t = df.withColumn("_t", norm)
+    grams = F.expr(
+        f"if(length(_t) < {n}, cast(array() as array<string>), "
+        f"transform(sequence(1, length(_t) - {n - 1}), "
+        f"i -> substring(_t, i, {n})))")
+    return t.withColumn("_g", F.explode(grams)).drop("_t")
+
+
+def train_charngram_profiles(df: DataFrame, lang_col: str = "lang",
+                             text_col: str = "text", n: int = 3,
+                             top_k: int = TOP_K) -> DataFrame:
+    """→ (lang, gram, rank): each language's top_k character n-grams
+    ranked 1..top_k by (count DESC, gram ASC)."""
+    counts = (_grams(df, text_col, n)
+              .groupBy(F.col(lang_col).alias("lang"),
+                       F.col("_g").alias("gram"))
+              .agg(F.count("*").alias("_c")))
+    w = Window.partitionBy("lang").orderBy(F.col("_c").desc(),
+                                           F.col("gram").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("lang", "gram", F.col("rank").cast("int")))
+
+
+def classify_charngram(df: DataFrame, profiles: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, top_k: int = TOP_K,
+                       top_m: int = DOC_TOP_M) -> DataFrame:
+    """→ (id, pred_lang, distance): the out-of-place argmin language
+    per document. Documents shorter than one n-gram have no profile and
+    are absent (gate upstream if they need a row)."""
+    counts = (_grams(df, text_col, n)
+              .groupBy(F.col(id_col).alias("_id"),
+                       F.col("_g").alias("gram"))
+              .agg(F.count("*").alias("_c")))
+    w = Window.partitionBy("_id").orderBy(F.col("_c").desc(),
+                                          F.col("gram").asc())
+    doc_prof = (counts.withColumn("_dr", F.row_number().over(w))
+                .where(F.col("_dr") <= top_m)
+                .select("_id", "gram", "_dr"))
+    langs = profiles.select("lang").distinct()
+    per = (doc_prof
+           .crossJoin(F.broadcast(langs))
+           .join(F.broadcast(profiles), ["lang", "gram"], "left")
+           .groupBy("_id", "lang")
+           .agg(F.sum(F.coalesce(F.abs(F.col("_dr") - F.col("rank")),
+                                 F.lit(top_k))).alias("distance")))
+    return (per.groupBy("_id")
+            .agg(F.min_by(F.struct("lang", "distance"),
+                          F.struct("distance", "lang")).alias("_best"))
+            .select(F.col("_id").alias(id_col),
+                    F.col("_best.lang").alias("pred_lang"),
+                    F.col("_best.distance").cast("long")
+                    .alias("distance")))

@@ -3054,6 +3054,61 @@ FROM pd JOIN dfq USING (w) GROUP BY 1, 2 ORDER BY term
 """
 
 
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language identification (ops/langid.py, Cavnar-Trenkle
+    char-trigram rank profiles): profiles learned from the even-doc_id
+    half using the table's lang labels, every document classified by
+    integer out-of-place distance (missing gram = top_k penalty, ties
+    by language name). The oracle re-derives profiles, document
+    profiles and the argmin in SQL, so training AND inference are
+    value-pinned."""
+    from tuatara_spark.ops import langid
+    docs = _docs(spark, sf_dir)
+    prof = langid.train_charngram_profiles(
+        docs.where(F.col("doc_id") % 2 == 0))
+    return langid.classify_charngram(docs, prof).orderBy("doc_id")
+
+
+_LANGID_SQL = r"""
+WITH nt AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents),
+tg AS (
+  SELECT lang, substring(t, i, 3) AS gram
+  FROM nt, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE doc_id % 2 = 0 AND len(t) >= 3),
+lp AS (
+  SELECT lang, gram, row_number() OVER
+      (PARTITION BY lang ORDER BY count(*) DESC, gram ASC) AS rank
+  FROM tg GROUP BY lang, gram
+  QUALIFY rank <= 100),
+dg AS (
+  SELECT doc_id, substring(t, i, 3) AS gram
+  FROM nt, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+dp AS (
+  SELECT doc_id, gram, row_number() OVER
+      (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS dr
+  FROM dg GROUP BY doc_id, gram
+  QUALIFY dr <= 20),
+langs AS (SELECT DISTINCT lang FROM lp),
+per AS (
+  SELECT dp.doc_id, l.lang,
+         sum(coalesce(abs(dp.dr - lp.rank), 100)) AS distance
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dp.gram
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, lang AS pred_lang, distance,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY distance, lang) AS rn
+  FROM per)
+SELECT doc_id, pred_lang, CAST(distance AS BIGINT) AS distance
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_bloom_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter frontier seen-set (ops/frontier.py bloom_build /
     bloom_might_contain): even doc_ids' URLs are inserted, every URL is
@@ -3905,6 +3960,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_tier_docs": (q_lm_tier_docs, _LM_TIER_SQL),
     "hits_hosts": (q_hits_hosts, _HITS_SQL),
     "inverted_index_docs": (q_inverted_index_docs, _INVIDX_SQL),
+    "langid_docs": (q_langid_docs, _LANGID_SQL),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
