@@ -215,6 +215,11 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("crawl_pipeline_docs", Q.q_crawl_pipeline_docs),
         ("reading_order_events", Q.q_reading_order_events),
         ("ocr_extract_docs", Q.q_ocr_extract_docs),
+        ("lm_score_docs", Q.q_lm_score_docs),
+        ("lm_tier_docs", Q.q_lm_tier_docs),
+        ("langid_docs", Q.q_langid_docs),
+        ("inverted_index_docs", Q.q_inverted_index_docs),
+        ("hits_hosts", Q.q_hits_hosts),
     ]
     from tuatara_spark.ops import dedup as _dd
 
