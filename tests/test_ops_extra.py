@@ -1205,3 +1205,28 @@ def test_langid_whitespace_normalization_shared_with_training(spark):
     pb = {(r.gram, r.rank) for r in
           langid.train_charngram_profiles(b).collect()}
     assert pa == pb
+
+
+def test_to_markdown_hand_computed(spark):
+    from tuatara_spark.ops import htmlx
+    html = ('<html><head><title>T</title></head><body>'
+            '<h1>Title</h1><h3 class="x">Sub</h3>'
+            '<p>One <b>two</b> and <em>three</em>.</p>'
+            "<ul><li>first</li><li><a href='http://a/b'>lnk</a></li></ul>"
+            '<p>x<br/>y &amp; z</p></body></html>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = htmlx.to_markdown(df).collect()[0].markdown
+    assert out == ("# Title\n\n### Sub\n\nOne **two** and *three*.\n\n"
+                   "- first\n- [lnk](http://a/b)\n\nx\ny & z")
+
+
+def test_to_markdown_source_newlines_not_structural(spark):
+    from tuatara_spark.ops import htmlx
+    # raw newlines in source html are inline whitespace, never output
+    # structure; entities decode after tag handling (&lt;p&gt; stays
+    # literal text)
+    df = spark.createDataFrame(
+        [(1, "<p>a\n\n\nb</p><p>&lt;p&gt;</p>")],
+        "doc_id long, html string")
+    out = htmlx.to_markdown(df).collect()[0].markdown
+    assert out == "a b\n\n<p>"

@@ -332,3 +332,12 @@ def test_langid_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_to_markdown_plan_is_shuffle_free_projection(spark):
+    from tuatara_spark.ops import htmlx
+    df = spark.createDataFrame([(1, "<p>x</p>")],
+                               "doc_id long, html string")
+    plan = _explain(htmlx.to_markdown(df))
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

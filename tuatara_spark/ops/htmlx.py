@@ -92,6 +92,73 @@ def page_metadata(df: DataFrame, col: str = "html",
         .alias("nofollow"))
 
 
+# For markdown output the whole <head> drops too (its title/meta/link
+# children are page metadata, not content — page_metadata extracts them).
+MD_DROP_BLOCKS = ("head",) + BOILER_BLOCKS
+
+# HTML→Markdown structural steps, applied in order AFTER boiler-block/
+# comment removal and whitespace collapse. One row per rule:
+# (pattern, spark_replacement, duckdb_replacement) — the oracle SQL is
+# GENERATED from this same table (queries.py), so the two engines can
+# never drift. Patterns are Java-regex/RE2 common subset (inline (?is),
+# non-capturing groups, lazy quantifiers; no backreferences).
+MD_STEPS: list[tuple[str, str, str]] = [
+    *[(rf"(?is)<h{i}(?:\s[^>]*)?>(.*?)</h{i}>",
+       f"\n\n{'#' * i} $1\n\n", f"\n\n{'#' * i} \\1\n\n")
+      for i in range(1, 7)],
+    (r"(?i)<li(?:\s[^>]*)?>", "\n- ", "\n- "),
+    (r"(?i)</li>", "", ""),
+    (r"(?i)</?(?:ul|ol)(?:\s[^>]*)?>", "\n", "\n"),
+    (r"(?i)<br(?:\s[^>]*)?/?>", "\n", "\n"),
+    (r"(?i)</?p(?:\s[^>]*)?>", "\n\n", "\n\n"),
+    (r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>',
+     "[$2]($1)", r"[\2](\1)"),
+    (r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a>",
+     "[$2]($1)", r"[\2](\1)"),
+    (r"(?is)<(?:b|strong)(?:\s[^>]*)?>(.*?)</(?:b|strong)>",
+     "**$1**", r"**\1**"),
+    (r"(?is)<(?:i|em)(?:\s[^>]*)?>(.*?)</(?:i|em)>", "*$1*", r"*\1*"),
+]
+
+
+def to_markdown(df: DataFrame, col: str = "html",
+                out_col: str = "markdown") -> DataFrame:
+    """Structure-preserving HTML→Markdown conversion — what an LLM
+    pretraining corpus actually wants from webtext (headings, lists,
+    links, emphasis as signal, not flattened away; the
+    trafilatura/resiliparse output shape, via the same pure-regex
+    trade-off as :func:`strip_boilerplate`).
+
+    Semantics: boilerplate blocks and comments drop first; source
+    whitespace collapses to single spaces (HTML inline semantics), so
+    ALL newlines in the output are structural — h1-h6 → ``#``-runs,
+    ``<li>`` → ``- `` bullets, ``<p>``/``<br>`` → paragraph/line
+    breaks, ``<a href>`` → ``[text](url)``, b/strong → ``**``, i/em →
+    ``*``; leftover tags strip to spaces, the common named entities
+    decode AFTER tag handling, and blank runs collapse to one empty
+    line. Deterministic: a pure function of the html string.
+
+    Scale shape: one shuffle-free Catalyst projection (a fixed regex
+    chain, whole-stage codegen) — embarrassingly parallel at any
+    corpus size, same as the strip pass it extends.
+    """
+    c = F.col(col)
+    for tag in MD_DROP_BLOCKS:
+        c = F.regexp_replace(c, _block_re(tag), " ")
+    c = F.regexp_replace(c, COMMENT_RE, " ")
+    c = F.regexp_replace(c, WS_RE, " ")
+    for pat, rep, _ in MD_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, TAG_RE, " ")
+    for ent, rep in ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    c = F.regexp_replace(c, " ?\n ?", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    c = F.regexp_replace(c, "^\n+|\n+$", "")
+    return df.withColumn(out_col, F.trim(c))
+
+
 def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
                link_penalty: int = 10) -> DataFrame:
     """DOM-heuristic main-content block: split the document into

@@ -3054,6 +3054,66 @@ FROM pd JOIN dfq USING (w) GROUP BY 1, 2 ORDER BY term
 """
 
 
+# HTML→Markdown fixture fragments: one structured page per document
+# (heading, paragraph, list, link, emphasis, a style block to strip).
+# Shared verbatim by the Spark builder and the SQL oracle below.
+_MD_PRE = ('<html><head><title>T</title><style>body{color:red}</style>'
+           '</head><body><h1>Doc ')
+_MD_MID1 = '</h1>\n<p>'
+_MD_MID2 = ('</p><h2>Links &amp; lists</h2><ul><li>'
+            '<a href="https://ex.com/')
+_MD_MID3 = '">link '
+_MD_MID4 = ('</a></li><li><b>bold</b> and <em>it</em></li></ul>'
+            '<br><p>End</p></body></html>')
+
+
+def q_html_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving HTML→Markdown (ops/htmlx.py to_markdown):
+    headings to #-runs, list items to bullets, anchors to [text](url),
+    emphasis to **/*, paragraphs to blank lines — the regex chain is
+    driven by the shared MD_STEPS table and the oracle below is
+    GENERATED from that same table, so output bytes are pinned rule
+    for rule."""
+    from tuatara_spark.ops import htmlx
+    ids = F.col("doc_id").cast("string")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(_MD_PRE), ids, F.lit(_MD_MID1), F.col("text"),
+                 F.lit(_MD_MID2), ids, F.lit(_MD_MID3), ids,
+                 F.lit(_MD_MID4)).alias("html"))
+    return (htmlx.to_markdown(docs)
+            .select("doc_id", "markdown").orderBy("doc_id"))
+
+
+def _html_markdown_sql() -> str:
+    from tuatara_spark.ops import htmlx
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    ids = "CAST(doc_id AS VARCHAR)"
+    c = (f"'{q(_MD_PRE)}' || {ids} || '{q(_MD_MID1)}' || text || "
+         f"'{q(_MD_MID2)}' || {ids} || '{q(_MD_MID3)}' || {ids} || "
+         f"'{q(_MD_MID4)}'")
+    for tag in htmlx.MD_DROP_BLOCKS:
+        c = f"regexp_replace({c}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
+    c = f"regexp_replace({c}, '<!--.*?-->', ' ', 'g')"
+    c = rf"regexp_replace({c}, '\s+', ' ', 'g')"
+    for pat, _, duck in htmlx.MD_STEPS:
+        c = f"regexp_replace({c}, '{q(pat)}', '{q(duck)}', 'g')"
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in htmlx.ENTITIES:
+        c = f"replace({c}, '{q(ent)}', '{q(rep)}')"
+    c = f"regexp_replace({c}, '[ \t]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\n ?', '\n', 'g')"
+    # NB replacement must be REAL newlines: RE2 rewrites only honor
+    # \0-\9 escapes, a literal backslash-n rewrite DELETES the match
+    c = f"regexp_replace({c}, '\\n{{3,}}', '\n\n', 'g')"
+    c = f"regexp_replace({c}, '^\\n+|\\n+$', '', 'g')"
+    return (f"SELECT doc_id, trim({c}) AS markdown FROM documents "
+            "ORDER BY doc_id")
+
+
 def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language identification (ops/langid.py, Cavnar-Trenkle
     char-trigram rank profiles): profiles learned from the even-doc_id
@@ -3961,6 +4021,7 @@ REGISTRY: dict[str, tuple] = {
     "hits_hosts": (q_hits_hosts, _HITS_SQL),
     "inverted_index_docs": (q_inverted_index_docs, _INVIDX_SQL),
     "langid_docs": (q_langid_docs, _LANGID_SQL),
+    "html_markdown_docs": (q_html_markdown_docs, _html_markdown_sql()),
     # moved below the window in round 4 to make room for the new
     # operator categories (index/graph/search/repetition); each was
     # driver-green in rounds 1-3 and stays verifier+pytest covered
