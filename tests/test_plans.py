@@ -314,10 +314,14 @@ def test_hits_invidx_tier_plan_shapes(spark):
 
 
 def test_langid_plan_shapes(spark):
-    """Language-ID inference must stay JVM-side: profiles and the
-    language list reach the document stream only as broadcasts (hash
-    join for profiles, nested-loop for the tiny fan-out), and the
-    per-doc/per-lang reductions partial-aggregate map-side."""
+    """Language-ID inference must stay JVM-side AND must not amplify
+    the document stream ×n_langs: the profile table reaches the
+    doc-gram rows through a broadcast hash join keyed on GRAM ALONE
+    (each doc-gram row meets only the languages whose profiles contain
+    it — the round-4 shape cross-joined every doc row with the language
+    list, 100× amplification at CLD-scale language counts). The only
+    nested-loop broadcast left is the 1-row default-language scalar."""
+    import re
     from tuatara_spark.ops import langid
     docs = spark.createDataFrame(
         [(i, "aa" if i % 2 == 0 else "zz",
@@ -325,13 +329,23 @@ def test_langid_plan_shapes(spark):
          for i in range(30)],
         "doc_id long, lang string, text string")
     prof = langid.train_charngram_profiles(docs)
-    plan = _explain(langid.classify_charngram(docs, prof))
+    plan = _explain(langid.classify_charngram(docs, prof),
+                    mode="simple")
     for bad in ("BatchEvalPython", "ArrowEvalPython",
                 "CartesianProduct"):
         assert bad not in plan
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    # profile join keyed on gram only — never (lang, gram), never a
+    # langs-list fan-out of the document stream
+    assert re.search(r"BroadcastHashJoin \[gram#\d+\], \[gram#\d+\]",
+                     plan), plan
+    assert not re.search(r"BroadcastHashJoin \[lang#", plan)
+    # exactly one nested-loop join: the 1-row default-language scalar
+    assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "partial_sum" in plan
+    # the doc-profile count window reuses the rank window's per-doc
+    # partitioning: only one exchange hashes on _id alone
+    assert len(re.findall(r"hashpartitioning\(_id#\d+L, \d+\)",
+                          plan)) == 1
 
 
 def test_to_markdown_plan_is_shuffle_free_projection(spark):

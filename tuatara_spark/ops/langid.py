@@ -26,12 +26,26 @@ Scale shape (10^11 documents, a handful of languages):
   never global). The finished profile table is n_langs·top_k rows —
   kilobytes — and is BROADCAST to scoring.
 * **Scoring** builds each document's top_m profile with a per-doc
-  window (partition size = the doc's distinct grams, bounded), fans
-  out ×n_langs via a broadcast cross join with the tiny language list,
-  left-joins the broadcast profiles, and reduces with one
-  map-side-combinable groupBy per (doc, lang) then an argmin per doc.
-  No global windows, no Python, nothing non-broadcast joins the
-  document stream.
+  window (partition size = the doc's distinct grams, bounded), then
+  broadcast-joins the profiles on **gram alone** — each doc-gram row
+  meets only the languages whose profiles contain that gram, so the
+  document stream is never amplified ×n_langs (the round-4 shape
+  cross-joined every doc row with the language list; at CLD-scale 100+
+  languages that is 100× row amplification on a scan-wide path). The
+  out-of-place distance decomposes exactly:
+
+      distance(doc, lang) = top_k·n_doc + Σ_matched (|dr − rank| − top_k)
+
+  where ``n_doc`` is the document's own profile size (≤ top_m): every
+  unmatched gram costs ``top_k``, so start from the all-miss total and
+  let each matched gram subtract its discount. Since |dr − rank| <
+  top_k always, a language matching ≥1 gram strictly beats every
+  zero-match language, so zero-match languages never need rows — except
+  the all-miss document, which keeps exactly one null-lang row from the
+  left join and resolves to the alphabetically-first language (the
+  original all-languages argmin tie-break). One map-side-combinable
+  groupBy per (doc, lang), one argmin per doc, no Python, nothing
+  non-broadcast joins the document stream.
 """
 
 from __future__ import annotations
@@ -86,15 +100,28 @@ def classify_charngram(df: DataFrame, profiles: DataFrame,
                                           F.col("gram").asc())
     doc_prof = (counts.withColumn("_dr", F.row_number().over(w))
                 .where(F.col("_dr") <= top_m)
-                .select("_id", "gram", "_dr"))
-    langs = profiles.select("lang").distinct()
-    per = (doc_prof
-           .crossJoin(F.broadcast(langs))
-           .join(F.broadcast(profiles), ["lang", "gram"], "left")
-           .groupBy("_id", "lang")
-           .agg(F.sum(F.coalesce(F.abs(F.col("_dr") - F.col("rank")),
-                                 F.lit(top_k))).alias("distance")))
-    return (per.groupBy("_id")
+                # the count window reuses the per-_id partitioning the
+                # rank window already established — no extra exchange
+                .withColumn("_n", F.count("*").over(Window.partitionBy("_id")))
+                .select("_id", "gram", "_dr", "_n"))
+    # alphabetically-first language = the all-languages argmin tie-break
+    # winner when nothing matches; 1 row, broadcast to every doc-gram row
+    default_lang = profiles.agg(F.min("lang").alias("_default"))
+    # left join on gram ONLY: matched grams fan out to just the languages
+    # whose profiles contain them; an unmatched gram keeps one null-lang
+    # row so all-miss documents still surface with the default language
+    joined = (doc_prof
+              .join(F.broadcast(profiles), ["gram"], "left")
+              .crossJoin(F.broadcast(default_lang)))
+    per = (joined
+           .groupBy("_id", F.coalesce("lang", "_default").alias("lang"))
+           .agg(F.sum(F.when(F.col("rank").isNull(), F.lit(0))
+                      .otherwise(F.abs(F.col("_dr") - F.col("rank"))
+                                 - F.lit(top_k))).alias("_disc"),
+                F.max("_n").alias("_n")))
+    return (per.withColumn("distance",
+                           F.lit(top_k) * F.col("_n") + F.col("_disc"))
+            .groupBy("_id")
             .agg(F.min_by(F.struct("lang", "distance"),
                           F.struct("distance", "lang")).alias("_best"))
             .select(F.col("_id").alias(id_col),
