@@ -1033,6 +1033,79 @@ def test_bpe_train_classic_and_overlap(spark):
     dedup.release_caches()
 
 
+def _bpe_ref(toks, merges):
+    """Independent python reference: rank-ordered leftmost-first
+    non-overlapping merge passes."""
+    toks = list(toks)
+    for _, left, right, _ in sorted(merges):
+        out = []
+        for t in toks:
+            if out and out[-1] == left and t == right:
+                out[-1] = left + right
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def test_bpe_encode_hand_computed(spark):
+    from tuatara_spark.ops import search
+    merges = [(1, "a", "a", "aa"), (2, "aa", "b", "aab")]
+    rows = [
+        (0, ["a", "a", "a"]),        # one merge site, then no (aa,b)
+        (1, ["a", "a", "a", "a"]),   # two non-overlapping sites
+        (2, ["a", "a", "b"]),        # multi-level: aa then aab
+        (3, ["b", "a", "a", "b"]),   # interior merge + rule-2 chain
+        (4, ["a", "ab"]),            # token identity: no merge
+        (5, ["ba", "a"]),            # token identity: no merge
+        (6, []),                     # empty stays empty
+        (7, ["x"]),                  # single symbol untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, syms array<string>")
+    got = {r.doc_id: r.tokens
+           for r in search.bpe_encode(df, merges).collect()}
+    assert got == {
+        0: ["aa", "a"], 1: ["aa", "aa"], 2: ["aab"], 3: ["b", "aab"],
+        4: ["a", "ab"], 5: ["ba", "a"], 6: [], 7: ["x"]}
+
+
+def test_bpe_encode_matches_train_fold_and_arrow(spark):
+    """The standalone encoder must reproduce bpe_train's between-round
+    folds exactly, and the Arrow big-vocab variant must be
+    bit-identical to the Catalyst chain on a random corpus."""
+    import random
+    from tuatara_spark.ops import dedup, search
+    rng = random.Random(7)
+    rows = [(i, [rng.choice("abct h") for _ in range(rng.randint(0, 14))])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, syms array<string>")
+    merges = search.bpe_train(df, k=4)
+    dedup.release_caches()
+    assert len(merges) == 4
+    cat = {r.doc_id: r.tokens
+           for r in search.bpe_encode(df, merges).collect()}
+    arrow = {r.doc_id: r.tokens
+             for r in search.bpe_encode_arrow(df, merges).collect()}
+    ref = {i: _bpe_ref(s, merges) for i, s in rows}
+    assert cat == ref
+    assert arrow == ref
+
+
+def test_bpe_encode_plan_is_shuffle_free_projection(spark):
+    import contextlib
+    import io
+    from tuatara_spark.ops import search
+    df = spark.createDataFrame([(1, ["a", "a"])],
+                               "doc_id long, syms array<string>")
+    out = search.bpe_encode(df, [(1, "a", "a", "aa")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
 def test_bloom_seen_set_membership_and_path_agreement(spark):
     from tuatara_spark.ops import frontier
     seen = spark.range(80).selectExpr("concat('u', id) AS url")

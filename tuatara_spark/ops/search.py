@@ -37,6 +37,7 @@ global scalars (N, avgdl) are one tiny aggregate broadcast back via a
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, functions as F
 
 IDF_SCALE = 10 ** 6
@@ -132,6 +133,23 @@ def inverted_index(df: DataFrame, text_col: str = "text",
                     "postings"))
 
 
+def _merge_fold_expr(expr, left: str, right: str):
+    """Catalyst left-fold applying ONE merge rule (left, right) →
+    left+right over a symbol array with the standard leftmost-first
+    non-overlapping semantics ("a a a" under (a,a) → ["aa", "a"]): the
+    fold's accumulator tail can never re-match as `right` because the
+    merged token is strictly longer than `left`."""
+    def step(acc, s):
+        hit = ((F.size(acc) > 0)
+               & (F.element_at(acc, -1) == F.lit(left))
+               & (s == F.lit(right)))
+        return F.when(hit, F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.lit(left + right)))) \
+            .otherwise(F.concat(acc, F.array(s)))
+    return F.aggregate(expr, F.array().cast("array<string>"), step)
+
+
 def bpe_train(df: DataFrame, col: str = "syms",
               k: int = 8) -> list[tuple[int, str, str, str]]:
     """Distributed BPE merge training (Sennrich/Haddow/Birch 2016, the
@@ -160,16 +178,7 @@ def bpe_train(df: DataFrame, col: str = "syms",
     from tuatara_spark.ops.dedup import _persist
 
     def apply_merge(left: str, right: str):
-        def step(acc, s):
-            hit = ((F.size(acc) > 0)
-                   & (F.element_at(acc, -1) == F.lit(left))
-                   & (s == F.lit(right)))
-            return F.when(hit, F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.lit(left + right)))) \
-                .otherwise(F.concat(acc, F.array(s)))
-        return F.aggregate(F.col(col),
-                           F.array().cast("array<string>"), step)
+        return _merge_fold_expr(F.col(col), left, right)
 
     cur = _persist(df.select(col))
     merges: list[tuple[int, str, str, str]] = []
@@ -192,3 +201,65 @@ def bpe_train(df: DataFrame, col: str = "syms",
         merges.append((rank, left, right, left + right))
         cur = _persist(cur.select(apply_merge(left, right).alias(col)))
     return merges
+
+
+def bpe_encode(df: DataFrame, merges, col: str = "syms",
+               out_col: str = "tokens") -> DataFrame:
+    """Corpus-scale BPE tokenization: apply a TRAINED merge table to
+    every document as ONE shuffle-free projection (the op a training
+    pipeline runs nightly over 10^12 documents; `bpe_train` runs once).
+
+    ``merges`` is the [(rank, left, right, merged)] list `bpe_train`
+    returns. Rules are applied corpus-wide in rank order — rule r+1
+    sees rule r's merged tokens, so multi-level merges ((t,h)→th then
+    (th,e)→the) compose exactly as they did during training. Each rule
+    is the same leftmost-first non-overlapping left fold training used
+    between rounds (`_merge_fold_expr`), chained into a single Catalyst
+    expression: the merge table rides inside the serialized plan to
+    every executor (broadcast-equivalent for the tables this path is
+    for), and the scan→project pipeline has no shuffle, no Python, no
+    driver round-trips.
+
+    Scale shape: per-row cost is O(len · k) with k plan-literal rules —
+    right for char-level/analysis vocabularies (k ≲ 100). A
+    production 50k-rule tokenizer would overflow a literal plan; that
+    regime is `bpe_encode_arrow` (Arrow-batched, closure-captured rule
+    table), pinned equivalent by pytest.
+    """
+    expr = F.col(col)
+    for _, left, right, _ in sorted(merges):
+        expr = _merge_fold_expr(expr, left, right)
+    return df.withColumn(out_col, expr)
+
+
+def bpe_encode_arrow(df: DataFrame, merges, col: str = "syms",
+                     out_col: str = "tokens") -> DataFrame:
+    """`bpe_encode` for production-sized merge tables: the rules live
+    in the UDF closure (one broadcast per executor, not plan literals)
+    and documents stream through as Arrow batches. Semantics are
+    BIT-IDENTICAL to the Catalyst chain — same rank order, same
+    leftmost-first non-overlapping pass per rule — enforced by
+    tests/test_ops_extra.py equivalence over random corpora. The
+    per-token loop is Python, but it runs on executors over Arrow
+    batches (never per-row serialization) and BPE's sequential
+    left-fold per rule admits no vectorized form."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = [(left, right) for _, left, right, _ in sorted(merges)]
+
+    @pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        def one(toks):
+            toks = list(toks)
+            for left, right in ordered:
+                out = []
+                for t in toks:
+                    if out and out[-1] == left and t == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(t)
+                toks = out
+            return toks
+        return s.apply(one)
+
+    return df.withColumn(out_col, _enc(F.col(col)))

@@ -3577,6 +3577,66 @@ ORDER BY merge_rank
 """
 
 
+# The fixed merge table bpe_encode_docs applies, in rank order. Rules 2
+# and 7 consume rule 1/2 outputs (multi-level), and rule 7 ('the',' ')
+# only fires where rule 6 ('e',' ') did NOT — token identity, not
+# substring match — so the oracle pins rank ordering and token-level
+# boundaries, not just concatenation.
+_BPE_ENCODE_MERGES = [
+    (1, "t", "h", "th"), (2, "th", "e", "the"), (3, "a", "n", "an"),
+    (4, "an", "d", "and"), (5, "i", "n", "in"), (6, "e", " ", "e "),
+    (7, "the", " ", "the "), (8, "o", "f", "of"),
+]
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE tokenization (ops/search.py bpe_encode): apply
+    a fixed 8-rule merge table to the character symbols of each
+    document's normalized 24-char prefix in one shuffle-free
+    projection. The oracle replays the SAME rank-ordered leftmost-first
+    non-overlapping semantics in DuckDB via the double-delimiter
+    isomorphism: tokens rendered ``||t1||t2||…||``, each rule a plain
+    string ``replace('|l||r|' → '|lr|')`` — left-to-right
+    resume-after-replacement replace IS the left fold (verified against
+    hand-built shared-boundary/false-boundary cases in pytest)."""
+    from tuatara_spark.ops import search
+    clean = F.regexp_replace(F.lower(F.substring("text", 1, 24)),
+                             "[^a-z ]", "")
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", clean.alias("_clean"))
+            .where(F.length("_clean") > 0)
+            .select("doc_id",
+                    F.expr("filter(split(_clean, ''), x -> x != '')")
+                    .alias("syms")))
+    enc = search.bpe_encode(docs, _BPE_ENCODE_MERGES)
+    return (enc.select("doc_id",
+                       F.size("tokens").cast("long").alias("n_tokens"),
+                       F.array_join("tokens", "|").alias("encoded"))
+            .orderBy("doc_id"))
+
+
+def _bpe_encode_sql() -> str:
+    s = ("'||' || regexp_replace(regexp_replace(lower(substr(text, 1, 24)),"
+         " '[^a-z ]', '', 'g'), '(.)', '\\0||', 'g')")
+    for _, left, right, merged in _BPE_ENCODE_MERGES:
+        s = f"replace({s}, '|{left}||{right}|', '|{merged}|')"
+    return f"""
+WITH c AS (
+  SELECT doc_id, {s} AS s
+  FROM documents
+  WHERE length(regexp_replace(lower(substr(text, 1, 24)),
+                              '[^a-z ]', '', 'g')) > 0),
+e AS (
+  SELECT doc_id, replace(substr(s, 3, length(s) - 4), '||', '|') AS encoded
+  FROM c)
+SELECT doc_id,
+       CAST(length(encoded) - length(replace(encoded, '|', '')) + 1
+            AS BIGINT) AS n_tokens,
+       encoded
+FROM e ORDER BY doc_id
+"""
+
+
 def q_anchor_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per link target (ops/linkgraph.py
     anchor_stats): in-degree, distinct sources, and top-3 anchors by
@@ -3954,6 +4014,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_score_docs": (q_lm_score_docs, _LM_SCORE_SQL),
     "lm_tier_docs": (q_lm_tier_docs, _LM_TIER_SQL),
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
+    "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
     # -- training-data pipeline ops --
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
