@@ -217,17 +217,67 @@ def test_symbol_beyond_alphabet_refuses():
         WB.decode_webp(_raw_stream(2, 1, bits))
 
 
-def test_lossy_webp_classified_stubbed_not_error(spark):
+def _vp8_keyframe_webp(w: int, h: int) -> bytes:
+    """Hand-built RFC 6386 §9.1 lossy WebP: 3-byte frame tag (keyframe,
+    version 0, show_frame, zero partition size), the 9d 01 2a start
+    code, then 14-bit width/height in two LE uint16s (upscale bits 0)."""
+    frame = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+             + struct.pack("<HH", w, h))
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8x_webp(w: int, h: int, inner: bytes = b"") -> bytes:
+    head = (b"\x00" + b"\x00" * 3
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    chunk = b"VP8X" + struct.pack("<I", len(head)) + head + inner
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_lossy_webp_dimensions_from_public_headers(spark):
+    """VP8/VP8X metadata parses from the RFC 6386/9649 headers (the
+    dominant wild-WebP case un-stubbed); malformed payloads stay error
+    rows; VP8X wrapping a VP8L stream still gets the FULL decode."""
     import pandas as pd
     from tuatara_spark.ops import multimodal as mm
-    lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
-             + b"VP8 " + struct.pack("<I", 0))
+    img = np.full((8, 10, 3), 200, np.uint8)
+    vp8l = WB.encode_webp(img)
+    # re-wrap the VP8L chunk inside a VP8X container
+    body = _vp8x_webp(10, 8)[12:] + vp8l[12:]
+    vp8x_wrapped = (b"RIFF" + struct.pack("<I", 4 + len(body))
+                    + b"WEBP" + body)
+    truncated = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+                 + b"VP8 " + struct.pack("<I", 0))
     junk = b"RIFF" + b"\x00" * 16
     df = spark.createDataFrame(pd.DataFrame(
-        {"url": ["lossy", "junk"], "html": [lossy, junk]}))
-    got = {r.url: r.format for r in
-           mm.extract_media_meta(df).collect()}
-    assert got["lossy"] == "stubbed"     # valid-but-unsupported codec
+        {"url": ["vp8", "vp8x", "vp8x_vp8l", "trunc", "junk"],
+         "html": [_vp8_keyframe_webp(640, 480), _vp8x_webp(1920, 1080),
+                  vp8x_wrapped, truncated, junk]}))
+    got = {r.url: r for r in mm.extract_media_meta(df).collect()}
+    assert (got["vp8"].format, got["vp8"].width, got["vp8"].height) == \
+        ("webp-vp8", 640, 480)
+    assert got["vp8"].mean_luma is None          # header parse, no pixels
+    assert (got["vp8x"].format, got["vp8x"].width, got["vp8x"].height) == \
+        ("webp-vp8x", 1920, 1080)
+    assert (got["vp8x_vp8l"].format, got["vp8x_vp8l"].width,
+            got["vp8x_vp8l"].height) == ("webp", 10, 8)
+    assert got["vp8x_vp8l"].mean_luma is not None  # real decode
+    assert got["trunc"].format == "error"        # no keyframe header
+    # non-WEBP RIFF routes to the audio operator's documented stub
+    assert got["junk"].format == "stubbed"
+
+
+def test_vp8_14bit_dimension_mask():
+    """The upscale hint bits above the 14-bit size must be masked out."""
+    from tuatara_spark.ops import multimodal as mm
+    raw = _vp8_keyframe_webp(0, 0)
+    # splice in width 0x3FFF with upscale bits set (0xFFFF)
+    frame = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+             + struct.pack("<HH", 0xFFFF, 0xBFFE))
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    buf = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert mm._webp_lossy_dims(buf) == ("webp-vp8", 0x3FFF, 0x3FFE)
+    assert mm._webp_lossy_dims(raw) == ("webp-vp8", 0, 0)
 
 
 def test_rle_backrefs_compress_runs():

@@ -129,6 +129,51 @@ META_SCHEMA = StructType([
 ])
 
 
+def _webp_lossy_dims(buf: bytes) -> tuple[str, int, int] | None:
+    """Dimensions of a lossy/extended WebP from its public headers —
+    no pixel decode. One pass over the top-level RIFF chunks:
+
+    * a VP8L chunk anywhere → None (the full clean-room VP8L decoder
+      owns that file, including VP8L wrapped in a VP8X container);
+    * else a "VP8 " chunk → RFC 6386 §9.1 uncompressed frame header:
+      3-byte frame tag, keyframe start code 9d 01 2a, then 14-bit
+      width and height in the low bits of two LE uint16s (the high
+      2 bits are upscale hints, not size);
+    * else a VP8X chunk → RFC 9649 §2.5 extended header: flags(1) +
+      reserved(3) + 24-bit LE canvas_width−1 / canvas_height−1
+      (covers animations/fragments where no single VP8 frame exists).
+
+    Malformed chunks (truncated header, missing start code, no image
+    chunk at all) raise ValueError → an ``error`` row, never a task
+    failure."""
+    chunks: dict[bytes, bytes] = {}
+    off = 12
+    while off + 8 <= len(buf):
+        fourcc = buf[off:off + 4]
+        size = int.from_bytes(buf[off + 4:off + 8], "little")
+        if size > len(buf):
+            raise ValueError("webp: implausible chunk size")
+        chunks.setdefault(fourcc, buf[off + 8:off + 8 + size])
+        off += 8 + size + (size & 1)   # chunks are 2-byte aligned
+    if b"VP8L" in chunks:
+        return None
+    if b"VP8 " in chunks:
+        p = chunks[b"VP8 "]
+        if len(p) < 10 or p[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("vp8: missing keyframe start code")
+        w = int.from_bytes(p[6:8], "little") & 0x3FFF
+        h = int.from_bytes(p[8:10], "little") & 0x3FFF
+        return ("webp-vp8", w, h)
+    if b"VP8X" in chunks:
+        p = chunks[b"VP8X"]
+        if len(p) < 10:
+            raise ValueError("vp8x: truncated extended header")
+        w = int.from_bytes(p[4:7], "little") + 1
+        h = int.from_bytes(p[7:10], "little") + 1
+        return ("webp-vp8x", w, h)
+    raise ValueError("webp: no image chunk")
+
+
 def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]:
     if buf[:4] == fx.TPAGE_MAGIC:
         img = fx.decode_tpage(buf)
@@ -164,12 +209,14 @@ def _decode_meta(buf: bytes) -> tuple[str, int | None, int | None, float | None]
         return ("tiff", img.shape[1], img.shape[0],
                 float(img.mean(dtype=np.float64)))
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-        if b"VP8L" not in buf:
-            # well-formed lossy/extended webp: a CODEC stub (out of the
-            # clean-room VP8L scope), not a malformed payload — keep the
-            # stubbed-vs-error classification contract intact
-            raise NotImplementedError(
-                "webp: lossy VP8 / VP8X out of clean-room scope")
+        lossy = _webp_lossy_dims(buf)
+        if lossy is not None:
+            # lossy VP8 / extended VP8X: dimensions from the public
+            # headers (RFC 6386 §9.1 / RFC 9649 §2.5) — the dominant
+            # wild-WebP case. Pixel decode stays out of clean-room
+            # scope, so mean_luma is None (metadata row, not a stub).
+            fmt, w, h = lossy
+            return (fmt, w, h, None)
         from tuatara_spark.ref.webp import decode_webp
         img = decode_webp(buf)
         return ("webp", img.shape[1], img.shape[0],

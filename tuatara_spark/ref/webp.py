@@ -832,8 +832,10 @@ def decode_webp(buf: bytes) -> np.ndarray:
         if tag == b"VP8L":
             payload = buf[pos + 8:pos + 8 + size]
             break
-        if tag == b"VP8 " or tag == b"VP8X":
-            raise ValueError("webp: lossy VP8 / extended not supported")
+        if tag == b"VP8 ":
+            raise ValueError("webp: lossy VP8 not supported")
+        # VP8X is just the extended-features envelope — a VP8L chunk
+        # later in the container still decodes losslessly; keep walking
         pos += 8 + size + (size & 1)
     if payload is None or not payload or payload[0] != _SIG:
         raise ValueError("webp: no VP8L chunk / bad signature")
