@@ -221,6 +221,7 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("inverted_index_docs", Q.q_inverted_index_docs),
         ("hits_hosts", Q.q_hits_hosts),
         ("bpe_encode_docs", Q.q_bpe_encode_docs),
+        ("exact_substr_docs", Q.q_exact_substr_docs),
     ]
     from tuatara_spark.ops import dedup as _dd
 

@@ -1303,3 +1303,65 @@ def test_to_markdown_source_newlines_not_structural(spark):
         "doc_id long, html string")
     out = htmlx.to_markdown(df).collect()[0].markdown
     assert out == "a b\n\n<p>"
+
+
+def test_exact_substr_spans_hand_computed(spark):
+    """ExactSubstr (Lee et al. 2021 family): keep-first canonical,
+    maximal span merge, internal repetition, full-document trim."""
+    from tuatara_spark.ops import dedup
+    rows = [
+        (0, "a b c d e f g h tail0"),            # canonical copy kept
+        (1, "x y a b c d e f g h tail1"),        # shared 8-run at pos 2
+        (2, "p q r s t u v w"),                  # canonical for 3 and 5
+        (3, "p q r s t u v w p q r s t u v w"),  # both copies duplicate
+        (4, "one two three"),                    # shorter than L: no-op
+        (5, "m n o p q r s t u v w z"),          # run mid-document
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.exact_substr_dedup(df, min_tokens=8).collect()}
+    assert (got[0].n_spans, got[0].dedup_text) == (0, "a b c d e f g h tail0")
+    assert (got[1].spans_str, got[1].dedup_text) == ("2:10", "x y tail1")
+    assert got[2].n_spans == 0
+    # doc 3: both its copies duplicate doc 2's canonical -> whole doc out
+    assert (got[3].spans_str, got[3].n_removed, got[3].dedup_text) == \
+        ("0:16", 16, "")
+    assert got[4].n_spans == 0
+    assert (got[5].spans_str, got[5].dedup_text) == ("3:11", "m n o z")
+
+
+def test_exact_substr_internal_repetition_and_overlap_merge(spark):
+    from tuatara_spark.ops import dedup
+    # one doc, phrase of 10 tokens repeated -> second copy trimmed via
+    # 3 overlapping duplicate shingles merging into one maximal span
+    phrase = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    df = spark.createDataFrame([(0, phrase + " " + phrase)],
+                               "doc_id long, text string")
+    got = dedup.exact_substr_dedup(df, min_tokens=8).collect()[0]
+    assert (got.n_spans, got.spans_str) == (1, "10:20")
+    assert got.dedup_text == phrase
+    # whitespace-normalization: tabs/newlines don't shift positions
+    df2 = spark.createDataFrame([(0, phrase + "\n\t " + phrase)],
+                                "doc_id long, text string")
+    assert dedup.exact_substr_dedup(df2, min_tokens=8).collect()[0] \
+        .spans_str == "10:20"
+
+
+def test_exact_substr_plan_no_pairs(spark):
+    """The scale contract: no pair stage anywhere — no cartesian, no
+    self-join fan-out, no Python; the canonical groupBy partial-
+    aggregates map-side before its shuffle."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import dedup
+    df = spark.createDataFrame([(0, "a b c d e f g h")],
+                               "doc_id long, text string")
+    out = dedup.exact_substr_dedup(df, min_tokens=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    assert "partial_min_by" in plan or "partial" in plan

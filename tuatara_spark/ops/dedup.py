@@ -529,3 +529,116 @@ def hamming_pairs64(sig_df: DataFrame, id_col: str = "doc_id",
             .filter(ham <= max_hamming)
             .select("id_a", "id_b", ham.alias("hamming"))
             .distinct())
+
+
+# ------------------------------------------------------- exact substring ----
+
+def exact_substr_spans(df: DataFrame, min_tokens: int = 50,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       key_of=None) -> DataFrame:
+    """Cross-document exact-substring duplicate spans — the ExactSubstr
+    method of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", public arXiv 2107.06499), re-expressed for
+    Spark without the suffix array and WITHOUT ever materializing
+    candidate pairs.
+
+    Semantics (stated exactly): text is whitespace-tokenized; any
+    duplicated substring of ≥ ``min_tokens`` tokens shares every one of
+    its L-token shingles, so duplicated-substring coverage equals the
+    union of duplicated-shingle extents. The FIRST occurrence of each
+    distinct shingle — minimum (doc_id, position) corpus-wide — is
+    canonical and keeps its text; every other occurrence marks its
+    ``[pos, pos+L)`` token range as duplicate. Overlapping/adjacent
+    ranges merge per document into maximal spans, which is exactly the
+    maximal shared-substring trim: a shared run of M ≥ L tokens yields
+    M−L+1 marked shingles whose union is the whole run. Internal
+    repetition (a document repeating its own text) dedups the same way.
+
+    Scale shape (the part that must survive 100 TB): there is NO pair
+    stage anywhere — a shingle shared by F occurrences costs F rows,
+    never F², so boilerplate shingles shared by millions of documents
+    need no caps. One shuffle groups occurrences by 60-bit shingle key
+    (``min_by`` partial-aggregates map-side, so hot keys collapse per
+    upstream partition before moving); the canonical row then joins
+    back occurrence rows on the same key — 1-row build side per key,
+    skew-immune. Span merging is an in-row fold over each document's
+    own sorted duplicate starts. Only shingle KEYS shuffle (8 bytes),
+    never the L-token shingle strings.
+
+    ``key_of`` maps the shingle string column to its join key; default
+    ``xxhash64`` (production). The oracle query passes the portable
+    md5-based 60-bit key so DuckDB computes bit-identical keys.
+    Collisions conflate two shingles at ~2⁻⁶⁰: accepted and documented
+    (Lee et al.'s BigQuery variant makes the same trade).
+
+    → (id_col, spans: array<struct<start int, end int>>) — documents
+    with at least one duplicate span; positions are token indices.
+    """
+    L = int(min_tokens)
+    if key_of is None:
+        key_of = F.xxhash64
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
+               "x -> x != '')").alias("_toks"))
+    sh = toks.select(
+        "_id",
+        F.posexplode(F.expr(
+            f"if(size(_toks) < {L}, cast(array() as array<string>), "
+            f"transform(sequence(1, size(_toks) - {L - 1}), "
+            "i -> array_join(slice(_toks, i, " + str(L) + "), ' ')))"
+        )).alias("_pos", "_sh"))
+    occ = sh.select("_id", "_pos", key_of(F.col("_sh")).alias("_key"))
+    canon = (occ.groupBy("_key")
+             .agg(F.min_by(F.struct("_id", "_pos"),
+                           F.struct("_id", "_pos")).alias("_first"),
+                  F.count("*").alias("_n"))
+             .where(F.col("_n") >= 2)
+             .select("_key", "_first"))
+    dups = (occ.join(canon, "_key")
+            .where((F.col("_id") != F.col("_first._id"))
+                   | (F.col("_pos") != F.col("_first._pos")))
+            .select("_id", "_pos"))
+    merge = F.expr(
+        "aggregate(sort_array(collect_list(_pos)), "
+        "cast(array() as array<struct<start:int,end:int>>), "
+        "(acc, p) -> if(size(acc) > 0 AND p <= element_at(acc, -1).end, "
+        "  concat(slice(acc, 1, size(acc) - 1), "
+        f"   array(named_struct('start', element_at(acc, -1).start, "
+        f"                      'end', greatest(element_at(acc, -1).end, p + {L})))), "
+        f"  concat(acc, array(named_struct('start', p, 'end', p + {L})))))")
+    return (dups.groupBy("_id").agg(merge.alias("spans"))
+            .select(F.col("_id").alias(id_col), "spans"))
+
+
+def exact_substr_dedup(df: DataFrame, min_tokens: int = 50,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       key_of=None) -> DataFrame:
+    """ExactSubstr trim: every document with its duplicate spans cut
+    out. → (id_col, n_spans, n_removed, spans_str "s:e s:e …",
+    dedup_text). Documents with no duplicate span pass through with the
+    whitespace-normalized text (tokens joined by single spaces — the
+    tokenization both the spans and the rebuild are defined over).
+    Cost of the trim filter is O(n_tokens × n_spans) per row in one
+    projection; n_spans is small by construction (spans are maximal)."""
+    spans = exact_substr_spans(df, min_tokens=min_tokens,
+                               text_col=text_col, id_col=id_col,
+                               key_of=key_of)
+    toks = df.select(
+        F.col(id_col),
+        F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
+               "x -> x != '')").alias("_toks"))
+    j = toks.join(spans, id_col, "left").withColumn(
+        "spans", F.coalesce(
+            F.col("spans"),
+            F.expr("cast(array() as array<struct<start:int,end:int>>)")))
+    kept = F.expr("filter(_toks, (t, i) -> NOT exists(spans, "
+                  "s -> i >= s.start AND i < s.end))")
+    return j.select(
+        F.col(id_col),
+        F.size("spans").alias("n_spans"),
+        F.expr("aggregate(spans, 0L, (a, s) -> a + s.end - s.start)")
+        .alias("n_removed"),
+        F.expr("array_join(transform(spans, "
+               "s -> concat(s.start, ':', s.end)), ' ')").alias("spans_str"),
+        F.array_join(kept, " ").alias("dedup_text"))

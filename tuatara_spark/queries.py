@@ -523,6 +523,104 @@ FROM documents ORDER BY doc_id
 """
 
 
+_ESUB_PLANT1 = (" alpha beta gamma delta epsilon zeta eta theta iota"
+                " kappa")
+_ESUB_PLANT2 = (" p1 p2 p3 p4 p5 p6 p7 p8"
+                " p1 p2 p3 p4 p5 p6 p7 p8")
+
+
+def q_exact_substr_docs(spark, sf_dir):
+    """Cross-document exact-substring dedup (ops/dedup.py
+    exact_substr_dedup — the Lee et al. 2021 ExactSubstr family) over
+    documents with PLANTED shared substrings: every doc_id % 7 == 3 row
+    gains the same 10-token phrase (the lowest such doc_id keeps it —
+    keep-first), and every doc_id % 11 == 5 row repeats an 8-token run
+    twice (internal repetition; second copy trimmed). L = 8 tokens.
+    Natural 8-gram duplicates in the corpus dedup identically in both
+    engines. The portable 60-bit md5 shingle key replaces the
+    production xxhash64 so DuckDB computes bit-identical keys; the
+    oracle rebuilds duplicate coverage by expanding marked shingles to
+    token positions and running the gaps-and-islands span merge."""
+
+    def key_of(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 3,
+                   F.lit(_ESUB_PLANT1)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 5,
+                   F.lit(_ESUB_PLANT2)).otherwise(F.lit(""))
+        ).alias("text"))
+    return (dedup.exact_substr_dedup(docs, min_tokens=8, key_of=key_of)
+            .orderBy("doc_id"))
+
+
+_EXACT_SUBSTR_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 3 THEN '{_ESUB_PLANT1}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 5 THEN '{_ESUB_PLANT2}' ELSE '' END
+           AS text
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM corpus),
+sh AS (
+  SELECT t.doc_id, i.g - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(t.toks[i.g:i.g+7],
+                                                  ' ')), 1, 15))
+              AS BIGINT) AS key
+  FROM t, UNNEST(range(1, len(t.toks) - 6)) AS i(g)),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY doc_id, pos) AS rn
+  FROM sh),
+cov AS (
+  SELECT DISTINCT doc_id, pos + p.g AS cpos
+  FROM r, UNNEST(range(0, 8)) AS p(g)
+  WHERE rn > 1),
+isl AS (
+  SELECT doc_id, cpos,
+         cpos - row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cpos) AS grp
+  FROM cov),
+spans AS (
+  SELECT doc_id, min(cpos) AS s, max(cpos) + 1 AS e
+  FROM isl GROUP BY doc_id, grp),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS n_removed,
+         string_agg(s || ':' || e, ' ' ORDER BY s) AS spans_str
+  FROM spans GROUP BY doc_id),
+tokpos AS (
+  SELECT t.doc_id, i.g - 1 AS pos, t.toks[i.g] AS tok
+  FROM t, UNNEST(range(1, len(t.toks) + 1)) AS i(g)),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.cpos
+  WHERE cov.cpos IS NULL),
+ded AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(a.spans_str, '') AS spans_str,
+       coalesce(d.dedup_text, '') AS dedup_text
+FROM t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN ded d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact character-3-gram Jaccard near-dup pairs — lossless prefix
     filtering, byte-equal to the oracle's quadratic all-pairs join."""
@@ -4034,6 +4132,7 @@ REGISTRY: dict[str, tuple] = {
                                _MINHASH_PRECISION_SQL),
     "simhash_recall_gate": (q_simhash_recall_gate, _SIMHASH_GATE_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL),
+    "exact_substr_docs": (q_exact_substr_docs, _EXACT_SUBSTR_SQL),
     # -- similarity gates --
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
     "ann_ivf_determinism": (q_ann_ivf_determinism, _IVF_DETERMINISM_SQL),
