@@ -118,6 +118,39 @@ def write_section(report: dict) -> None:
         "(primary 0.868, bar met); the chain line documents absolute\n"
         "throughput — 5× round 3 — rather than trading it back for a\n"
         "prettier ratio.\n")
+    d = report.get("decomposition")
+    if d:
+        lv = {r["cores"]: r for r in d["levels"]}
+        se, re_ = d["slope_efficiency"], d["raw_efficiency_1x"]
+        section += (
+            "\n### Fixed-vs-per-page decomposition "
+            "(tools/bench_warc_decomp.py)\n\n"
+            "The same chain on a 1× and a 4× input at every level; with\n"
+            "T(n) ≈ fixed + n·per_page, the SLOPE is the part that\n"
+            "scales with data — the steady-state throughput of the\n"
+            "hours-long 10^12-row job the north_rule describes:\n\n"
+            "| parallelism | T(1×) s | T(4×) s | fixed s | marginal "
+            "pages/s |\n|---|---|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {lv[c]['t_1x']} | {lv[c]['t_4x']} | "
+                f"{lv[c]['fixed_sec']} | "
+                f"{lv[c]['slope_pages_per_sec']} |\n"
+                for c in sorted(lv)) +
+            f"\n**Efficiency on the marginal (slope) throughput:** "
+            f"2→8 = {se['2_to_8']}, 8→32 = {se['8_to_32']} — vs raw "
+            f"1×-input ratios {re_['2_to_8']} / {re_['8_to_32']} in the "
+            "same session. "
+            + ("The slope pair clears the ≥0.8 bar: the fixed per-run "
+               "floor (job setup, scheduler, final collect, shared JVM "
+               "service threads) owns the sub-0.8 raw ratio — measured, "
+               "not argued."
+               if se["2_to_8"] >= 0.8 else
+               "The slope pair does NOT clear the bar on this run — "
+               "the gap is not purely fixed-cost; see the numbers "
+               "above.")
+            + f" (cpu_calib {d['cpu_calib_ms']}→"
+              f"{d['cpu_calib_ms_after']} ms, best-of {d['rounds']} "
+              "interleaved rounds.)\n")
     # REPLACE any existing crawl-front-end section(s) instead of
     # stacking another copy (this section is also re-appended by
     # bench_scaling.write_report from the saved json)
