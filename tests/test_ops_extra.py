@@ -1365,3 +1365,65 @@ def test_exact_substr_plan_no_pairs(spark):
                 "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
     assert "partial_min_by" in plan or "partial" in plan
+
+
+def test_justext_hand_computed(spark):
+    """JusText classification: link-density bad, stopword-density good,
+    short-block promotion by nearest non-short neighbor, no promotion
+    between bad neighbors."""
+    from tuatara_spark.ops import htmlx
+    html = ('<html><body>'
+            '<div><a href="/">home</a> <a href="/a">about</a></div>'
+            '<p>the cat sat on the mat and it was a fine day for all'
+            ' of us</p>'
+            '<p>tiny caption here</p>'
+            '<p>x1 x2 x3 x4 x5 x6 x7 x8 x9 x10</p>'
+            '<p>stranded bit</p>'
+            '<div>c 2026 <a href="/t">terms</a></div>'
+            '</body></html>')
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    r = htmlx.justext_extract(df).collect()[0]
+    # good: the prose block; promoted: 'tiny caption here' (prev good);
+    # NOT promoted: 'stranded bit' (prev = stopword-free bad, next =
+    # link-dense bad); 6 non-empty blocks total
+    assert (r.n_blocks, r.n_good) == (6, 2)
+    assert r.main_text == ("the cat sat on the mat and it was a fine"
+                           " day for all of us tiny caption here")
+
+
+def test_justext_next_neighbor_promotion_and_empty_doc(spark):
+    from tuatara_spark.ops import htmlx
+    # short block BEFORE the good block promotes via the NEXT neighbor
+    html = ('<p>short lead</p>'
+            '<p>this is a fine piece of prose that it was for the'
+            ' reader</p>')
+    df = spark.createDataFrame(
+        [("a", html), ("b", "<p></p><p> </p>")],
+        "url string, html string")
+    got = {r.url: r for r in htmlx.justext_extract(df).collect()}
+    assert got["a"].n_good == 2
+    assert got["a"].main_text.startswith("short lead this is a fine")
+    # all-empty doc: no non-empty blocks -> no row (both engines drop)
+    assert "b" not in got
+
+
+def test_justext_plan_shapes(spark):
+    """One url-keyed exchange feeds both context windows and the final
+    aggregation; no Python, no cartesian."""
+    import contextlib
+    import io
+    import re
+    from tuatara_spark.ops import htmlx
+    df = spark.createDataFrame([("u", "<p>a b c</p>")],
+                               "url string, html string")
+    out = htmlx.justext_extract(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    # exactly one exchange hashes on the url key: windows + final
+    # groupBy all reuse it
+    assert len(re.findall(r"hashpartitioning\(url#\d+, \d+\)", plan)) == 1

@@ -201,9 +201,10 @@ def _scored_blocks(df: DataFrame, col: str, key_col: str,
     txt = F.regexp_replace(txt, TAG_RE, " ")
     txt = F.trim(F.regexp_replace(txt, WS_RE, " "))
     return (exploded.withColumn("block_text", txt)
+            .withColumn("n_links", n_links)
             .withColumn("score",
                         F.length("block_text")
-                        - F.lit(link_penalty) * n_links)
+                        - F.lit(link_penalty) * F.col("n_links"))
             .drop("_raw"))
 
 
@@ -291,3 +292,95 @@ def extract_links(df: DataFrame, col: str = "html",
     return out.select(key_col, "link_pos",
                       href.alias("href"),
                       anchor_txt.alias("anchor"))
+
+
+# the high-frequency English function words JusText-style stopword
+# density keys on; a fixed tuple so the Spark expression and the
+# generated oracle SQL share one source of truth
+JUSTEXT_STOPWORDS = ("the", "of", "and", "to", "in", "a", "is", "that",
+                     "it", "for", "on", "with", "as", "was", "at", "by",
+                     "be", "this", "are", "from")
+JUSTEXT_LENGTH_LOW = 8      # words: below this a block is 'short'
+JUSTEXT_STOP_PCT = 30       # percent: stopword density for 'good'
+JUSTEXT_LINK_RATIO = 5      # links*ratio >= words ⇒ link-dense 'bad'
+
+
+def justext_extract(df: DataFrame, col: str = "html",
+                    key_col: str = "url",
+                    length_low: int = JUSTEXT_LENGTH_LOW,
+                    stop_pct: int = JUSTEXT_STOP_PCT,
+                    link_ratio: int = JUSTEXT_LINK_RATIO) -> DataFrame:
+    """JusText-style context-sensitive block classification (Pomikálek
+    2011, "Removing boilerplate and duplicate content from web corpora"
+    — the public thesis behind the justext library): stopword density
+    separates prose from boilerplate, and SHORT blocks inherit their
+    neighborhood's judgment instead of being scored on too little
+    evidence. The repo's third main-content extractor, adding the
+    stopword dimension and the context pass that main_block/main_chain
+    (pure text-vs-link density) do not have.
+
+    Semantics, integer-exact and stated precisely:
+
+    * blocks = the same split/strip as main_block (shared
+      `_scored_blocks`); empty blocks are dropped before classification;
+      words = space-separated tokens of the stripped text, lowercased
+      for the stopword test;
+    * context-free pass, first match wins::
+
+          bad    if n_links · link_ratio ≥ n_words     (link-dense)
+          short  if n_words < length_low
+          good   if n_stop · 100 ≥ stop_pct · n_words  (prose density)
+          bad    otherwise
+
+    * context pass: a short block becomes good iff its NEAREST
+      non-short neighbor in either direction is good (the thesis's
+      near-good promotion collapsed to one deterministic rule).
+
+    → (key, n_blocks, n_good, main_text): counts over surviving blocks
+    and the good blocks' text joined in document order ('' when none).
+
+    Shuffle shape (100 TB): one url-keyed exchange feeds BOTH context
+    windows and the final aggregation (same partitioning, planned once)
+    — the same shape as main_chain, reusing the job's url-hash
+    partitioning in-pipeline; blocks of a url are bounded by page size.
+    No Python anywhere; the whole classifier is codegen'd conditionals.
+    """
+    scored = _scored_blocks(df, col, key_col, 10)
+    stop_arr = F.array(*[F.lit(wd) for wd in JUSTEXT_STOPWORDS])
+    words = F.expr("filter(split(lower(block_text), ' '), x -> x != '')")
+    b = (scored.where(F.col("block_text") != "")
+         .withColumn("_words", words)
+         .withColumn("n_words", F.size("_words"))
+         .withColumn("n_stop", F.size(F.filter(
+             F.col("_words"), lambda wd: F.array_contains(stop_arr, wd))))
+         .drop("_words"))
+    cls = (F.when(F.col("n_links") * link_ratio >= F.col("n_words"),
+                  F.lit("bad"))
+           .when(F.col("n_words") < length_low, F.lit("short"))
+           .when(F.col("n_stop") * 100 >= stop_pct * F.col("n_words"),
+                 F.lit("good"))
+           .otherwise(F.lit("bad")))
+    b = b.withColumn("cls", cls)
+    from pyspark.sql import Window
+    prev_w = (Window.partitionBy(key_col).orderBy("block_idx")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    next_w = (Window.partitionBy(key_col).orderBy("block_idx")
+              .rowsBetween(1, Window.unboundedFollowing))
+    nonshort = F.when(F.col("cls") != "short", F.col("cls"))
+    b = (b.withColumn("_prev", F.last(nonshort, ignorenulls=True)
+                      .over(prev_w))
+         .withColumn("_next", F.first(nonshort, ignorenulls=True)
+                     .over(next_w)))
+    final_good = ((F.col("cls") == "good")
+                  | ((F.col("cls") == "short")
+                     & ((F.col("_prev") == "good")
+                        | (F.col("_next") == "good"))))
+    b = b.withColumn("_good", final_good)
+    return (b.groupBy(key_col)
+            .agg(F.count("*").cast("long").alias("n_blocks"),
+                 F.sum(F.col("_good").cast("long")).alias("n_good"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.when(
+                         F.col("_good"),
+                         F.struct("block_idx", "block_text")))),
+                     lambda s: s.block_text)).alias("main_text")))
