@@ -32,6 +32,10 @@ sys.path.insert(0, REPO_ROOT)
 
 LEVELS = (2, 8, 32)
 ROUNDS = 2
+REPS = 2  # in-JVM reps per (level, input) — the FIRST execution of a
+# plan shape in a fresh JVM carries one-time codegen/worker-alloc cost
+# (measured: 16-24 s vs 4.5-6.5 s steady at local[32] on the 4× input);
+# the criterion is steady-state throughput, so best-of in-JVM reps
 SF_1X = 8.0
 SF_4X = 32.0
 BODY_TOKENS = 200
@@ -55,12 +59,13 @@ def main() -> None:
             spark.sparkContext.setLogLevel("ERROR")
             chain(spark, path_1x)          # warm-up, excluded
             for tag, path in (("1x", path_1x), ("4x", path_4x)):
-                t0 = time.time()
-                n = chain(spark, path)
-                dt = time.time() - t0
-                pages[tag] = int(n)
                 key = (cores, tag)
-                best[key] = min(best.get(key, float("inf")), dt)
+                for _ in range(REPS):
+                    t0 = time.time()
+                    n = chain(spark, path)
+                    dt = time.time() - t0
+                    pages[tag] = int(n)
+                    best[key] = min(best.get(key, float("inf")), dt)
             spark.stop()
     calib_after = cpu_calibration_ms()
 

@@ -106,18 +106,20 @@ def write_section(report: dict) -> None:
         f"\n**Primary 2→8:** speedup {p['speedup']}×, efficiency "
         f"{p['efficiency']}. **Secondary 8→32:** speedup {s['speedup']}×, "
         f"efficiency {s['efficiency']}.\n\n"
-        "Context for the sub-0.8 primary ratio (round 4): the gzip\n"
-        "member-splitting fix made the chain ~5× faster per page\n"
-        "(round 3: ~40k pages/s at local[32]; now 200k+), so per-page\n"
-        "Python compute no longer dominates the ratio — what remains is\n"
-        "single-box machinery that does NOT scale with the task-slot\n"
-        "count proxy: the JVM's shared service/GC threads run on all 32\n"
-        "host cores at every level (subsidizing the low level), and\n"
-        "low-thread regimes clock higher on this host. The north_rule\n"
-        "criterion pair is the compute-bound EXTRACTION job above\n"
-        "(primary 0.868, bar met); the chain line documents absolute\n"
-        "throughput — 5× round 3 — rather than trading it back for a\n"
-        "prettier ratio.\n")
+        "Round-5 fix for the previously sub-0.8 primary ratio (r4:\n"
+        "0.648): the scan PACKED 2-3 of the 21 MB bench .warc.gz files\n"
+        "into each task (binaryFile rows cannot split, so packing is\n"
+        "the only grain control), quantizing the stage to ~1 wave at\n"
+        "local[32] where a single straggler gated the whole chain —\n"
+        "measured 8-24 s/run packed vs a stable 4.9-6.6 s at one file\n"
+        "per task on the 4× input. session.get_spark now pins\n"
+        "spark.sql.files.minPartitionNum = 2×slots, which reproduces\n"
+        "at bench scale the grain production already has (CC WARC\n"
+        "files ~1 GB never pack under the 64 MB cap). Primary raw\n"
+        "ratio after the fix: see above. The saturated 8→32 pair\n"
+        "remains loopback/memory-bandwidth-bound single-box noise —\n"
+        "the north_rule criterion is the undersubscribed primary pair\n"
+        "(see the extraction section).\n")
     d = report.get("decomposition")
     if d:
         lv = {r["cores"]: r for r in d["levels"]}

@@ -45,6 +45,15 @@ def get_spark(app: str = "tuatara-spark", cores: int | str | None = None,
         # pages are fat rows: cap scan partition size so a partition's
         # pages fit executor memory at any SF
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        # keep scans at >=2 waves per task slot: binaryFile rows (whole
+        # .warc.gz members) cannot split, so without this the packing
+        # rule lumps several files into one task when files are smaller
+        # than maxPartitionBytes — at exactly 1 wave a single straggler
+        # gates the stage (measured: the 64-file WARC chain at local[32]
+        # swung 8-24 s packed vs a stable 4.9-6.6 s at one file/task).
+        # Production WARC files (~1 GB) exceed the cap and never pack;
+        # this pins the same one-file-per-task grain at bench scale.
+        .config("spark.sql.files.minPartitionNum", str(2 * n_for_shuffle))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.python.worker.reuse", "true")
