@@ -1427,3 +1427,132 @@ def test_justext_plan_shapes(spark):
     # exactly one exchange hashes on the url key: windows + final
     # groupBy all reuse it
     assert len(re.findall(r"hashpartitioning\(url#\d+, \d+\)", plan)) == 1
+
+
+def _tier_fixture(spark):
+    """Five hand-designed pages exercising every pipeline disposition.
+    A and X share NO bigrams, so A's LM score is exactly computable and
+    X (scored under the A-only trained model) is all-OOV → 0."""
+    A = "this tree is green and green is this tree here by this"
+    X = "the cat sat on the mat and it was a fine day for all of us"
+    rows = [
+        (10, "en", f"<p>{A}</p>"),                      # unique prose
+        (11, "en", f"<p>{X}</p>"),                      # dup keeper
+        (13, "en", f"<p>{X}</p>"),                      # dup copy
+        (14, "fr", f"<p>{X}</p>"),                      # wrong lang
+        (15, "en", '<div><a href="/">x</a> nav</div>'),  # link-dense
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, html string")
+
+
+def test_tier_extract_hand_computed(spark):
+    """All five stages verified value-for-value: JusText gate, language
+    gate, dedup keep-first, LM training on the even-id survivor (10),
+    integer scores (A: 8e6 div 11 bigram instances = 727272; X: all
+    OOV = 0) and the 2-survivor rank split head/middle."""
+    from tuatara_spark.ops import tier
+    got = {r.doc_id: r for r in
+           tier.tier_extract(_tier_fixture(spark)).collect()}
+    assert len(got) == 5
+    assert (got[10].n_words, got[10].score_e6, got[10].tier) == \
+        (12, 727272, "head")
+    assert (got[11].n_words, got[11].score_e6, got[11].tier) == \
+        (16, 0, "middle")
+    assert (got[13].score_e6, got[13].tier) == (-1, "dropped_dup")
+    assert (got[14].score_e6, got[14].tier) == (-1, "dropped_lang")
+    assert (got[15].n_words, got[15].score_e6, got[15].tier) == \
+        (0, -1, "dropped_quality")
+
+
+def test_tier_extract_min_words_guard(spark):
+    import pytest as _pt
+    from tuatara_spark.ops import tier
+    with _pt.raises(ValueError):
+        tier.tier_extract(_tier_fixture(spark), min_words=1)
+
+
+def test_tier_extract_plan_shapes(spark):
+    """The composed pipeline stays JVM-side end-to-end: no Python
+    evaluation, no cartesian products, and the pruned LM joins back as
+    a broadcast."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import tier
+    out = tier.tier_extract(_tier_fixture(spark))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan
+    # the single nested-loop join is tier_by_score's documented 1-ROW
+    # corpus-count broadcast (ops/lm.py), not a data cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_revisit_records_hand_computed(spark):
+    """First capture by (ts, url) stays response; identical payloads
+    later become revisits pointing at it; distinct payloads never
+    cross-link."""
+    from tuatara_spark.sources import warc as W
+    rows = [
+        ("u/a", "2024-01-02T00:00:00Z", "same"),
+        ("u/b", "2024-01-01T00:00:00Z", "same"),   # earliest -> original
+        ("u/c", "2024-01-03T00:00:00Z", "same"),
+        ("u/d", "2024-01-01T00:00:00Z", "other"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html string")
+    got = {r.url: r for r in W.revisit_records(df).collect()}
+    assert got["u/b"].record_type == "response"
+    assert got["u/b"].refers_to_url is None
+    for u in ("u/a", "u/c"):
+        assert got[u].record_type == "revisit"
+        assert (got[u].refers_to_url, got[u].refers_to_ts) == \
+            ("u/b", "2024-01-01T00:00:00Z")
+    assert got["u/d"].record_type == "response"
+    assert got["u/a"].payload_digest == got["u/b"].payload_digest
+    assert got["u/d"].payload_digest != got["u/b"].payload_digest
+
+
+def test_revisit_ts_tie_breaks_by_url(spark):
+    from tuatara_spark.sources import warc as W
+    rows = [("u/z", "2024-01-01T00:00:00Z", "x"),
+            ("u/a", "2024-01-01T00:00:00Z", "x")]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html string")
+    got = {r.url: r for r in W.revisit_records(df).collect()}
+    assert got["u/a"].record_type == "response"
+    assert got["u/z"].refers_to_url == "u/a"
+
+
+def test_script_detect_hand_computed(spark):
+    """Counts per Unicode block, dominant with alphabetical tie-break,
+    unknown when nothing scripted matches."""
+    from tuatara_spark.ops import langid
+    rows = [
+        (1, "привет мир abcdefghi"),   # 9 cyr vs 9 lat -> cyrillic (tie)
+        (2, "こんにちは世界です"),        # kana 7 > han 2
+        (3, "12345 —!?"),              # unknown
+        (4, "café Grüße"),             # accented latin counts in latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in langid.script_detect(df).collect()}
+    assert (got[1].n_cyrillic, got[1].n_latin, got[1].script) == \
+        (9, 9, "cyrillic")
+    assert (got[2].n_kana, got[2].n_han, got[2].script) == (7, 2, "kana")
+    assert got[3].script == "unknown"
+    assert (got[4].n_latin, got[4].script) == (9, "latin")
+
+
+def test_script_detect_plan_is_projection(spark):
+    import contextlib
+    import io
+    from tuatara_spark.ops import langid
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        langid.script_detect(df).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

@@ -128,3 +128,65 @@ def classify_charngram(df: DataFrame, profiles: DataFrame,
                     F.col("_best.lang").alias("pred_lang"),
                     F.col("_best.distance").cast("long")
                     .alias("distance")))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection (codepoint-block histogram)
+# ---------------------------------------------------------------------------
+
+# contiguous Unicode block ranges per script (The Unicode Standard,
+# public code charts) — ASCII letters + Latin-1/Extended for latin; the
+# CJK Unified Ideographs base block for han; the precomposed Hangul
+# syllables block for hangul
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "arabic": ((0x0600, 0x06FF),),
+    "cyrillic": ((0x0400, 0x04FF),),
+    "devanagari": ((0x0900, 0x097F),),
+    "greek": ((0x0370, 0x03FF),),
+    "han": ((0x4E00, 0x9FFF),),
+    "hangul": ((0xAC00, 0xD7AF),),
+    "hebrew": ((0x0590, 0x05FF),),
+    "kana": ((0x3040, 0x30FF),),
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+}
+
+
+def script_class(name: str) -> str:
+    """The regex character class matching one script's codepoints —
+    literal chars, no engine-specific escapes, so the same class string
+    drives Java regex (Spark) and RE2 (DuckDB) identically."""
+    return "[" + "".join(f"{chr(a)}-{chr(b)}"
+                         for a, b in SCRIPT_RANGES[name]) + "]"
+
+
+def script_detect(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document writing-script histogram + dominant script — the
+    first routing decision a multilingual crawl pipeline makes (which
+    per-language pipeline, which tokenizer family), upstream of and
+    cheaper than n-gram language ID: counting codepoint-block hits
+    needs no trained profile and works on any length of text.
+
+    → (id, n_<script> for every script in SCRIPT_RANGES, script) where
+    ``script`` is the dominant one — max count, ties by script name
+    ascending, ``'unknown'`` when no scripted codepoint occurs.
+
+    Scale shape: a shuffle-free codegen projection — one regexp_count
+    per script over the scan, the argmax an in-row array_sort of a
+    9-element array. Nothing leaves the row.
+    """
+    from pyspark.sql import functions as F
+    names = sorted(SCRIPT_RANGES)
+    counts = {n: F.regexp_count(F.col(text_col), F.lit(script_class(n)))
+              for n in names}
+    out = df.select(F.col(id_col), *[
+        counts[n].cast("long").alias(f"n_{n}") for n in names])
+    # dominant = first element of the array sorted by (-count, name):
+    # struct comparison is field-ordered, so ascending sort puts the
+    # highest count first and breaks ties on the smaller name
+    ranked = F.array_sort(F.array(*[
+        F.struct((-F.col(f"n_{n}")).alias("negn"), F.lit(n).alias("s"))
+        for n in names]))
+    total = sum(F.col(f"n_{n}") for n in names)
+    return out.withColumn(
+        "script", F.when(total == 0, F.lit("unknown"))
+        .otherwise(ranked[0]["s"]))

@@ -2056,7 +2056,12 @@ def q_justext_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _justext_sql():
+def _justext_ctes(text_expr: str = "text") -> str:
+    """The shared DuckDB CTE chain for the JusText classifier (pages →
+    flagged), parameterized on the page-text expression so the composed
+    tier-extraction oracle reuses the IDENTICAL rule derivation — one
+    source of truth, zero drift between the standalone and composed
+    oracles."""
     from tuatara_spark.ops import htmlx
     pre = _JT_PRE.replace("'", "''")
     mid1 = _JT_MID1.replace("'", "''")
@@ -2068,10 +2073,9 @@ def _justext_sql():
     txt = f"regexp_replace({txt}, '<[^>]*>', ' ', 'g')"
     txt = rf"trim(regexp_replace({txt}, '\s+', ' ', 'g'))"
     stoplist = ", ".join(f"'{wd}'" for wd in htmlx.JUSTEXT_STOPWORDS)
-    return f"""
-WITH pages AS (
-  SELECT doc_id, '{pre}' || text || '{mid1}' || substr(text, 1, 24)
-         || '{mid2}' AS html
+    return f"""pages AS (
+  SELECT doc_id, '{pre}' || ({text_expr}) || '{mid1}'
+         || substr({text_expr}, 1, 24) || '{mid2}' AS html
   FROM documents),
 blocks AS (
   SELECT doc_id, i - 1 AS block_idx,
@@ -2107,13 +2111,220 @@ ctx AS (
 flagged AS (
   SELECT *, (cls = 'good' OR (cls = 'short'
              AND (prev = 'good' OR next = 'good'))) AS good
-  FROM ctx)
+  FROM ctx)"""
+
+
+def _justext_sql():
+    return f"""
+WITH {_justext_ctes()}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_blocks,
        CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
        coalesce(string_agg(CASE WHEN good THEN block_text END, ' '
                            ORDER BY block_idx), '') AS main_text
 FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# deterministic duplicate planting for the composed tier pipeline: every
+# doc_id % 11 == 3 page carries the SAME high-stopword-density prose, so
+# the dedup stage has real clusters (the natural sf0.01 corpus has no
+# exact en duplicates) and the density gate has guaranteed passers
+_TIER_DUP_TEXT = ("the cat sat on the mat and it was a fine day for"
+                  " all of us to be here")
+_TIER_TEXT_SQL = (f"CASE WHEN doc_id % 11 = 3 THEN '{_TIER_DUP_TEXT}'"
+                  " ELSE text END")
+
+
+def q_tier_extract_docs(spark, sf_dir):
+    """The composed corpus TIER-EXTRACTION pipeline (ops/tier.py —
+    CCNet/FineWeb shape): language gate → JusText main-content
+    extraction → min-words quality gate → exact keep-first dedup on
+    md5(main_text) → bigram-LM fluency tertiles, every document landing
+    in dropped_lang / dropped_quality / dropped_dup / head / middle /
+    tail. Pages are the JusText synthesis with planted duplicate prose
+    (doc_id % 11 == 3), so all six dispositions occur. The oracle
+    replays ALL FIVE stages — the full JusText CTE chain, the gates,
+    the dedup window, LM training on the survivor half, scoring and the
+    rank-arithmetic tier split — end-to-end in SQL."""
+    from tuatara_spark.ops import tier
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(F.lit(_JT_PRE), F.expr(_TIER_TEXT_SQL), F.lit(_JT_MID1),
+                 F.substring(F.expr(_TIER_TEXT_SQL), 1, 24),
+                 F.lit(_JT_MID2)).alias("html"))
+    return (tier.tier_extract(docs, stop_pct=_JT_STOP_PCT)
+            .orderBy("doc_id"))
+
+
+def _tier_sql():
+    return f"""
+WITH {_justext_ctes(_TIER_TEXT_SQL)},
+jt AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN good THEN block_text END, ' '
+                             ORDER BY block_idx), '') AS main_text
+  FROM flagged GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, d.lang, jt.main_text,
+         len(list_filter(string_split(jt.main_text, ' '),
+                         x -> x <> '')) AS n_words
+  FROM documents d JOIN jt USING (doc_id)),
+gated AS (
+  SELECT *, (lang = 'en') AS lang_ok, (n_words >= 2) AS quality_ok
+  FROM base),
+keep AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(main_text))
+           AS is_dup
+  FROM gated WHERE lang_ok AND quality_ok),
+surv AS (
+  SELECT g.doc_id, g.main_text
+  FROM gated g JOIN keep k USING (doc_id) WHERE NOT k.is_dup),
+lt AS (
+  SELECT doc_id, list_filter(string_split(
+    regexp_replace(lower(trim(main_text)), '\\s+', ' ', 'g'), ' '),
+    t -> t != '') AS ws
+  FROM surv),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM lt, unnest(range(1, len(ws))) AS u(i)),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg
+       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+lc AS (SELECT w1, sum(pair_count) AS left_count FROM pc GROUP BY 1),
+s AS (
+  SELECT bg.doc_id,
+         coalesce(sum((1000000 * pc.pair_count) // lc.left_count), 0)
+           // count(*) AS score_e6
+  FROM bg LEFT JOIN pc USING (w1, w2) LEFT JOIN lc ON pc.w1 = lc.w1
+  GROUP BY 1),
+r AS (
+  SELECT doc_id, score_e6,
+         row_number() OVER (ORDER BY score_e6 DESC, doc_id) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM s),
+tiers AS (
+  SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
+         CASE (rk * 3) // n + 1 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS tlabel
+  FROM r)
+SELECT g.doc_id, CAST(g.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(t.score_e6, -1) AS BIGINT) AS score_e6,
+       CASE WHEN NOT g.lang_ok THEN 'dropped_lang'
+            WHEN NOT g.quality_ok THEN 'dropped_quality'
+            WHEN k.is_dup THEN 'dropped_dup'
+            ELSE t.tlabel END AS tier
+FROM gated g LEFT JOIN keep k USING (doc_id)
+LEFT JOIN tiers t USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
+def q_warc_revisit_docs(spark, sf_dir):
+    """WARC revisit-record detection (sources/warc.py revisit_records —
+    ISO 28500 / WARC 1.1 §6.7.2 identical-payload-digest profile):
+    captures synthesized with three planted shared-payload clusters
+    (doc_id % 9 < 3) and per-capture timestamps; the first capture of
+    each digest (earliest ts, ties by url) stays a response, later ones
+    become revisit records pointing at it. The oracle re-derives the
+    sha256 digests and the first-capture window."""
+    from tuatara_spark.sources import warc as W
+    docs = _docs(spark, sf_dir).select(
+        F.expr("concat('https://h', cast(doc_id % 7 as string), '/p/', "
+               "cast(doc_id as string))").alias("url"),
+        F.expr(_CDX_TS_SPARK).alias("warc_ts"),
+        F.expr("CASE WHEN doc_id % 9 < 3 THEN concat('shared-', "
+               "cast(doc_id % 9 as string)) ELSE text END").alias("html"))
+    out = W.revisit_records(docs)
+    return out.select(
+        "url", "ts", "payload_digest", "record_type",
+        F.coalesce("refers_to_url", F.lit("")).alias("refers_to_url"),
+        F.coalesce("refers_to_ts", F.lit("")).alias("refers_to_ts"),
+    ).orderBy("url")
+
+
+_WARC_REVISIT_SQL = r"""
+WITH src AS (
+  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '2024-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || 'T12:34:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || 'Z' AS ts,
+         CASE WHEN doc_id % 9 < 3
+              THEN 'shared-' || CAST(doc_id % 9 AS VARCHAR)
+              ELSE text END AS payload
+  FROM documents),
+d AS (SELECT url, ts, sha256(payload) AS payload_digest FROM src),
+f AS (
+  SELECT *,
+         first_value(url) OVER w AS fu, first_value(ts) OVER w AS ft
+  FROM d
+  WINDOW w AS (PARTITION BY payload_digest ORDER BY ts, url
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING))
+SELECT url, ts, payload_digest,
+       CASE WHEN url = fu AND ts = ft THEN 'response'
+            ELSE 'revisit' END AS record_type,
+       CASE WHEN url = fu AND ts = ft THEN '' ELSE fu
+            END AS refers_to_url,
+       CASE WHEN url = fu AND ts = ft THEN '' ELSE ft
+            END AS refers_to_ts
+FROM f ORDER BY url
+"""
+
+
+# per-branch script samples for the detector query: the synthetic corpus
+# is Latin-only, so eight doc_id % 9 branches substitute hand-pinned
+# text in other scripts — including an exact cyrillic/latin count TIE
+# (branch 0: 9 vs 9, alphabetical tie-break) and a no-script branch
+_SCRIPT_CASE_SQL = (
+    "CASE doc_id % 9 "
+    "WHEN 0 THEN 'привет мир abcdefghi' "      # 9 cyr vs 9 lat: tie
+    "WHEN 1 THEN 'γειά σου κόσμε' "
+    "WHEN 2 THEN 'שלום עולם' "
+    "WHEN 3 THEN 'こんにちは世界です' "          # kana 7 > han 2
+    "WHEN 4 THEN '안녕하세요 세계' "
+    "WHEN 5 THEN 'مرحبا بالعالم' "
+    "WHEN 6 THEN 'नमस्ते दुनिया' "
+    "WHEN 7 THEN '2024 12345 — !?' "           # no scripted codepoint
+    "ELSE text END")
+
+
+def q_script_detect_docs(spark, sf_dir):
+    """Unicode writing-script detection (ops/langid.py script_detect):
+    codepoint-block histogram over nine scripts + dominant-script
+    routing with max-count/alphabetical tie-break and an 'unknown'
+    branch — the pre-langid routing step of a multilingual pipeline.
+    Branch 0 plants an exact cyrillic-vs-latin count tie, branch 3 a
+    kana/han mix, branch 7 a scriptless document. The oracle recounts
+    every block with the same literal character classes and replays the
+    argmax as a sorted struct list."""
+    from tuatara_spark.ops import langid
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SCRIPT_CASE_SQL).alias("text"))
+    return langid.script_detect(docs).orderBy("doc_id")
+
+
+def _script_detect_sql():
+    from tuatara_spark.ops.langid import SCRIPT_RANGES, script_class
+    names = sorted(SCRIPT_RANGES)
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{script_class(n)}')) AS n_{n}"
+        for n in names)
+    structs = ", ".join(
+        f"{{'negn': -n_{n}, 's': '{n}'}}" for n in names)
+    total = " + ".join(f"n_{n}" for n in names)
+    casts = ", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n in names)
+    return f"""
+WITH src AS (SELECT doc_id, {_SCRIPT_CASE_SQL} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         {counts}
+  FROM src)
+SELECT doc_id, {casts},
+       CASE WHEN {total} = 0 THEN 'unknown'
+            ELSE list_sort([{structs}])[1].s END AS script
+FROM m ORDER BY doc_id
 """
 
 
@@ -4178,6 +4389,7 @@ REGISTRY: dict[str, tuple] = {
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
+    "warc_revisit_docs": (q_warc_revisit_docs, _WARC_REVISIT_SQL),
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
@@ -4196,6 +4408,7 @@ REGISTRY: dict[str, tuple] = {
     "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
     "html_markdown_docs": (q_html_markdown_docs, _html_markdown_sql()),
     "justext_docs": (q_justext_docs, _justext_sql()),
+    "tier_extract_docs": (q_tier_extract_docs, _tier_sql()),
     # -- link graph / search --
     "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
     "hits_hosts": (q_hits_hosts, _HITS_SQL),
@@ -4204,22 +4417,21 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index_docs": (q_inverted_index_docs, _INVIDX_SQL),
     # -- language / LM / tokenizer --
     "langid_docs": (q_langid_docs, _LANGID_SQL),
+    "script_detect_docs": (q_script_detect_docs,
+                           _script_detect_sql()),
     "lm_score_docs": (q_lm_score_docs, _LM_SCORE_SQL),
     "lm_tier_docs": (q_lm_tier_docs, _LM_TIER_SQL),
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
     # -- training-data pipeline ops --
-    "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
     "sequence_pack_urls": (q_sequence_pack_urls, _SEQPACK_URLS_SQL),
     "gopher_quality_docs": (q_gopher_quality_docs, _GOPHER_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     # -- multimodal + lineage --
-    "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "phash_recall_gate": (q_phash_recall_gate, _PHASH_GATE_SQL),
     "counters_by_lang": (q_counters_by_lang, _COUNTERS_SQL),
     # -- dedup + gates --
-    "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
     "minhash_recall_gate": (q_minhash_recall_gate, _MINHASH_GATE_SQL),
     "minhash_precision_gate": (q_minhash_precision_gate,
                                _MINHASH_PRECISION_SQL),
@@ -4239,6 +4451,9 @@ REGISTRY: dict[str, tuple] = {
     # land inside the window the round they are written). Everything
     # below was driver-green in an earlier round and stays covered by
     # pytest + tools/verifier.py every round.
+    "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
+    "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
+    "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
     "quality_classifier_docs": (q_quality_classifier_docs,
                                 _QUALITY_CLS_SQL),
     "html_strip_docs": (q_html_strip_docs, _html_strip_sql()),

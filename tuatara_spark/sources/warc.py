@@ -470,3 +470,48 @@ def write_wat(df, path: str, url_col: str = "url",
 
     return _write_records(df.select(url_col, *cols), path, ".wat.warc.gz",
                           encode_wat, rows)
+
+
+# ---------------------------------------------------------------------------
+# Revisit records (digest-based capture dedup)
+# ---------------------------------------------------------------------------
+
+def revisit_records(df, url_col: str = "url", ts_col: str = "warc_ts",
+                    payload_col: str = "html"):
+    """WARC 1.1 §6.7.2 ``identical-payload-digest`` revisit detection
+    (ISO 28500; the dedup web archives run at ingest so a re-crawled
+    unchanged page stores a tiny revisit record instead of the payload
+    again): the FIRST capture of each payload digest — earliest
+    ``ts_col``, ties by ``url_col`` — stays a ``response`` record;
+    every later identical-payload capture becomes a ``revisit`` record
+    carrying ``refers_to_url`` / ``refers_to_ts`` of the original.
+
+    → (url, ts, payload_digest, record_type, refers_to_url,
+    refers_to_ts), one row per input capture; refers_to_* are NULL on
+    originals.
+
+    Scale shape (100 TB): the digest is computed in-row (sha256,
+    codegen); the only shuffle is a map-side-combinable
+    ``groupBy(digest).min(struct(ts, url))`` whose output — one row per
+    DISTINCT payload — joins back on the digest. Payload bytes never
+    move: the join carries (digest, first-capture key) only, and AQE
+    broadcasts the firsts side whenever the distinct-digest table fits.
+    """
+    from pyspark.sql import functions as F
+    d = df.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+        F.sha2(F.col(payload_col).cast("binary"), 256)
+        .alias("payload_digest"))
+    firsts = (d.groupBy("payload_digest")
+              .agg(F.min(F.struct("ts", "url")).alias("_first")))
+    is_orig = ((F.col("ts") == F.col("_first.ts"))
+               & (F.col("url") == F.col("_first.url")))
+    return (d.join(firsts, "payload_digest")
+            .select(
+                "url", "ts", "payload_digest",
+                F.when(is_orig, F.lit("response"))
+                .otherwise(F.lit("revisit")).alias("record_type"),
+                F.when(~is_orig, F.col("_first.url"))
+                .alias("refers_to_url"),
+                F.when(~is_orig, F.col("_first.ts"))
+                .alias("refers_to_ts")))
