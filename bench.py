@@ -222,6 +222,8 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("hits_hosts", Q.q_hits_hosts),
         ("bpe_encode_docs", Q.q_bpe_encode_docs),
         ("exact_substr_docs", Q.q_exact_substr_docs),
+        ("justext_docs", Q.q_justext_docs),
+        ("tier_extract_docs", Q.q_tier_extract_docs),
     ]
     from tuatara_spark.ops import dedup as _dd
 

@@ -1556,3 +1556,92 @@ def test_script_detect_plan_is_projection(spark):
     plan = buf.getvalue()
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_dom_depth_hand_computed(spark):
+    """<div><p>ab c</p></div><nav>xy</nav>: text 'ab c' (3 non-ws
+    chars) sits at depth 2, 'xy' at depth 1 -> max 2, chars 5,
+    centroid (100*(3*2+2*1)) div 5 = 160."""
+    from tuatara_spark.ops import htmlx
+    rows = [
+        ("a", "<div><p>ab c</p></div><nav>xy</nav>"),
+        ("b", "no tags at all"),          # depth 0 everywhere
+        ("c", "<div><div></div></div>"),  # textless: centroid 0
+        ("d", "<DIV>X</DIV>"),            # case-insensitive containers
+        ("e", "<span>zz</span>"),         # non-container: depth stays 0
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: r for r in htmlx.dom_depth_stats(df).collect()}
+    assert (got["a"].max_depth, got["a"].text_chars,
+            got["a"].centroid_depth_e2) == (2, 5, 160)
+    assert (got["b"].max_depth, got["b"].text_chars,
+            got["b"].centroid_depth_e2) == (0, 11, 0)
+    assert (got["c"].max_depth, got["c"].text_chars,
+            got["c"].centroid_depth_e2) == (2, 0, 0)
+    assert (got["d"].max_depth, got["d"].text_chars,
+            got["d"].centroid_depth_e2) == (1, 1, 100)
+    assert (got["e"].max_depth, got["e"].centroid_depth_e2) == (0, 0)
+
+
+def test_dom_depth_plan_is_projection(spark):
+    import contextlib
+    import io
+    from tuatara_spark.ops import htmlx
+    df = spark.createDataFrame([("u", "<div>x</div>")],
+                               "url string, html string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        htmlx.dom_depth_stats(df).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_revisit_schedule_hand_computed(spark):
+    """Cho & Garcia-Molina scheduling: a page that changed every
+    interval re-crawls at base_days; a static page backs off linearly
+    with the evidence; the clamp caps pathological histories."""
+    from tuatara_spark.ops import frontier
+    rows = (
+        # u1: captures d1,d1,d2 -> 1 change / 2 intervals
+        [("u1", "t1", "d1"), ("u1", "t2", "d1"), ("u1", "t3", "d2")]
+        # u2: single capture -> rate 0, base interval
+        + [("u2", "t1", "d")]
+        # u3: 10 captures, never changes -> 7*10 div 1 = 70 days
+        + [("u3", f"t{i:02d}", "same") for i in range(10)]
+        # u4: 10 captures, changes every time -> 70 div 10 = 7 days
+        + [("u4", f"t{i:02d}", f"d{i}") for i in range(10)]
+        # u5: 60 static captures -> 420 clamps to 365
+        + [("u5", f"t{i:02d}", "s") for i in range(60)])
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, payload_digest string")
+    got = {r.url: r for r in frontier.revisit_schedule(df).collect()}
+    assert (got["u1"].n_captures, got["u1"].n_changes,
+            got["u1"].change_rate_e6, got["u1"].next_days) == \
+        (3, 1, 500000, 10)
+    assert (got["u2"].n_captures, got["u2"].change_rate_e6,
+            got["u2"].next_days) == (1, 0, 7)
+    assert (got["u3"].n_changes, got["u3"].next_days) == (0, 70)
+    assert (got["u4"].n_changes, got["u4"].change_rate_e6,
+            got["u4"].next_days) == (9, 1000000, 7)
+    assert got["u5"].next_days == 365
+
+
+def test_revisit_schedule_plan_one_url_exchange(spark):
+    """The lag window and the follow-up groupBy share ONE url-keyed
+    exchange; no Python, no cartesian."""
+    import contextlib
+    import io
+    import re
+    from tuatara_spark.ops import frontier
+    df = spark.createDataFrame(
+        [("u", "t", "d")],
+        "url string, warc_ts string, payload_digest string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frontier.revisit_schedule(df).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert len(re.findall(r"hashpartitioning\(url#\d+, \d+\)", plan)) == 1

@@ -162,3 +162,65 @@ def bloom_might_contain(candidates: DataFrame, bloom: DataFrame,
     return (hit.groupBy("_v")
             .agg(F.min("_set").alias("possibly_seen"))
             .select(F.col("_v").alias(col), "possibly_seen"))
+
+
+# --- Revisit scheduling (change-rate estimation) ---------------------------
+
+REVISIT_BASE_DAYS = 7
+REVISIT_MIN_DAYS = 1
+REVISIT_MAX_DAYS = 365
+
+
+def revisit_schedule(captures: DataFrame, url_col: str = "url",
+                     ts_col: str = "warc_ts",
+                     digest_col: str = "payload_digest",
+                     base_days: int = REVISIT_BASE_DAYS) -> DataFrame:
+    """Per-URL re-crawl interval from observed change history — the
+    freshness-driven scheduling step of an incremental crawler (Cho &
+    Garcia-Molina 2003, "Effective Page Refresh Policies for Web
+    Crawlers", ACM TODS — the public result that revisit frequency
+    should track each page's observed change rate).
+
+    Per URL over its captures ordered by ``ts_col`` (ties by digest):
+    ``n_intervals = n_captures - 1``; ``n_changes`` counts consecutive
+    capture pairs whose payload digest differs;
+    ``change_rate_e6 = (10^6 · n_changes) div n_intervals`` (0 when a
+    URL was captured once); and the integer scheduling rule
+
+        next_days = clamp(REVISIT_MIN_DAYS, REVISIT_MAX_DAYS,
+                          (base_days · (n_intervals + 1))
+                            div (n_changes + 1))
+
+    — a page that changed every interval is re-crawled at base_days,
+    a never-changing page backs off linearly with the evidence, and
+    the clamp keeps pathological histories inside crawl policy.
+
+    → (url, n_captures, n_changes, change_rate_e6, next_days).
+
+    Scale shape (10^12 captures): ONE url-keyed exchange; the lag
+    window runs inside each url's bounded capture history and the
+    follow-up groupBy reuses the same partitioning — no second
+    shuffle, everything integer.
+    """
+    w = (Window.partitionBy(url_col)
+         .orderBy(ts_col, digest_col))
+    changed = (F.lag(digest_col).over(w).isNotNull()
+               & (F.col(digest_col) != F.lag(digest_col).over(w)))
+    per = (captures
+           .withColumn("_chg", changed.cast("long"))
+           .groupBy(url_col)
+           .agg(F.count("*").cast("long").alias("n_captures"),
+                F.sum("_chg").cast("long").alias("n_changes")))
+    n_int = F.col("n_captures") - 1
+    rate = F.when(n_int > 0,
+                  F.expr("(1000000 * n_changes) div (n_captures - 1)")
+                  ).otherwise(F.lit(0))
+    # n_intervals + 1 == n_captures, so the rule is one integer div
+    days = F.expr(
+        f"greatest({REVISIT_MIN_DAYS}L, least({REVISIT_MAX_DAYS}L, "
+        f"(({base_days} * cast(n_captures as bigint)) "
+        "div (n_changes + 1))))")
+    return per.select(
+        F.col(url_col).alias("url"), "n_captures", "n_changes",
+        rate.cast("long").alias("change_rate_e6"),
+        days.cast("long").alias("next_days"))

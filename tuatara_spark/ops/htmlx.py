@@ -384,3 +384,73 @@ def justext_extract(df: DataFrame, col: str = "html",
                          F.col("_good"),
                          F.struct("block_idx", "block_text")))),
                      lambda s: s.block_text)).alias("main_text")))
+
+
+# DOM container elements whose open/close tags move the nesting depth;
+# one tuple shared by the Spark fold and the generated oracle SQL
+DOM_CONTAINERS = ("article", "aside", "blockquote", "div", "footer",
+                  "header", "li", "nav", "ol", "p", "section", "table",
+                  "td", "tr", "ul")
+
+
+def _dom_tag_alt() -> str:
+    return "|".join(DOM_CONTAINERS)
+
+
+def dom_depth_stats(df: DataFrame, col: str = "html",
+                    key_col: str = "url") -> DataFrame:
+    """Per-document DOM nesting-depth profile — the structural
+    heuristic family (how deep the text lives) that complements the
+    repo's density-based extractors: boilerplate chrome typically nests
+    deeper than main content, so the text-weighted centroid depth and
+    max depth are cheap page-shape features for extraction routing and
+    template clustering.
+
+    Semantics, integer-exact: the page splits at every ``<``; each
+    segment up to its first ``>`` is a tag, the remainder is text.
+    Opening tags of DOM_CONTAINERS count +1, their closing tags -1,
+    all else 0 (no clamp — malformed pages may dip negative, and the
+    raw cumulative sum is exactly replayable in SQL). A segment's text
+    weight is its non-whitespace character count, attributed at the
+    depth AFTER its tag applies. Outputs per document:
+
+    * ``max_depth`` — the deepest running depth reached;
+    * ``text_chars`` — total non-whitespace text characters;
+    * ``centroid_depth_e2`` — ``(100 · Σ depth·chars) div Σ chars``
+      (0 for a textless page): where the page's text mass sits.
+
+    Scale shape: a single shuffle-free projection — the whole profile
+    is ONE in-row ``aggregate`` fold over the split array, codegen'd;
+    nothing leaves the row.
+    """
+    alt = _dom_tag_alt()
+    open_re = f"^(?i:{alt})[\\\\s>]"
+    close_re = f"^/(?i:{alt})[\\\\s>]"
+    delta = ("CASE WHEN instr(s, '>') = 0 THEN 0 "
+             f"WHEN s rlike '{open_re}' THEN 1 "
+             f"WHEN s rlike '{close_re}' THEN -1 ELSE 0 END")
+    tlen = ("cast(length(regexp_replace("
+            "if(instr(s, '>') = 0, s, substring(s, instr(s, '>') + 1)), "
+            "'\\\\s', '')) as bigint)")
+    fold = f"""aggregate(
+      split({col}, '<'),
+      struct(0 AS d, 0 AS maxd, cast(0 AS bigint) AS wsum,
+             cast(0 AS bigint) AS tl),
+      (a, s) -> struct(
+        a.d + ({delta}) AS d,
+        greatest(a.maxd, a.d + ({delta})) AS maxd,
+        a.wsum + cast(a.d + ({delta}) AS bigint) * ({tlen}) AS wsum,
+        a.tl + ({tlen}) AS tl),
+      a -> struct(a.maxd AS maxd, a.wsum AS wsum, a.tl AS tl))"""
+    prof = F.expr(fold)
+    return (df.select(
+        F.col(key_col),
+        prof["maxd"].cast("long").alias("max_depth"),
+        prof["tl"].cast("long").alias("text_chars"),
+        prof["wsum"].alias("_wsum"))
+        .withColumn(
+            "centroid_depth_e2",
+            F.when(F.col("text_chars") > 0,
+                   F.expr("(100 * _wsum) div text_chars"))
+            .otherwise(F.lit(0)).cast("long"))
+        .drop("_wsum"))

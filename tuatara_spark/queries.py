@@ -2305,6 +2305,113 @@ def q_script_detect_docs(spark, sf_dir):
     return langid.script_detect(docs).orderBy("doc_id")
 
 
+_DOM_HTML_SPARK = (
+    "concat(repeat('<div >', 1 + doc_id % 4), '<p>', text, '</p>', "
+    "repeat('</div>', 1 + doc_id % 4), "
+    "'<nav><ul><li>aa</li><li>bb</li></ul></nav>')")
+
+
+def q_dom_depth_docs(spark, sf_dir):
+    """DOM nesting-depth profile (ops/htmlx.py dom_depth_stats): pages
+    synthesized with doc_id-varying div nesting around the text plus a
+    constant depth-3 nav list, so max depth, total text chars and the
+    text-weighted centroid depth all vary per document. The oracle
+    replays the tag-segment split, the ±1 container deltas and the
+    running-depth fold as a window cumulative sum."""
+    from tuatara_spark.ops import htmlx
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_DOM_HTML_SPARK).alias("html"))
+    return (htmlx.dom_depth_stats(docs, key_col="doc_id")
+            .orderBy("doc_id"))
+
+
+def _dom_depth_sql():
+    from tuatara_spark.ops.htmlx import _dom_tag_alt
+    alt = _dom_tag_alt()
+    return rf"""
+WITH src AS (
+  SELECT doc_id,
+         repeat('<div >', 1 + doc_id % 4) || '<p>' || text || '</p>'
+           || repeat('</div>', 1 + doc_id % 4)
+           || '<nav><ul><li>aa</li><li>bb</li></ul></nav>' AS html
+  FROM documents),
+segs AS (
+  SELECT doc_id, i, string_split(html, '<')[i] AS s
+  FROM src, LATERAL (
+    SELECT unnest(range(1, len(string_split(html, '<')) + 1)) AS i)),
+per AS (
+  SELECT doc_id, i,
+         CASE WHEN instr(s, '>') = 0 THEN 0
+              WHEN regexp_matches(s, '^(?i:{alt})[\s>]') THEN 1
+              WHEN regexp_matches(s, '^/(?i:{alt})[\s>]') THEN -1
+              ELSE 0 END AS delta,
+         length(regexp_replace(
+             CASE WHEN instr(s, '>') = 0 THEN s
+                  ELSE substr(s, instr(s, '>') + 1) END,
+             '\s', '', 'g')) AS tlen
+  FROM segs),
+run AS (
+  SELECT doc_id, sum(delta) OVER (PARTITION BY doc_id ORDER BY i) AS d,
+         tlen
+  FROM per)
+SELECT doc_id,
+       CAST(greatest(0, max(d)) AS BIGINT) AS max_depth,
+       CAST(sum(tlen) AS BIGINT) AS text_chars,
+       CAST(CASE WHEN sum(tlen) > 0
+                 THEN (100 * sum(d * tlen)) // sum(tlen)
+                 ELSE 0 END AS BIGINT) AS centroid_depth_e2
+FROM run GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_revisit_schedule_docs(spark, sf_dir):
+    """Change-rate revisit scheduling (ops/frontier.py revisit_schedule
+    — Cho & Garcia-Molina 2003 freshness): a 50-URL capture history
+    (10 captures each at sf0.01) whose payload digests change every
+    1 + url % 4 captures, so observed change counts, the integer
+    change rate and the clamped next-crawl interval all vary. The
+    oracle replays the per-URL lag window and the scheduling
+    arithmetic."""
+    from tuatara_spark.ops import frontier
+    caps = _docs(spark, sf_dir).select(
+        F.expr("concat('https://s/', cast(doc_id % 50 as string))")
+        .alias("url"),
+        F.expr("lpad(cast(doc_id div 50 as string), 4, '0')")
+        .alias("warc_ts"),
+        F.expr("concat('v', cast(doc_id % 50 as string), ':', "
+               "cast((doc_id div 50) div (1 + (doc_id % 50) % 4) "
+               "as string))").alias("payload_digest"))
+    return frontier.revisit_schedule(caps).orderBy("url")
+
+
+_REVISIT_SCHEDULE_SQL = r"""
+WITH cap AS (
+  SELECT 'https://s/' || CAST(doc_id % 50 AS VARCHAR) AS url,
+         lpad(CAST(doc_id // 50 AS VARCHAR), 4, '0') AS ts,
+         'v' || CAST(doc_id % 50 AS VARCHAR) || ':'
+           || CAST((doc_id // 50) // (1 + (doc_id % 50) % 4) AS VARCHAR)
+           AS digest
+  FROM documents),
+ch AS (
+  SELECT url,
+         CASE WHEN lag(digest) OVER w IS NOT NULL
+                   AND digest <> lag(digest) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM cap WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
+agg AS (
+  SELECT url, count(*) AS n_captures, sum(chg) AS n_changes
+  FROM ch GROUP BY 1)
+SELECT url, CAST(n_captures AS BIGINT) AS n_captures,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(CASE WHEN n_captures > 1
+                 THEN (1000000 * n_changes) // (n_captures - 1)
+                 ELSE 0 END AS BIGINT) AS change_rate_e6,
+       CAST(greatest(1, least(365, (7 * n_captures) // (n_changes + 1)))
+            AS BIGINT) AS next_days
+FROM agg ORDER BY url
+"""
+
+
 def _script_detect_sql():
     from tuatara_spark.ops.langid import SCRIPT_RANGES, script_class
     names = sorted(SCRIPT_RANGES)
@@ -4441,16 +4548,21 @@ REGISTRY: dict[str, tuple] = {
     # -- similarity gates --
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
     "ann_ivf_determinism": (q_ann_ivf_determinism, _IVF_DETERMINISM_SQL),
-    # -- streaming --
+    # -- page structure + revisit policy (round-5 closers) --
+    "dom_depth_docs": (q_dom_depth_docs, _dom_depth_sql()),
+    "revisit_schedule_docs": (q_revisit_schedule_docs,
+                              _REVISIT_SCHEDULE_SQL),
+    # ================== driver window boundary (50) ==================
+    # Standing rule: new queries land INSIDE the window the round they
+    # are written. Everything below was driver-green in an earlier
+    # round and stays covered by pytest + tools/verifier.py every
+    # round. (The two streaming queries rotated below in round 5 —
+    # driver-green in rounds 3 AND 4 — to make room for the round-5
+    # closers.)
     "streaming_lang_counters": (q_streaming_lang_counters,
                                 _STREAMING_COUNTERS_SQL),
     "streaming_windowed_counts": (q_streaming_windowed_counts,
                                   _STREAMING_WINDOWED_SQL),
-    # ============== driver window boundary (48 + 2 reserved) ==============
-    # Two slots above are reserved for this round's new operators (they
-    # land inside the window the round they are written). Everything
-    # below was driver-green in an earlier round and stays covered by
-    # pytest + tools/verifier.py every round.
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
