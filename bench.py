@@ -224,6 +224,7 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("exact_substr_docs", Q.q_exact_substr_docs),
         ("justext_docs", Q.q_justext_docs),
         ("tier_extract_docs", Q.q_tier_extract_docs),
+        ("host_line_dedup_docs", Q.q_host_line_dedup_docs),
     ]
     from tuatara_spark.ops import dedup as _dd
 

@@ -1645,3 +1645,291 @@ def test_revisit_schedule_plan_one_url_exchange(spark):
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan
     assert len(re.findall(r"hashpartitioning\(url#\d+, \d+\)", plan)) == 1
+
+
+def test_host_line_dedup_hand_computed(spark):
+    """Lines in >= min_pages distinct pages of a host are removed;
+    under-threshold and unique lines survive in original order;
+    other hosts are unaffected."""
+    from tuatara_spark.ops import dedup
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, "a", f"{boiler}\nunique one\n{boiler}"),   # dup line IN-doc
+        (2, "a", f"{boiler}\nunique two"),
+        (3, "a", f"rare\n{boiler}\nunique three"),
+        (4, "a", "rare\nunique four"),                 # rare: 2 docs < 3
+        (5, "b", f"{boiler}\nother host keeps it"),    # host b: 1 doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: r for r in dedup.host_line_dedup(df).collect()}
+    # host a: boiler appears in docs 1,2,3 -> removed everywhere there
+    assert (got[1].n_lines, got[1].n_removed,
+            got[1].text_clean) == (3, 2, "unique one")
+    assert got[2].text_clean == "unique two"
+    assert got[3].text_clean == "rare\nunique three"   # rare kept, order kept
+    assert got[4].n_removed == 0
+    # host b never crossed the bar
+    assert got[5].n_removed == 0 and boiler in got[5].text_clean
+
+
+def test_host_line_dedup_plan_no_text_in_count_stage(spark):
+    """The counting side moves only hashes; no Python, no cartesian."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import dedup
+    df = spark.createDataFrame([(1, "h", "a\nb")],
+                               "doc_id long, host string, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.host_line_dedup(df).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_extract_tables_hand_computed(spark):
+    from tuatara_spark.ops import htmlx
+    html = ('<p>x</p><table><tr><th>a</th><th> b </th></tr>'
+            '<tr><td><b>c</b> d</td><td></td></tr></table>'
+            '<TABLE><TR><TD>e</TD></TR></TABLE>')
+    df = spark.createDataFrame([("u", html), ("v", "no tables here")],
+                               "url string, html string")
+    got = sorted(htmlx.extract_tables(df).collect(),
+                 key=lambda r: (r.url, r.table_idx, r.row_idx))
+    assert [r.url for r in got] == ["u", "u", "u"]  # v yields no rows
+    r0, r1, r2 = got
+    assert (r0.table_idx, r0.row_idx, r0.is_header,
+            r0.n_cells, r0.cells_str) == (0, 0, True, 2, "a|b")
+    assert (r1.is_header, r1.n_cells, r1.cells_str) == (False, 2, "c d|")
+    assert (r2.table_idx, r2.row_idx, r2.cells_str) == (1, 0, "e")
+
+
+def test_chunk_text_hand_computed(spark):
+    """10 tokens, max 4, stride 3 -> starts 0,3,6,9; last chunk len 1;
+    empty doc yields no rows."""
+    from tuatara_spark.ops import training
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "   "), (3, "solo")],
+        "doc_id long, text string")
+    out = training.chunk_text(df, max_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.start_token, r.n_chunk_tokens) for r in c1] == \
+        [(0, 4), (3, 4), (6, 4), (9, 1)]
+    assert c1[1].chunk_text == "t3 t4 t5 t6"
+    assert c1[3].chunk_text == "t9"
+    assert by_doc[3][0].chunk_text == "solo"
+
+
+def test_template_fingerprint_hand_computed(spark):
+    """Same tag stream, different text -> same md5; different structure
+    or case-normalized tags -> verified stream semantics."""
+    import hashlib
+    from tuatara_spark.ops import htmlx
+    df = spark.createDataFrame(
+        [("a", "<html><BODY><p>hello</p></BODY></html>"),
+         ("b", "<html><body><p>совершенно other text</p></body></html>"),
+         ("c", "<html><body><ul><li>x</li></ul></body></html>"),
+         ("d", "plain text")],
+        "url string, html string")
+    got = {r.url: r for r in htmlx.template_fingerprint(df).collect()}
+    assert got["a"].template_md5 == got["b"].template_md5  # text-invariant
+    assert got["a"].template_md5 != got["c"].template_md5
+    stream = "html,body,p,/p,/body,/html"
+    assert got["a"].template_md5 == hashlib.md5(stream.encode()).hexdigest()
+    assert got["a"].n_tags == 6
+    assert (got["d"].n_tags,
+            got["d"].template_md5) == (0, hashlib.md5(b"").hexdigest())
+
+
+def test_feed_parse_hand_computed(spark):
+    from tuatara_spark.ops import frontier
+    rss = ('<rss><channel><item><link>https://e/1</link>'
+           '<title> T1 </title></item>'
+           '<item><title>nolink</title></item></channel></rss>')
+    atom = ('<feed><entry><link rel="alt" href="https://e/2"/>'
+            '<title>A</title></entry>'
+            '<entry><link href="https://e/3"/></entry></feed>')
+    df = spark.createDataFrame([("r", rss), ("a", atom)],
+                               "url string, xml string")
+    got = sorted(frontier.feed_parse(df).collect(),
+                 key=lambda r: (r.url, r.item_idx))
+    a0, a1, r0, r1 = got
+    assert (r0.kind, r0.link, r0.title) == ("rss", "https://e/1", "T1")
+    assert (r1.kind, r1.link, r1.title) == ("rss", "", "nolink")
+    assert (a0.kind, a0.link, a0.title) == ("atom", "https://e/2", "A")
+    assert (a1.kind, a1.link, a1.title) == ("atom", "https://e/3", "")
+
+
+def test_round5b_ops_plans_shuffle_free(spark):
+    """extract_tables, chunk_text, template_fingerprint and feed_parse
+    are all Generate/projection chains: no Exchange, no Python."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import frontier, htmlx, training
+    checks = [
+        htmlx.extract_tables(spark.createDataFrame(
+            [("u", "<table><tr><td>x</td></tr></table>")],
+            "url string, html string")),
+        training.chunk_text(spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")),
+        htmlx.template_fingerprint(spark.createDataFrame(
+            [("u", "<p>x</p>")], "url string, html string")),
+        frontier.feed_parse(spark.createDataFrame(
+            [("u", "<rss/>")], "url string, xml string")),
+    ]
+    for out in checks:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(mode="simple")
+        plan = buf.getvalue()
+        for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, plan
+
+
+def test_soft404_hand_computed(spark):
+    """Marker + brevity scoring: 3 markers short -> flagged; 1 marker
+    long -> not; markers behind a real 404 status -> not soft."""
+    from tuatara_spark.ops import textstats
+    long_pad = "word " * 80
+    rows = [
+        (1, "Error 404 - Page Not Found.", 200),      # 3 markers, short
+        (2, f"This page does not exist. {long_pad}", 200),  # 1 marker, long
+        (3, "Error 404 - Page Not Found.", 404),      # real 404
+        (4, "perfectly fine content here", 200),
+        (5, "it does not exist and was been removed", 200),  # 2 markers
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, status int")
+    got = {r.doc_id: r for r in textstats.soft404_score(df).collect()}
+    assert (got[1].n_markers, got[1].is_short,
+            got[1].soft404_score, got[1].is_soft404) == (3, True, 7, True)
+    assert (got[2].n_markers, got[2].is_soft404) == (1, False)
+    assert (got[3].soft404_score, got[3].is_soft404) == (7, False)
+    assert (got[4].n_markers, got[4].is_soft404) == (0, False)
+    assert (got[5].n_markers, got[5].is_soft404) == (2, True)
+
+
+def test_crawl_trap_hand_computed(spark):
+    """Repeated segment, depth and parameter-count signals roll up to
+    a majority host flag."""
+    from tuatara_spark.ops import textstats
+    deep = "https://t.com/" + "d/" * 13 + "x"
+    rows = [
+        ("t", "https://t.com/a/a/b"),            # repeated segment
+        ("t", deep),                             # depth 14 > 12
+        ("t", "https://t.com/p?a=1&b=2&c=3&d=4"),  # 4 params > 3
+        ("t", "https://t.com/ok/page"),          # clean
+        ("u", "https://u.com/x/y?a=1"),          # clean host
+        ("u", "https://u.com/"),                 # depth 0
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r.host: r for r in textstats.crawl_trap_stats(df).collect()}
+    assert (got["t"].n_urls, got["t"].n_trap_urls,
+            got["t"].trap_pct_e6, got["t"].is_trap_host) == \
+        (4, 3, 750000, True)
+    assert (got["u"].n_trap_urls, got["u"].is_trap_host) == (0, False)
+
+
+def test_soft404_trap_plan_shapes(spark):
+    """soft404 is a pure projection; trap stats is one
+    map-side-combinable host groupBy; no Python anywhere."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import textstats
+    s4 = textstats.soft404_score(spark.createDataFrame(
+        [(1, "x", 200)], "doc_id long, text string, status int"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        s4.explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    tr = textstats.crawl_trap_stats(spark.createDataFrame(
+        [("h", "https://h/x")], "host string, url string"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tr.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1  # the single host rollup
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_meta_robots_gate_hand_computed(spark):
+    """Restrictive combination across meta + header; 'none' shorthand;
+    case/whitespace-insensitive tokens."""
+    from tuatara_spark.ops import robots
+    rows = [
+        (1, "index, follow", ""),
+        (2, "NOINDEX , follow", ""),
+        (3, "all", "noindex"),        # header overrides
+        (4, "none", ""),              # none = noindex+nofollow
+        (5, "", "noarchive"),
+        (6, "index", "NOFOLLOW"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, meta_robots string, x_robots_tag string")
+    got = {r.doc_id: r for r in robots.meta_robots_gate(df).collect()}
+    assert (got[1].can_index, got[1].can_follow,
+            got[1].noarchive) == (True, True, False)
+    assert (got[2].can_index, got[2].can_follow) == (False, True)
+    assert (got[3].can_index, got[3].can_follow) == (False, True)
+    assert (got[4].can_index, got[4].can_follow) == (False, False)
+    assert (got[5].can_index, got[5].noarchive) == (True, True)
+    assert (got[6].can_index, got[6].can_follow) == (True, False)
+
+
+def test_canonical_collapse_hand_computed(spark):
+    """url==target wins over smaller id; canonical-less pages are their
+    own targets; many-to-one external targets keep min id."""
+    from tuatara_spark.ops import textstats
+    rows = [
+        (10, "https://s/a", "https://s/a"),   # self-canonical
+        (11, "https://s/b", "https://s/a"),   # alias of a (smaller id NOT kept)
+        (5, "https://s/c", "https://s/a"),    # alias of a, smallest id overall
+        (20, "https://s/d", ""),              # no canonical -> own target
+        (30, "https://s/e", "https://ext/t"),  # external target
+        (31, "https://s/f", "https://ext/t"),  # min id kept
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, canonical string")
+    got = {r.target_url: r for r in
+           textstats.canonical_collapse(df).collect()}
+    assert (got["https://s/a"].kept_id,
+            got["https://s/a"].n_aliases) == (10, 3)
+    assert (got["https://s/d"].kept_id,
+            got["https://s/d"].n_aliases) == (20, 1)
+    assert (got["https://ext/t"].kept_id,
+            got["https://ext/t"].n_aliases) == (30, 2)
+
+
+def test_meta_robots_canonical_plan_shapes(spark):
+    """Gate is a pure projection; collapse is ONE partial-aggregating
+    groupBy; no Python."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import robots, textstats
+    g = robots.meta_robots_gate(spark.createDataFrame(
+        [(1, "all", "")],
+        "doc_id long, meta_robots string, x_robots_tag string"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        g.explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    c = textstats.canonical_collapse(spark.createDataFrame(
+        [(1, "u", "")], "doc_id long, url string, canonical string"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        c.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan or "partial" in plan.lower() \
+        or "HashAggregate" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

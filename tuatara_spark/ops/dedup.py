@@ -642,3 +642,58 @@ def exact_substr_dedup(df: DataFrame, min_tokens: int = 50,
         F.expr("array_join(transform(spans, "
                "s -> concat(s.start, ':', s.end)), ' ')").alias("spans_str"),
         F.array_join(kept, " ").alias("dedup_text"))
+
+
+# ------------------------------------------------ host-level line dedup ----
+
+def host_line_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", host_col: str = "host",
+                    min_pages: int = 3) -> DataFrame:
+    """Host-level repeated-line boilerplate removal — the line-grain
+    dedup step of the CCNet / OSCAR / RefinedWeb corpus pipelines
+    (Wenzek et al. 2020 "CCNet" dedupes at the paragraph/line hash
+    level; RefinedWeb's "line-wise corrections"): a line that occurs in
+    ``min_pages`` or more DISTINCT pages of the same host is template
+    chrome (cookie banners, nav, footers) and is removed from every
+    page of that host; lines are compared exactly, after no
+    normalization, so the op is value-pinned.
+
+    → (id_col, n_lines, n_removed, text_clean) for every input row;
+    ``text_clean`` keeps the surviving lines in original order.
+
+    Scale shape (10^12 pages): the page text NEVER rides a shuffle
+    except once doc-keyed at the final rebuild join — the counting
+    stages move only 8-byte line hashes: in-row split+distinct →
+    explode to (host, doc, hash) → one map-side-combinable
+    groupBy(host, hash) count (each doc pre-distincted its lines, so
+    count(*) IS the distinct-page count) → the ≥min_pages flags join
+    back on (host, hash) and collapse to ONE hash-array row per doc.
+    The rebuild is an in-row filter against that array, so original
+    line order survives with no window and no sort. Skewed lines (an
+    empty line on a 10^8-page host) collapse in the partial count
+    aggregation; the flag side of the join-back is 1 row per key.
+    """
+    nl_lines = f"split({text_col}, '\\n')"
+    keys = df.select(
+        F.col(host_col), F.col(id_col),
+        F.explode(F.expr(
+            f"array_distinct(transform({nl_lines}, "
+            "x -> xxhash64(x)))")).alias("_lh"))
+    boiler = (keys.groupBy(host_col, "_lh")
+              .agg(F.count("*").alias("_n"))
+              .where(F.col("_n") >= min_pages)
+              .drop("_n"))
+    removed = (keys.join(boiler, [host_col, "_lh"])
+               .groupBy(id_col)
+               .agg(F.collect_set("_lh").alias("_rm")))
+    out = (df.join(removed, id_col, "left")
+           .withColumn("_rm", F.coalesce(
+               F.col("_rm"), F.expr("cast(array() as array<bigint>)"))))
+    kept = F.expr(f"filter({nl_lines}, "
+                  "x -> NOT array_contains(_rm, xxhash64(x)))")
+    return out.select(
+        F.col(id_col),
+        F.expr(f"cast(size({nl_lines}) as bigint)").alias("n_lines"),
+        (F.expr(f"cast(size({nl_lines}) as bigint)")
+         - F.size(kept).cast("long")).alias("n_removed"),
+        F.array_join(kept, "\n").alias("text_clean"))

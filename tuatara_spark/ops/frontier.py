@@ -224,3 +224,55 @@ def revisit_schedule(captures: DataFrame, url_col: str = "url",
         F.col(url_col).alias("url"), "n_captures", "n_changes",
         rate.cast("long").alias("change_rate_e6"),
         days.cast("long").alias("next_days"))
+
+
+# --- RSS/Atom feed parsing --------------------------------------------------
+
+def feed_parse(df: DataFrame, col: str = "xml",
+               key_col: str = "url") -> DataFrame:
+    """RSS 2.0 / Atom feed item extraction — the discovery companion
+    to the sitemap parser (RSS 2.0 per the public Harvard/RSS-board
+    spec: ``<item><link>url</link><title>…``; Atom per RFC 4287:
+    ``<entry><link href="url"/><title>…``). Feeds are how an
+    incremental crawler finds NEW urls between sitemap refreshes.
+
+    Per feed document, in document order: every ``<item>`` block
+    yields a kind='rss' row (link = the ``<link>`` element text),
+    every ``<entry>`` block a kind='atom' row (link = the first
+    ``<link … href="…">`` attribute); titles are tag-inner text,
+    whitespace-trimmed; missing fields become ''. ``item_idx`` is
+    0-based over the rss items followed by the atom entries (a real
+    feed is one kind or the other).
+
+    → (key_col, item_idx, kind, link, title).
+
+    Scale shape: shuffle-free — one in-row concat of the two
+    extract_all arrays, one posexplode, regex projections; the feed
+    body never leaves its row.
+    """
+    combined = F.expr(
+        f"concat("
+        f"transform(regexp_extract_all({col}, "
+        "'(?is)<item[\\\\s>](.*?)</item>', 1), "
+        "x -> struct('rss' AS kind, x AS body)), "
+        f"transform(regexp_extract_all({col}, "
+        "'(?is)<entry[\\\\s>](.*?)</entry>', 1), "
+        "x -> struct('atom' AS kind, x AS body)))")
+    items = df.select(
+        F.col(key_col),
+        F.posexplode(combined).alias("item_idx", "_it"))
+    link = F.when(
+        F.expr("_it.kind = 'rss'"),
+        F.expr("regexp_extract(_it.body, "
+               "'(?is)<link[^>]*>(.*?)</link>', 1)")
+    ).otherwise(
+        F.expr("regexp_extract(_it.body, "
+               "'(?is)<link[^>]*?href=\"([^\"]*)\"', 1)"))
+    return items.select(
+        F.col(key_col),
+        F.col("item_idx").cast("long").alias("item_idx"),
+        F.expr("_it.kind").alias("kind"),
+        F.trim(link).alias("link"),
+        F.trim(F.expr("regexp_extract(_it.body, "
+                      "'(?is)<title[^>]*>(.*?)</title>', 1)"))
+        .alias("title"))

@@ -454,3 +454,82 @@ def dom_depth_stats(df: DataFrame, col: str = "html",
                    F.expr("(100 * _wsum) div text_chars"))
             .otherwise(F.lit(0)).cast("long"))
         .drop("_wsum"))
+
+
+def extract_tables(df: DataFrame, col: str = "html",
+                   key_col: str = "url") -> DataFrame:
+    """Flat HTML table extraction — the layout-parse step that turns
+    ``<table>`` markup into structured rows (the public WebTables /
+    WDC-table-corpus extraction shape: Cafarella et al. VLDB'08 mined
+    relational tables from the crawl with exactly this flat
+    table→tr→td decomposition).
+
+    Semantics, deterministic: tables are the non-overlapping lazy
+    ``<table…>…</table>`` matches in document order (nested tables
+    collapse into their outer match — the flat heuristic the WebTables
+    line uses for the dominant non-nested case); within each, rows are
+    the lazy ``<tr…>…</tr>`` matches, cells the lazy ``<td|th>``
+    matches; every cell is tag-stripped (tags become spaces),
+    whitespace-collapsed and trimmed. ``is_header`` flags rows
+    containing any ``<th``. Indices are 0-based in document order.
+
+    → (key_col, table_idx, row_idx, is_header, n_cells, cells_str —
+    cells joined by '|').
+
+    Scale shape: a shuffle-free Generate chain — two posexplodes over
+    in-row regexp_extract_all arrays; nothing leaves the row and the
+    scan ships only (key, html).
+    """
+    tables = df.select(
+        F.col(key_col),
+        F.posexplode(F.expr(
+            f"regexp_extract_all({col}, "
+            "'(?is)<table[^>]*>(.*?)</table>', 1)"))
+        .alias("table_idx", "_tbody"))
+    rows = tables.select(
+        key_col, "table_idx",
+        F.posexplode(F.expr(
+            "regexp_extract_all(_tbody, '(?is)<tr[^>]*>(.*?)</tr>', 1)"))
+        .alias("row_idx", "_trow"))
+    cells = F.expr(
+        "transform(regexp_extract_all(_trow, "
+        "'(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1), "
+        "c -> trim(regexp_replace(regexp_replace(c, '<[^>]*>', ' '), "
+        "'\\\\s+', ' ')))")
+    return rows.select(
+        F.col(key_col),
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.expr("_trow rlike '(?is)<th[\\\\s>]'").alias("is_header"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.array_join(cells, "|").alias("cells_str"))
+
+
+def template_fingerprint(df: DataFrame, col: str = "html",
+                         key_col: str = "url") -> DataFrame:
+    """Per-page DOM template fingerprint — the tag-sequence hash the
+    template-detection literature clusters on (Gibson/Punera/Tomkins
+    WWW'05 "The volume and evolution of web page templates" measured
+    templates via shingled tag sequences): two pages rendered from the
+    same CMS template share the tag stream even though their text
+    differs, so ``md5(tag sequence)`` buckets a host's pages into
+    templates for boilerplate discovery and crawl de-biasing.
+
+    Semantics: the tag stream is every ``<tag`` / ``</tag`` name in
+    document order, lowercased, attributes and text ignored;
+    ``template_md5`` hashes the comma-joined stream, ``n_tags`` counts
+    it (0 → the md5 of the empty string, deterministic).
+
+    → (key_col, n_tags, template_md5).
+
+    Scale shape: shuffle-free codegen projection — the downstream
+    per-host clustering (see ``q_template_cluster_docs``) groups
+    32-byte digests, never pages.
+    """
+    tags = F.expr(
+        f"transform(regexp_extract_all({col}, "
+        "'<\\\\s*(/?[a-zA-Z][a-zA-Z0-9]*)', 1), t -> lower(t))")
+    return df.select(
+        F.col(key_col),
+        F.size(tags).cast("long").alias("n_tags"),
+        F.md5(F.array_join(tags, ",")).alias("template_md5"))

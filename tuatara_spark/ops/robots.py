@@ -180,3 +180,34 @@ def crawl_delays(df: DataFrame, host_col: str = "host",
               .groupBy("host", "grp")
               .agg(F.max_by("_ms", "ln").alias("crawl_delay_ms")))
     return agents.join(delays, ["host", "grp"]).drop("grp")
+
+
+def meta_robots_gate(df: DataFrame, id_col: str = "doc_id",
+                     meta_col: str = "meta_robots",
+                     header_col: str = "x_robots_tag") -> DataFrame:
+    """Page-level robots directive gate — the indexing decision from
+    the ``<meta name="robots">`` content attribute and the
+    ``X-Robots-Tag`` response header (the public Google/Bing REP
+    extension documented alongside RFC 9309: both carry the same
+    comma-separated token list; the header and the meta tag combine
+    restrictively).
+
+    Tokens are lowercased, comma-split, trimmed. ``none`` means
+    ``noindex, nofollow``. A page can be indexed unless any source
+    says noindex/none, followed unless any says nofollow/none; and
+    ``noarchive`` is surfaced since corpus builders honor it.
+
+    → (id_col, can_index, can_follow, noarchive).
+
+    Scale shape: shuffle-free codegen projection.
+    """
+    both = F.expr(
+        f"transform(split(concat_ws(',', lower({meta_col}), "
+        f"lower({header_col})), ','), x -> trim(x))")
+    has = (lambda tok:
+           F.array_contains(both, tok) | F.array_contains(both, "none"))
+    return df.select(
+        F.col(id_col),
+        (~has("noindex")).alias("can_index"),
+        (~has("nofollow")).alias("can_follow"),
+        F.array_contains(both, "noarchive").alias("noarchive"))

@@ -432,3 +432,141 @@ def dup_ngram_coverage(df: DataFrame, n: int = 5,
         "ok_dup_ngram",
         F.col("covered_chars") * 100
         <= F.lit(max_frac_pct) * F.col("token_chars"))
+
+
+# ------------------------------------------------------ soft-404 pages ----
+
+SOFT404_MARKERS = ("page not found", "404", "does not exist",
+                   "no longer available", "been removed", "error 404",
+                   "page you requested")
+SOFT404_SHORT_CHARS = 300
+
+
+def soft404_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  status_col: str = "status") -> DataFrame:
+    """Soft-404 detection — pages that answer HTTP 200 but are really
+    error pages (Bar-Yossef et al. WWW'04 "Sic transit gloria telae"
+    established the marker+brevity signature; every production crawler
+    filters these before the corpus).
+
+    Integer scoring, deterministic: ``n_markers`` counts DISTINCT
+    :data:`SOFT404_MARKERS` phrases present in the lowercased text;
+    ``is_short`` is text length < SOFT404_SHORT_CHARS;
+    ``score = 2·n_markers + is_short``; ``is_soft404`` flags status
+    200 pages with score ≥ 3 (at least one marker AND short, or two
+    markers).
+
+    → (id_col, n_markers, is_short, soft404_score, is_soft404).
+
+    Scale shape: shuffle-free codegen projection — each marker is one
+    ``contains`` over the lowered text, summed in-row.
+    """
+    low = F.lower(F.col(text_col))
+    n_markers = sum(
+        (F.when(F.contains(low, F.lit(m)), 1).otherwise(0)
+         for m in SOFT404_MARKERS),
+        F.lit(0))
+    is_short = F.length(text_col) < SOFT404_SHORT_CHARS
+    score = (n_markers * 2 + is_short.cast("int")).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_markers.cast("long").alias("n_markers"),
+        is_short.alias("is_short"),
+        score.alias("soft404_score"),
+        ((F.col(status_col) == 200) & (score >= 3)).alias("is_soft404"))
+
+
+# ---------------------------------------------------- crawl-trap hosts ----
+
+TRAP_MAX_DEPTH = 12
+TRAP_MAX_PARAMS = 3
+
+
+def crawl_trap_stats(df: DataFrame, url_col: str = "url",
+                     host_col: str = "host") -> DataFrame:
+    """Per-host crawl-trap detection — infinite URL spaces (calendar
+    pages, session ids, self-linking path loops) that drown a frontier
+    (the IRLbot WWW'08 spam/trap budget problem; Heritrix ships the
+    same pathological-path heuristic this op distributes: a repeated
+    adjacent path segment like /a/a/ marks a likely loop).
+
+    Per URL, integer-exact: ``depth`` = non-empty path segments after
+    the scheme+host; ``n_params`` = '&'-separated parts of the query
+    string; a URL is a trap candidate if it has an adjacent repeated
+    path segment, depth > TRAP_MAX_DEPTH, or n_params >
+    TRAP_MAX_PARAMS. Per host: ``n_urls``, ``n_trap_urls``,
+    ``trap_pct_e6 = (10^6·n_trap)/n_urls``, and ``is_trap_host`` when
+    trap URLs are the majority (2·n_trap ≥ n_urls).
+
+    → (host, n_urls, n_trap_urls, trap_pct_e6, is_trap_host).
+
+    Scale shape: per-URL features are one shuffle-free projection;
+    the host rollup is a single map-side-combinable groupBy of four
+    counters — 10^12 URLs collapse to one row per host before the
+    exchange.
+    """
+    path = F.expr(
+        f"regexp_replace(regexp_extract({url_col}, "
+        "'^[a-z]+://[^/]+(/[^?#]*)?', 1), '[?#].*', '')")
+    segs = F.expr("filter(split(_path, '/'), x -> x != '')")
+    q = F.expr(f"regexp_extract({url_col}, '\\\\?([^#]*)', 1)")
+    per_url = (df.select(F.col(host_col), F.col(url_col))
+               .withColumn("_path", path)
+               .withColumn("_segs", segs)
+               .withColumn("_q", q))
+    depth = F.size("_segs")
+    n_params = F.when(F.col("_q") == "", 0).otherwise(
+        F.size(F.split("_q", "&")))
+    repeated = F.expr(
+        "exists(zip_with(slice(_segs, 1, greatest(size(_segs) - 1, 0)), "
+        "slice(_segs, 2, greatest(size(_segs) - 1, 0)), "
+        "(x, y) -> x = y), b -> b)")
+    is_trap = (repeated | (depth > TRAP_MAX_DEPTH)
+               | (n_params > TRAP_MAX_PARAMS))
+    flagged = per_url.select(
+        F.col(host_col).alias("host"),
+        is_trap.cast("long").alias("_t"))
+    return (flagged.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.sum("_t").cast("long").alias("n_trap_urls"))
+            .select("host", "n_urls", "n_trap_urls",
+                    F.expr("(1000000 * n_trap_urls) div n_urls")
+                    .cast("long").alias("trap_pct_e6"),
+                    F.expr("2 * n_trap_urls >= n_urls")
+                    .alias("is_trap_host")))
+
+
+def canonical_collapse(df: DataFrame, id_col: str = "doc_id",
+                       url_col: str = "url",
+                       canonical_col: str = "canonical") -> DataFrame:
+    """Canonical-URL alias collapse — the SEO dedup step every crawl
+    pipeline runs before content dedup: pages declaring
+    ``<link rel="canonical">`` (RFC 6596) collapse onto their target,
+    and mirrors of the same target count as aliases of one logical
+    document.
+
+    Per canonical target (the declared canonical, or the page's own
+    URL when it declares none): keep the page whose url IS the target
+    when present, else the smallest ``id_col``; count the aliases.
+
+    → (target_url, kept_id, n_aliases).
+
+    Scale shape: ONE map-side-combinable groupBy(target) — the keep
+    rule is a min over (url != target, id) pairs, so it partially
+    aggregates; no window, no self-join; 10^12 pages collapse to one
+    row per logical document.
+    """
+    target = F.when((F.col(canonical_col).isNotNull())
+                    & (F.col(canonical_col) != ""),
+                    F.col(canonical_col)).otherwise(F.col(url_col))
+    keyed = df.select(
+        F.col(id_col), F.col(url_col), target.alias("target_url"))
+    pick = F.min(F.struct(
+        (F.col(url_col) != F.col("target_url")).cast("int").alias("alias"),
+        F.col(id_col).alias("id"))).alias("_pick")
+    return (keyed.groupBy("target_url")
+            .agg(F.count("*").cast("long").alias("n_aliases"), pick)
+            .select("target_url",
+                    F.col("_pick.id").alias("kept_id"),
+                    "n_aliases"))

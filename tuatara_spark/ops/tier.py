@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from tuatara_spark.ops import lm as _lm
+from tuatara_spark.ops.dedup import _persist
 from tuatara_spark.ops.htmlx import justext_extract
 
 TIER_LABELS = ("head", "middle", "tail")
@@ -77,11 +78,18 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
     main = justext_extract(docs.select(id_col, html_col), col=html_col,
                            key_col=id_col, stop_pct=stop_pct)
     n_words = F.size(F.expr("filter(split(main_text, ' '), x -> x != '')"))
-    base = (docs.select(id_col, lang_col)
-            .join(main.select(id_col, "main_text"), id_col)
-            .withColumn("n_words", n_words.cast("long"))
-            .withColumn("_lang_ok", F.col(lang_col) == keep_lang)
-            .withColumn("_quality_ok", F.col("n_words") >= min_words))
+    # base fans out into four branches (dedup hashing, the survivor
+    # rejoin, LM training/scoring and the final disposition select) and
+    # with_order_rank's range sampler rescans its input — persist it
+    # once (dedup._persist registry; callers release via
+    # dedup.release_caches) so the JusText extraction runs one time,
+    # not once per branch
+    base = _persist(
+        docs.select(id_col, lang_col)
+        .join(main.select(id_col, "main_text"), id_col)
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("_lang_ok", F.col(lang_col) == keep_lang)
+        .withColumn("_quality_ok", F.col("n_words") >= min_words))
     surv0 = base.where(F.col("_lang_ok") & F.col("_quality_ok"))
     # dedup moves only (hash, id): the text stays put and survivors
     # rejoin on the id key
@@ -92,9 +100,13 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
                  .select(F.col(id_col),
                          (F.col(id_col) != F.col("_keep_id"))
                          .alias("_is_dup")))
-    surv = (surv0.select(id_col, "main_text")
-            .join(dup_flags.where(~F.col("_is_dup")).select(id_col),
-                  id_col))
+    # surv feeds LM training, scoring AND the range-partitioned tier
+    # rank (whose sampler makes an extra pass); cached it is one
+    # narrow join over the cached base
+    surv = _persist(
+        surv0.select(id_col, "main_text")
+        .join(dup_flags.where(~F.col("_is_dup")).select(id_col),
+              id_col))
     model = _lm.train_bigram_lm(
         surv.where(F.col(id_col) % train_mod == 0),
         text_col="main_text", id_col=id_col)

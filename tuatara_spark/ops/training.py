@@ -270,3 +270,44 @@ def url_blocklist(df: DataFrame, blocked: DataFrame,
             .withColumn("blocked", F.col("matched_domain").isNotNull())
             .withColumn("matched_domain",
                         F.coalesce("matched_domain", F.lit(""))))
+
+
+def chunk_text(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", max_tokens: int = 128,
+               stride: int = 96) -> DataFrame:
+    """Sliding-window document chunking — the training-example
+    windowing step every LM data pipeline runs between cleaning and
+    packing (the public BERT/GPT convention: fixed ``max_tokens``
+    windows whose starts advance by ``stride`` tokens, so consecutive
+    chunks overlap by ``max_tokens - stride``).
+
+    Tokens are the whitespace-split non-empty runs. Chunk starts are
+    0, stride, 2·stride, … while start < n_tokens (Spark's inclusive
+    ``sequence(0, n-1, stride)``), so the final chunk may be short and
+    an empty document yields no rows.
+
+    → (id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+
+    Scale shape: a shuffle-free Generate projection — starts and
+    slices are in-row array ops; a 10^12-document corpus chunks with
+    zero data movement, and the output inherits the input
+    partitioning for the packer downstream.
+    """
+    if stride < 1 or max_tokens < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.expr(rf"filter(split({text_col}, '\\s+'), "
+               "x -> x != '')").alias("_toks"))
+    starts = toks.where(F.size("_toks") > 0).select(
+        id_col, "_toks",
+        F.posexplode(F.expr(
+            f"sequence(0, size(_toks) - 1, {stride})"))
+        .alias("chunk_idx", "start_token"))
+    piece = F.expr(f"slice(_toks, start_token + 1, {max_tokens})")
+    return starts.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

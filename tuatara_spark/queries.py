@@ -2412,6 +2412,500 @@ FROM agg ORDER BY url
 """
 
 
+_LINE_DEDUP_TEXT_SPARK = (
+    "concat_ws('\\n', "
+    "concat('footer h', cast(doc_id % 20 as string), "
+    "' all rights reserved'), "
+    "CASE WHEN (doc_id div 20) % 10 < 2 "
+    "THEN concat('promo h', cast(doc_id % 20 as string)) END, "
+    "CASE WHEN (doc_id div 20) % 13 = 0 "
+    "THEN concat('survey h', cast(doc_id % 20 as string)) END, "
+    "concat('c', cast(doc_id as string), ' ', substring(text, 1, 60)), "
+    "'')")
+
+
+def q_host_line_dedup_docs(spark, sf_dir):
+    """Host-level repeated-line boilerplate removal (ops/dedup.py
+    host_line_dedup — the CCNet/RefinedWeb line-grain dedup): 20 hosts
+    of ~25 pages each; every page carries a host footer line (removed),
+    an empty trailing line (removed — shared by the whole host), a
+    'promo' line on ~6 pages per host (removed, over the 3-page bar), a
+    'survey' line on exactly 2 pages per host (KEPT, under the bar) and
+    a unique content line (kept). The oracle replays the per-host
+    distinct-page line counts and the order-preserving rebuild."""
+    from tuatara_spark.ops import dedup
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('h', cast(doc_id % 20 as string))").alias("host"),
+        F.expr(_LINE_DEDUP_TEXT_SPARK).alias("text"))
+    return dedup.host_line_dedup(docs).orderBy("doc_id")
+
+
+_HOST_LINE_DEDUP_SQL = r"""
+WITH src AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         concat_ws(chr(10),
+           'footer h' || CAST(doc_id % 20 AS VARCHAR)
+             || ' all rights reserved',
+           CASE WHEN (doc_id // 20) % 10 < 2
+                THEN 'promo h' || CAST(doc_id % 20 AS VARCHAR) END,
+           CASE WHEN (doc_id // 20) % 13 = 0
+                THEN 'survey h' || CAST(doc_id % 20 AS VARCHAR) END,
+           'c' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 60),
+           '') AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, host, i, string_split(text, chr(10))[i] AS line
+  FROM src, LATERAL (
+    SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i)),
+counts AS (
+  SELECT host, line, count(DISTINCT doc_id) AS n
+  FROM lines GROUP BY 1, 2),
+flagged AS (
+  SELECT l.doc_id, l.i, l.line, (c.n >= 3) AS boiler
+  FROM lines l JOIN counts c ON l.host = c.host AND l.line = c.line)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                           chr(10) ORDER BY i), '') AS text_clean
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_TABLES_HTML_SPARK = (
+    "concat('<p>intro</p>"
+    "<table class=\"t\"><tr><th>k</th><th>v</th></tr>"
+    "<tr><td>c', cast(doc_id as string), '</td><td><b>', "
+    "substring(text, 1, 12), '</b></td></tr></table>', "
+    "CASE WHEN doc_id % 2 = 0 THEN concat("
+    "'<table><tr><td>x', cast(doc_id % 7 as string), "
+    "'</td><td></td></tr></table>') ELSE '' END)")
+
+
+def q_html_tables_docs(spark, sf_dir):
+    """Flat HTML table extraction (ops/htmlx.py extract_tables — the
+    WebTables decomposition): each page carries a header+data table
+    (with nested <b> markup and a doc_id cell) and, on even doc_ids, a
+    second headerless table with an EMPTY trailing cell — exercising
+    multi-table indexing, th detection, tag-stripping and empty-cell
+    counting. The oracle replays the lazy table/tr/cell regex chain."""
+    from tuatara_spark.ops import htmlx
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TABLES_HTML_SPARK).alias("html"))
+    return (htmlx.extract_tables(docs, key_col="doc_id")
+            .orderBy("doc_id", "table_idx", "row_idx"))
+
+
+_HTML_TABLES_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         '<p>intro</p><table class="t"><tr><th>k</th><th>v</th></tr>'
+           || '<tr><td>c' || CAST(doc_id AS VARCHAR) || '</td><td><b>'
+           || substr(text, 1, 12) || '</b></td></tr></table>'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '<table><tr><td>x'
+                        || CAST(doc_id % 7 AS VARCHAR)
+                        || '</td><td></td></tr></table>'
+                   ELSE '' END AS html
+  FROM documents),
+tbl AS (
+  SELECT doc_id, ti - 1 AS table_idx,
+         regexp_extract_all(html,
+             '(?is)<table[^>]*>(.*?)</table>', 1)[ti] AS tbody
+  FROM src, LATERAL (
+    SELECT unnest(range(1, len(regexp_extract_all(html,
+        '(?is)<table[^>]*>(.*?)</table>', 1)) + 1)) AS ti)),
+tr AS (
+  SELECT doc_id, table_idx, ri - 1 AS row_idx,
+         regexp_extract_all(tbody, '(?is)<tr[^>]*>(.*?)</tr>', 1)[ri]
+           AS trow
+  FROM tbl, LATERAL (
+    SELECT unnest(range(1, len(regexp_extract_all(tbody,
+        '(?is)<tr[^>]*>(.*?)</tr>', 1)) + 1)) AS ri)),
+cells AS (
+  SELECT *, list_transform(
+      regexp_extract_all(trow, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+      c -> trim(regexp_replace(regexp_replace(c, '<[^>]*>', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS cl
+  FROM tr)
+SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+       CAST(row_idx AS BIGINT) AS row_idx,
+       regexp_matches(trow, '(?is)<th[\s>]') AS is_header,
+       CAST(len(cl) AS BIGINT) AS n_cells,
+       array_to_string(cl, '|') AS cells_str
+FROM cells ORDER BY doc_id, table_idx, row_idx
+"""
+
+
+def q_chunk_text_docs(spark, sf_dir):
+    """Sliding-window training chunking (ops/training.py chunk_text):
+    the documents corpus split into 12-token windows advancing by 8
+    (4-token overlap), final chunks short, empty docs dropped. The
+    oracle replays the start sequence and the slice arithmetic."""
+    from tuatara_spark.ops import training
+    return (training.chunk_text(_docs(spark, sf_dir),
+                                max_tokens=12, stride=8)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+_CHUNK_TEXT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+st AS (
+  SELECT doc_id, t, CAST(s AS BIGINT) AS start_token
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t), 8)) AS s)
+  WHERE len(t) > 0),
+sliced AS (
+  SELECT *, list_slice(t, start_token + 1,
+                       least(start_token + 12, len(t))) AS piece
+  FROM st)
+SELECT doc_id, start_token // 8 AS chunk_idx, start_token,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM sliced ORDER BY doc_id, chunk_idx
+"""
+
+
+_TEMPLATE_HTML_SPARK = (
+    "CASE cast(doc_id % 3 as int) "
+    "WHEN 0 THEN concat('<html><body><div><p>', text, "
+    "'</p></div></body></html>') "
+    "WHEN 1 THEN concat('<html><body><table><tr><td>', text, "
+    "'</td></tr></table></body></html>') "
+    "ELSE concat('<html><body><ul><li>', text, "
+    "'</li><li>x</li></ul></body></html>') END")
+
+
+def q_template_cluster_docs(spark, sf_dir):
+    """Host-level template clustering (ops/htmlx.py
+    template_fingerprint — the tag-sequence hash of the
+    template-detection literature): pages rendered from 3 synthetic
+    CMS templates (text varies per page, tag stream does not) across
+    10 hosts collapse into (host, template) buckets. The oracle
+    recomputes the lowercased tag-stream md5 and the cluster counts."""
+    from tuatara_spark.ops import htmlx
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TEMPLATE_HTML_SPARK).alias("html"))
+    fp = htmlx.template_fingerprint(docs, key_col="doc_id")
+    return (fp.withColumn(
+        "host", F.expr("concat('h', cast(doc_id % 10 as string))"))
+        .groupBy("host", "template_md5")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+        .orderBy("host", "template_md5"))
+
+
+_TEMPLATE_CLUSTER_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '<html><body><div><p>' || text
+                       || '</p></div></body></html>'
+           WHEN 1 THEN '<html><body><table><tr><td>' || text
+                       || '</td></tr></table></body></html>'
+           ELSE '<html><body><ul><li>' || text
+                || '</li><li>x</li></ul></body></html>' END AS html
+  FROM documents),
+fp AS (
+  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         md5(array_to_string(list_transform(
+             regexp_extract_all(html,
+                 '<\s*(/?[a-zA-Z][a-zA-Z0-9]*)', 1),
+             t -> lower(t)), ',')) AS template_md5
+  FROM src)
+SELECT host, template_md5, CAST(count(*) AS BIGINT) AS n_pages
+FROM fp GROUP BY 1, 2 ORDER BY host, template_md5
+"""
+
+
+_FEED_XML_SPARK = (
+    "CASE WHEN doc_id % 2 = 1 THEN concat("
+    "'<rss><channel><item><link>https://e/', cast(doc_id as string), "
+    "'/a</link><title> First ', cast(doc_id as string), "
+    "' </title></item><item><title>nolink</title></item>"
+    "</channel></rss>') "
+    "ELSE concat('<feed><entry>"
+    "<link rel=\"alternate\" href=\"https://e/', cast(doc_id as string), "
+    "'/x\"/><title>Ax', cast(doc_id as string), '</title></entry>"
+    "<entry><link href=\"https://e/', cast(doc_id as string), "
+    "'/y\"/></entry></feed>') END")
+
+
+def q_feed_parse_docs(spark, sf_dir):
+    """RSS/Atom feed item extraction (ops/frontier.py feed_parse): odd
+    doc_ids carry a 2-item RSS feed (second item link-less), even ones
+    a 2-entry Atom feed (first entry with a rel attribute before href,
+    second title-less) — exercising both link conventions, missing
+    fields and title trimming. The oracle replays both regex chains."""
+    from tuatara_spark.ops import frontier
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_FEED_XML_SPARK).alias("xml"))
+    return (frontier.feed_parse(docs, key_col="doc_id")
+            .orderBy("doc_id", "item_idx"))
+
+
+_FEED_PARSE_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+           THEN '<rss><channel><item><link>https://e/'
+                || CAST(doc_id AS VARCHAR) || '/a</link><title> First '
+                || CAST(doc_id AS VARCHAR)
+                || ' </title></item><item><title>nolink</title></item>'
+                || '</channel></rss>'
+           ELSE '<feed><entry><link rel="alternate" href="https://e/'
+                || CAST(doc_id AS VARCHAR) || '/x"/><title>Ax'
+                || CAST(doc_id AS VARCHAR) || '</title></entry>'
+                || '<entry><link href="https://e/'
+                || CAST(doc_id AS VARCHAR) || '/y"/></entry></feed>'
+           END AS xml
+  FROM documents),
+rss AS (
+  SELECT doc_id, i - 1 AS item_idx, 'rss' AS kind,
+         regexp_extract_all(xml, '(?is)<item[\s>](.*?)</item>', 1)[i]
+           AS body
+  FROM src, LATERAL (
+    SELECT unnest(range(1, len(regexp_extract_all(xml,
+        '(?is)<item[\s>](.*?)</item>', 1)) + 1)) AS i)),
+atom AS (
+  SELECT doc_id, i - 1 AS item_idx, 'atom' AS kind,
+         regexp_extract_all(xml, '(?is)<entry[\s>](.*?)</entry>', 1)[i]
+           AS body
+  FROM src, LATERAL (
+    SELECT unnest(range(1, len(regexp_extract_all(xml,
+        '(?is)<entry[\s>](.*?)</entry>', 1)) + 1)) AS i)),
+uni AS (SELECT * FROM rss UNION ALL SELECT * FROM atom)
+SELECT doc_id, CAST(item_idx AS BIGINT) AS item_idx, kind,
+       trim(CASE WHEN kind = 'rss'
+                 THEN regexp_extract(body,
+                     '(?is)<link[^>]*>(.*?)</link>', 1)
+                 ELSE regexp_extract(body,
+                     '(?is)<link[^>]*?href="([^"]*)"', 1) END) AS link,
+       trim(regexp_extract(body, '(?is)<title[^>]*>(.*?)</title>', 1))
+         AS title
+FROM uni ORDER BY doc_id, item_idx
+"""
+
+
+_SOFT404_TEXT_SPARK = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'Error 404 - Page Not Found.' "
+    "WHEN doc_id % 7 = 1 "
+    "THEN concat('This page does not exist anymore. ', text) "
+    "WHEN doc_id % 7 = 2 THEN 'Sorry, this content has been removed.' "
+    "ELSE text END")
+_SOFT404_STATUS_SPARK = ("CASE WHEN doc_id % 5 = 0 THEN 404 "
+                         "ELSE 200 END")
+
+
+def q_soft404_docs(spark, sf_dir):
+    """Soft-404 detection (ops/textstats.py soft404_score): planted
+    multi-marker short error pages, single-marker long pages, marker
+    pages behind a REAL 404 status (not soft), and clean prose. The
+    oracle SQL is GENERATED from the op's own SOFT404_MARKERS table
+    so the marker set cannot drift."""
+    from tuatara_spark.ops import textstats
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_SOFT404_TEXT_SPARK).alias("text"),
+        F.expr(_SOFT404_STATUS_SPARK).cast("int").alias("status"))
+    return textstats.soft404_score(docs).orderBy("doc_id")
+
+
+def _soft404_sql():
+    from tuatara_spark.ops.textstats import (SOFT404_MARKERS,
+                                             SOFT404_SHORT_CHARS)
+    marks = " + ".join(
+        f"CASE WHEN contains(lower(text), '{m}') THEN 1 ELSE 0 END"
+        for m in SOFT404_MARKERS)
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'Error 404 - Page Not Found.'
+              WHEN doc_id % 7 = 1
+                THEN 'This page does not exist anymore. ' || text
+              WHEN doc_id % 7 = 2
+                THEN 'Sorry, this content has been removed.'
+              ELSE text END AS text,
+         CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status
+  FROM documents),
+feat AS (
+  SELECT doc_id, status, ({marks}) AS n_markers,
+         length(text) < {SOFT404_SHORT_CHARS} AS is_short
+  FROM src)
+SELECT doc_id, CAST(n_markers AS BIGINT) AS n_markers, is_short,
+       CAST(2 * n_markers + CASE WHEN is_short THEN 1 ELSE 0 END
+            AS BIGINT) AS soft404_score,
+       (status = 200 AND
+        2 * n_markers + CASE WHEN is_short THEN 1 ELSE 0 END >= 3)
+         AS is_soft404
+FROM feat ORDER BY doc_id
+"""
+
+
+_TRAP_PATH_SPARK = (
+    "CASE WHEN doc_id % 7 = 3 THEN 'a/a/trap' "
+    "ELSE CASE cast((doc_id div 7) % 5 as int) "
+    "WHEN 0 THEN 'a/a/b' "
+    "WHEN 1 THEN concat(repeat('d/', 1 + cast(doc_id % 16 as int)), 'x') "
+    "WHEN 2 THEN 'p?k1=1&k2=2&k3=3&k4=4' "
+    "ELSE 'ok/page' END END")
+
+
+def q_crawl_trap_docs(spark, sf_dir):
+    """Per-host crawl-trap detection (ops/textstats.py
+    crawl_trap_stats — the IRLbot/Heritrix pathological-URL family):
+    7 hosts whose URLs mix repeated-segment loops, doc_id-varying
+    depths straddling the 12-segment bar, over-parameterized queries
+    and clean pages; host h3 is a pure trap (majority flag fires).
+    The oracle replays segment/depth/param extraction and the host
+    rollup."""
+    from tuatara_spark.ops import textstats
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('h', cast(doc_id % 7 as string))").alias("host"),
+        F.expr(f"concat('https://h', cast(doc_id % 7 as string), "
+               f"'.com/', {_TRAP_PATH_SPARK})").alias("url"))
+    return textstats.crawl_trap_stats(docs).orderBy("host")
+
+
+_CRAWL_TRAP_SQL = r"""
+WITH src AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.com/'
+           || CASE WHEN doc_id % 7 = 3 THEN 'a/a/trap'
+              ELSE CASE CAST((doc_id // 7) % 5 AS INT)
+                WHEN 0 THEN 'a/a/b'
+                WHEN 1 THEN repeat('d/', 1 + CAST(doc_id % 16 AS INT))
+                            || 'x'
+                WHEN 2 THEN 'p?k1=1&k2=2&k3=3&k4=4'
+                ELSE 'ok/page' END END AS url
+  FROM documents),
+feat AS (
+  SELECT host,
+         list_filter(string_split(
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)?', 1), '/'),
+             x -> x <> '') AS segs,
+         regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM src),
+per AS (
+  SELECT host,
+         CASE WHEN len(list_filter(range(1, len(segs)),
+                                   i -> segs[i] = segs[i + 1])) > 0
+                   OR len(segs) > 12
+                   OR (q <> '' AND len(string_split(q, '&')) > 3)
+              THEN 1 ELSE 0 END AS t
+  FROM feat)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(t) AS BIGINT) AS n_trap_urls,
+       CAST((1000000 * sum(t)) // count(*) AS BIGINT) AS trap_pct_e6,
+       (2 * sum(t) >= count(*)) AS is_trap_host
+FROM per GROUP BY host ORDER BY host
+"""
+
+
+_META_ROBOTS_SPARK = (
+    "CASE cast(doc_id % 5 as int) WHEN 0 THEN 'noindex, follow' "
+    "WHEN 1 THEN 'INDEX, NOFOLLOW' WHEN 2 THEN '' "
+    "WHEN 3 THEN 'none' ELSE 'all' END")
+_XROBOTS_SPARK = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'noarchive' "
+    "WHEN doc_id % 7 = 1 THEN 'noindex' ELSE '' END")
+
+
+def q_meta_robots_docs(spark, sf_dir):
+    """Page-level robots directive gate (ops/robots.py
+    meta_robots_gate): meta and X-Robots-Tag sources mixing case,
+    whitespace, 'none' shorthand and restrictive combination (an
+    indexable meta overridden by a noindex header). The oracle replays
+    the token split and the gate logic."""
+    from tuatara_spark.ops import robots
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_META_ROBOTS_SPARK).alias("meta_robots"),
+        F.expr(_XROBOTS_SPARK).alias("x_robots_tag"))
+    return robots.meta_robots_gate(docs).orderBy("doc_id")
+
+
+_META_ROBOTS_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'noindex, follow'
+              WHEN 1 THEN 'INDEX, NOFOLLOW' WHEN 2 THEN ''
+              WHEN 3 THEN 'none' ELSE 'all' END AS m,
+         CASE WHEN doc_id % 7 = 0 THEN 'noarchive'
+              WHEN doc_id % 7 = 1 THEN 'noindex' ELSE '' END AS h
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_transform(string_split(
+             concat_ws(',', lower(m), lower(h)), ','),
+             x -> trim(x)) AS t
+  FROM src)
+SELECT doc_id,
+       NOT (list_contains(t, 'noindex') OR list_contains(t, 'none'))
+         AS can_index,
+       NOT (list_contains(t, 'nofollow') OR list_contains(t, 'none'))
+         AS can_follow,
+       list_contains(t, 'noarchive') AS noarchive
+FROM toks ORDER BY doc_id
+"""
+
+
+_CANONICAL_SPARK = (
+    "CASE WHEN doc_id % 4 = 1 "
+    "THEN concat('https://s/p', cast(doc_id - 1 as string)) "
+    "WHEN doc_id % 4 = 2 THEN '' "
+    "WHEN doc_id % 4 = 3 "
+    "THEN concat('https://ext/', cast(doc_id % 9 as string)) "
+    "ELSE concat('https://s/p', cast(doc_id as string)) END")
+
+
+def q_canonical_collapse_docs(spark, sf_dir):
+    """Canonical-URL alias collapse (ops/textstats.py
+    canonical_collapse — RFC 6596): self-canonical pages, aliases
+    pointing at the previous page, canonical-less pages and many-to-one
+    external targets; the keep rule (url==target first, then min id)
+    and alias counts are replayed in the oracle window."""
+    from tuatara_spark.ops import textstats
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('https://s/p', cast(doc_id as string))")
+        .alias("url"),
+        F.expr(_CANONICAL_SPARK).alias("canonical"))
+    return textstats.canonical_collapse(docs).orderBy("target_url")
+
+
+_CANONICAL_COLLAPSE_SQL = r"""
+WITH src AS (
+  SELECT doc_id, 'https://s/p' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 = 1
+                THEN 'https://s/p' || CAST(doc_id - 1 AS VARCHAR)
+              WHEN doc_id % 4 = 2 THEN ''
+              WHEN doc_id % 4 = 3
+                THEN 'https://ext/' || CAST(doc_id % 9 AS VARCHAR)
+              ELSE 'https://s/p' || CAST(doc_id AS VARCHAR) END
+           AS canonical
+  FROM documents),
+keyed AS (
+  SELECT doc_id, url,
+         CASE WHEN canonical <> '' THEN canonical ELSE url END
+           AS target_url
+  FROM src),
+ranked AS (
+  SELECT target_url, doc_id AS kept_id,
+         row_number() OVER (PARTITION BY target_url
+             ORDER BY (url <> target_url), doc_id) AS rn,
+         count(*) OVER (PARTITION BY target_url) AS n_aliases
+  FROM keyed)
+SELECT target_url, kept_id, CAST(n_aliases AS BIGINT) AS n_aliases
+FROM ranked WHERE rn = 1 ORDER BY target_url
+"""
+
+
 def _script_detect_sql():
     from tuatara_spark.ops.langid import SCRIPT_RANGES, script_class
     names = sorted(SCRIPT_RANGES)
@@ -4505,22 +4999,24 @@ REGISTRY: dict[str, tuple] = {
     "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
                                 _ROBOTS_DELAY_SQL),
     "sitemap_parse_docs": (q_sitemap_parse_docs, _SITEMAP_SQL),
+    "feed_parse_docs": (q_feed_parse_docs, _FEED_PARSE_SQL),
     "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
     "bloom_seen_docs": (q_bloom_seen_docs, _BLOOM_SQL),
     "url_blocklist_docs": (q_url_blocklist_docs, _URL_BLOCKLIST_SQL),
+    "soft404_docs": (q_soft404_docs, _soft404_sql()),
+    "crawl_trap_docs": (q_crawl_trap_docs, _CRAWL_TRAP_SQL),
+    "meta_robots_docs": (q_meta_robots_docs, _META_ROBOTS_SQL),
+    "canonical_collapse_docs": (q_canonical_collapse_docs,
+                                _CANONICAL_COLLAPSE_SQL),
     # -- HTML extraction --
     "html_main_chain_docs": (q_html_main_chain_docs,
                              _html_main_chain_sql()),
-    "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
-    "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
     "html_markdown_docs": (q_html_markdown_docs, _html_markdown_sql()),
     "justext_docs": (q_justext_docs, _justext_sql()),
     "tier_extract_docs": (q_tier_extract_docs, _tier_sql()),
     # -- link graph / search --
-    "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
     "hits_hosts": (q_hits_hosts, _HITS_SQL),
     "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
-    "bm25_rank_docs": (q_bm25_rank_docs, _BM25_SQL),
     "inverted_index_docs": (q_inverted_index_docs, _INVIDX_SQL),
     # -- language / LM / tokenizer --
     "langid_docs": (q_langid_docs, _LANGID_SQL),
@@ -4531,19 +5027,20 @@ REGISTRY: dict[str, tuple] = {
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
     # -- training-data pipeline ops --
-    "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
-    "sequence_pack_urls": (q_sequence_pack_urls, _SEQPACK_URLS_SQL),
-    "gopher_quality_docs": (q_gopher_quality_docs, _GOPHER_SQL),
+    "host_line_dedup_docs": (q_host_line_dedup_docs,
+                             _HOST_LINE_DEDUP_SQL),
+    "chunk_text_docs": (q_chunk_text_docs, _CHUNK_TEXT_SQL),
+    "html_tables_docs": (q_html_tables_docs, _HTML_TABLES_SQL),
+    "template_cluster_docs": (q_template_cluster_docs,
+                              _TEMPLATE_CLUSTER_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     # -- multimodal + lineage --
     "phash_recall_gate": (q_phash_recall_gate, _PHASH_GATE_SQL),
-    "counters_by_lang": (q_counters_by_lang, _COUNTERS_SQL),
     # -- dedup + gates --
     "minhash_recall_gate": (q_minhash_recall_gate, _MINHASH_GATE_SQL),
     "minhash_precision_gate": (q_minhash_precision_gate,
                                _MINHASH_PRECISION_SQL),
     "simhash_recall_gate": (q_simhash_recall_gate, _SIMHASH_GATE_SQL),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL),
     "exact_substr_docs": (q_exact_substr_docs, _EXACT_SUBSTR_SQL),
     # -- similarity gates --
     "ann_ivf_recall": (q_ann_ivf_recall, _IVF_RECALL_SQL),
@@ -4556,13 +5053,22 @@ REGISTRY: dict[str, tuple] = {
     # Standing rule: new queries land INSIDE the window the round they
     # are written. Everything below was driver-green in an earlier
     # round and stays covered by pytest + tools/verifier.py every
-    # round. (The two streaming queries rotated below in round 5 —
-    # driver-green in rounds 3 AND 4 — to make room for the round-5
-    # closers.)
+    # round. (Rotated below in round 5, each driver-green in rounds 3
+    # AND 4: the two streaming queries, decontaminate, sequence-pack
+    # and the lineage counters — making room for the round-5 ops.)
     "streaming_lang_counters": (q_streaming_lang_counters,
                                 _STREAMING_COUNTERS_SQL),
     "streaming_windowed_counts": (q_streaming_windowed_counts,
                                   _STREAMING_WINDOWED_SQL),
+    "decontaminate_docs": (q_decontaminate_docs, _DECONTAM_SQL),
+    "sequence_pack_urls": (q_sequence_pack_urls, _SEQPACK_URLS_SQL),
+    "counters_by_lang": (q_counters_by_lang, _COUNTERS_SQL),
+    "gopher_quality_docs": (q_gopher_quality_docs, _GOPHER_SQL),
+    "bm25_rank_docs": (q_bm25_rank_docs, _BM25_SQL),
+    "pagerank_hosts": (q_pagerank_hosts, _PAGERANK_SQL),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL),
+    "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
+    "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
