@@ -1933,3 +1933,26 @@ def test_meta_robots_canonical_plan_shapes(spark):
         or "HashAggregate" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_extraction_pr_gate_query(spark):
+    """The corpus-level extraction P/R gate: one row, counts
+    consistent, precision/recall in (0, 1e6], and the known chrome
+    leak/miss structure keeps both below perfection but far above
+    chance on the sf0.001 corpus."""
+    from tuatara_spark.queries import q_extraction_pr_gate
+    r = q_extraction_pr_gate(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.tp > 0
+    assert 0 < row.precision_e6 <= 1_000_000
+    assert 0 < row.recall_e6 <= 1_000_000
+    assert row.precision_e6 == (1_000_000 * row.tp) // (row.tp + row.fp)
+    assert row.recall_e6 == (1_000_000 * row.tp) // (row.tp + row.fn)
+    # both error mechanisms actually fire: the raw-prose half is
+    # largely below the stopword bar (recall < 1 but the enriched half
+    # keeps it above 0.5) and the planted short chrome block gets
+    # neighbor-promoted (fp > 0 → precision < 1)
+    assert row.recall_e6 > 500_000
+    assert row.fp > 0 and row.precision_e6 < 1_000_000
+    assert row.precision_e6 > 900_000

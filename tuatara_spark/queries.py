@@ -2056,16 +2056,22 @@ def q_justext_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _justext_ctes(text_expr: str = "text") -> str:
+def _justext_ctes(text_expr: str = "text",
+                  extra_block: str | None = None) -> str:
     """The shared DuckDB CTE chain for the JusText classifier (pages →
     flagged), parameterized on the page-text expression so the composed
     tier-extraction oracle reuses the IDENTICAL rule derivation — one
     source of truth, zero drift between the standalone and composed
-    oracles."""
+    oracles. ``extra_block`` optionally plants one more literal block
+    between the prose and the teaser (the extraction-P/R gate uses it
+    to plant a promotable short chrome block)."""
     from tuatara_spark.ops import htmlx
     pre = _JT_PRE.replace("'", "''")
     mid1 = _JT_MID1.replace("'", "''")
     mid2 = _JT_MID2.replace("'", "''")
+    extra = ""
+    if extra_block is not None:
+        extra = f" || '{extra_block.replace(chr(39), chr(39) * 2)}{mid1}'"
     txt = "raw"
     for tag in htmlx.BOILER_BLOCKS:
         txt = f"regexp_replace({txt}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
@@ -2074,7 +2080,7 @@ def _justext_ctes(text_expr: str = "text") -> str:
     txt = rf"trim(regexp_replace({txt}, '\s+', ' ', 'g'))"
     stoplist = ", ".join(f"'{wd}'" for wd in htmlx.JUSTEXT_STOPWORDS)
     return f"""pages AS (
-  SELECT doc_id, '{pre}' || ({text_expr}) || '{mid1}'
+  SELECT doc_id, '{pre}' || ({text_expr}) || '{mid1}'{extra}
          || substr({text_expr}, 1, 24) || '{mid2}' AS html
   FROM documents),
 blocks AS (
@@ -2903,6 +2909,113 @@ ranked AS (
   FROM keyed)
 SELECT target_url, kept_id, CAST(n_aliases AS BIGINT) AS n_aliases
 FROM ranked WHERE rn = 1 ORDER BY target_url
+"""
+
+
+_PR_PROSE_SPARK = ("CASE WHEN doc_id % 2 = 0 "
+                   "THEN concat('the of and to in a is that it was ', "
+                   "text) ELSE text END")
+_PR_CHROME_BLOCK = "buy now deal"   # short, adjacent to good prose →
+# JusText's neighbor promotion wrongly includes it: a REAL
+# false-positive mechanism, not a synthetic fudge
+
+
+def q_extraction_pr_gate(spark, sf_dir):
+    """Extraction-quality gate: corpus-level token precision/recall of
+    the JusText extractor against the PLANTED ground truth (the page
+    synthesis knows exactly which blocks are content — the document's
+    prose and its 24-char teaser — and which are chrome). Both error
+    kinds occur by construction and for the extractor's REAL reasons:
+    half the corpus is stopword-enriched prose that passes the density
+    bar (recovered), half is the raw corpus word-salad that mostly
+    fails it (missed → recall < 1); and a short chrome block planted
+    next to good prose gets neighbor-promoted (leaked → precision <
+    1). tp/fp/fn are token-multiset counts (Σ min/max over
+    per-(doc,token) occurrence counts); the oracle replays the
+    extractor via the shared JusText CTE factory and the same multiset
+    arithmetic — an end-to-end value-pinned quality measurement, the
+    extraction analogue of the minhash recall gate."""
+    from tuatara_spark.ops import htmlx
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(_JT_PRE), F.expr(_PR_PROSE_SPARK),
+                 F.lit(_JT_MID1), F.lit(_PR_CHROME_BLOCK),
+                 F.lit(_JT_MID1),
+                 F.expr(f"substring({_PR_PROSE_SPARK}, 1, 24)"),
+                 F.lit(_JT_MID2))
+        .alias("html"))
+    ext = htmlx.justext_extract(pages, key_col="doc_id",
+                                stop_pct=_JT_STOP_PCT)
+    truth = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"concat({_PR_PROSE_SPARK}, ' ', "
+               f"substring({_PR_PROSE_SPARK}, 1, 24))")
+        .alias("truth_text"))
+
+    def tok_counts(df, col, out):
+        return (df.select(
+            "doc_id",
+            F.explode(F.expr(f"filter(split({col}, ' '), "
+                             "x -> x != '')")).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias(out)))
+
+    j = (tok_counts(ext, "main_text", "n_ext")
+         .join(tok_counts(truth, "truth_text", "n_truth"),
+               ["doc_id", "tok"], "full")
+         .select(F.coalesce("n_ext", F.lit(0)).alias("e"),
+                 F.coalesce("n_truth", F.lit(0)).alias("t")))
+    agg = j.agg(
+        F.sum(F.expr("least(e, t)")).cast("long").alias("tp"),
+        F.sum(F.expr("greatest(e - t, 0L)")).cast("long").alias("fp"),
+        F.sum(F.expr("greatest(t - e, 0L)")).cast("long").alias("fn"))
+    return agg.select(
+        "tp", "fp", "fn",
+        F.expr("CASE WHEN tp + fp > 0 THEN (1000000 * tp) div (tp + fp) "
+               "ELSE 0 END").cast("long").alias("precision_e6"),
+        F.expr("CASE WHEN tp + fn > 0 THEN (1000000 * tp) div (tp + fn) "
+               "ELSE 0 END").cast("long").alias("recall_e6"))
+
+
+def _extraction_pr_sql():
+    prose = ("CASE WHEN doc_id % 2 = 0 "
+             "THEN 'the of and to in a is that it was ' || text "
+             "ELSE text END")
+    return f"""
+WITH {_justext_ctes(prose, extra_block=_PR_CHROME_BLOCK)},
+jt AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN good THEN block_text END, ' '
+                             ORDER BY block_idx), '') AS main_text
+  FROM flagged GROUP BY doc_id),
+truth AS (
+  SELECT doc_id, ({prose}) || ' ' || substr({prose}, 1, 24) AS t
+  FROM documents),
+ec AS (
+  SELECT doc_id, tok, count(*) AS n_ext
+  FROM (SELECT doc_id, unnest(list_filter(
+            string_split(main_text, ' '), x -> x <> '')) AS tok
+        FROM jt) GROUP BY 1, 2),
+tc AS (
+  SELECT doc_id, tok, count(*) AS n_truth
+  FROM (SELECT doc_id, unnest(list_filter(
+            string_split(t, ' '), x -> x <> '')) AS tok
+        FROM truth) GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(ec.n_ext, 0) AS e, coalesce(tc.n_truth, 0) AS t
+  FROM ec FULL JOIN tc
+    ON ec.doc_id = tc.doc_id AND ec.tok = tc.tok),
+agg AS (
+  SELECT CAST(sum(least(e, t)) AS BIGINT) AS tp,
+         CAST(sum(greatest(e - t, 0)) AS BIGINT) AS fp,
+         CAST(sum(greatest(t - e, 0)) AS BIGINT) AS fn
+  FROM j)
+SELECT tp, fp, fn,
+       CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)
+                 ELSE 0 END AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn)
+                 ELSE 0 END AS BIGINT) AS recall_e6
+FROM agg
 """
 
 
@@ -4993,7 +5106,6 @@ REGISTRY: dict[str, tuple] = {
     "warc_revisit_docs": (q_warc_revisit_docs, _WARC_REVISIT_SQL),
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
-    "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     "robots_sitemaps_docs": (q_robots_sitemaps_docs, _ROBOTS_SITEMAPS_SQL),
     "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
@@ -5013,6 +5125,7 @@ REGISTRY: dict[str, tuple] = {
                              _html_main_chain_sql()),
     "html_markdown_docs": (q_html_markdown_docs, _html_markdown_sql()),
     "justext_docs": (q_justext_docs, _justext_sql()),
+    "extraction_pr_gate": (q_extraction_pr_gate, _extraction_pr_sql()),
     "tier_extract_docs": (q_tier_extract_docs, _tier_sql()),
     # -- link graph / search --
     "hits_hosts": (q_hits_hosts, _HITS_SQL),
@@ -5069,6 +5182,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL),
     "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
     "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
+    "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
