@@ -1956,3 +1956,44 @@ def test_extraction_pr_gate_query(spark):
     assert row.recall_e6 > 500_000
     assert row.fp > 0 and row.precision_e6 < 1_000_000
     assert row.precision_e6 > 900_000
+
+
+def test_domain_mix_hand_computed(spark):
+    """sqrt weighting: a 100-doc host and a 4-doc host get weights
+    10 and 2; rates realize the target under the mixture with the
+    small host oversampled (capped at 1.0)."""
+    from tuatara_spark.ops import training
+    rows = ([(i, "big") for i in range(100)]
+            + [(1000 + i, "tiny") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {r.host: r for r in training.domain_mix(df).collect()}
+    assert (got["big"].n_docs, got["big"].weight) == (100, 10)
+    assert (got["tiny"].n_docs, got["tiny"].weight) == (4, 2)
+    # shares: 10/12 and 2/12 of the mixture
+    assert got["big"].share_e6 == (1_000_000 * 10) // 12
+    assert got["tiny"].share_e6 == (1_000_000 * 2) // 12
+    # tiny host: target*share // max(1, 1e6*4//104) -> way over 1e6, capped
+    assert got["tiny"].keep_rate_e6 == 1_000_000
+    assert got["tiny"].n_kept == 4
+    big_rate = min(1_000_000,
+                   (500_000 * got["big"].share_e6)
+                   // max(1, (1_000_000 * 100) // 104))
+    assert got["big"].keep_rate_e6 == big_rate
+    assert 0 < got["big"].n_kept < 100
+
+
+def test_domain_mix_plan_shapes(spark):
+    """Host rollups partial-aggregate; totals are a 1-row broadcast
+    (BroadcastNestedLoopJoin on purpose); no Python, no cartesian of
+    real tables."""
+    import contextlib
+    import io
+    from tuatara_spark.ops import training
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        training.domain_mix(df).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals only

@@ -355,3 +355,40 @@ def test_to_markdown_plan_is_shuffle_free_projection(spark):
     plan = _explain(htmlx.to_markdown(df))
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_round5_ops_plan_shapes(spark):
+    """Round-5 scale claims read off the plans: the composed tier
+    pipeline persists its fan-out nodes (InMemoryTableScan present —
+    JusText runs once per action) and never goes cartesian or Python;
+    host line dedup's counting stages carry only xxhash64 keys (the
+    page text appears in no exchange-feeding aggregate); domain_mix's
+    only nested-loop join is the 1-row totals broadcast."""
+    from pyspark.sql import functions as F
+    from tuatara_spark.ops import dedup as dd, tier, training
+
+    docs = spark.createDataFrame(
+        [(i, "en",
+          f"<p>this is the fine prose of document {i} for all of us"
+          "</p>") for i in range(20)],
+        "doc_id long, lang string, html string")
+    tier_plan = _explain(tier.tier_extract(docs), mode="simple")
+    dd.release_caches()
+    assert "InMemoryTableScan" in tier_plan      # persisted fan-out
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in tier_plan
+
+    lines = spark.createDataFrame(
+        [(1, "h", "a\nb"), (2, "h", "a\nc")],
+        "doc_id long, host string, text string")
+    ld_plan = _explain(dd.host_line_dedup(lines))
+    assert "xxhash64" in ld_plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in ld_plan
+
+    mix = training.domain_mix(spark.createDataFrame(
+        [(1, "h")], "doc_id long, host string"))
+    mix_plan = _explain(mix, mode="simple")
+    assert "BroadcastNestedLoopJoin" in mix_plan  # 1-row totals only
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in mix_plan

@@ -311,3 +311,59 @@ def chunk_text(df: DataFrame, text_col: str = "text",
         F.col("start_token").cast("long").alias("start_token"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def domain_mix(df: DataFrame, host_col: str = "host",
+               id_col: str = "doc_id",
+               target_e6: int = 500_000) -> DataFrame:
+    """Temperature-based domain mixing — the corpus-balancing step the
+    GPT-3 / PaLM data recipes publish (sample domains proportional to
+    size^α with α < 1 so giant hosts stop dominating; α = 1/2 here,
+    the common choice, kept integer-exact because IEEE-754 sqrt is
+    correctly rounded, so floor(sqrt(n)) IS isqrt(n) for n < 2^52).
+
+    Per host: ``weight = isqrt(n_docs)``;
+    ``share_e6 = (10^6·weight) div Σweights`` (the mixture
+    probability); and the per-doc keep rate that realizes a
+    ``target_e6``/10^6 global sampling fraction under that mixture:
+
+        keep_rate_e6 = min(10^6, (target_e6 · share_e6)
+                           div max(1, (10^6·n_docs) div N))
+
+    (intermediates bounded ≤ 10^18, no overflow at 10^12 docs). The
+    keep decision is the deterministic portable hash
+    ``md5(id)[0:8] % 10^6 < keep_rate_e6`` — reproducible across
+    engines and runs.
+
+    → (host, n_docs, weight, share_e6, keep_rate_e6, n_kept).
+
+    Scale shape: one map-side-combinable groupBy(host); the totals are
+    a 1-row broadcast; per-doc decisions are a projection joined to
+    the 1-row-per-host rate table; the final count partially
+    aggregates. 10^12 docs cross the wire as two host-keyed count
+    shuffles — never text.
+    """
+    per = df.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    w = per.withColumn(
+        "weight", F.expr("CAST(floor(sqrt(n_docs)) AS BIGINT)"))
+    tot = w.agg(F.sum("weight").alias("_tw"),
+                F.sum("n_docs").alias("_n"))
+    rates = (w.crossJoin(F.broadcast(tot))
+             .withColumn("share_e6",
+                         F.expr("(1000000 * weight) div _tw"))
+             .withColumn("keep_rate_e6", F.expr(
+                 f"least(1000000L, ({target_e6} * share_e6) div "
+                 "greatest(1L, (1000000 * n_docs) div _n))"))
+             .select(F.col(host_col).alias("host"), "n_docs", "weight",
+                     "share_e6", "keep_rate_e6"))
+    doc_hash = (f"CAST(conv(substring(md5(cast({id_col} as string)), "
+                "1, 8), 16, 10) AS BIGINT)")
+    kept = (df.select(F.col(host_col).alias("host"),
+                      F.expr(doc_hash).alias("_h"))
+            .join(rates.select("host", "keep_rate_e6"), "host")
+            .groupBy("host")
+            .agg(F.sum((F.col("_h") % 1_000_000
+                        < F.col("keep_rate_e6")).cast("long"))
+                 .alias("n_kept")))
+    return rates.join(kept, "host")

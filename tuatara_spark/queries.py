@@ -2920,6 +2920,55 @@ _PR_CHROME_BLOCK = "buy now deal"   # short, adjacent to good prose →
 # false-positive mechanism, not a synthetic fudge
 
 
+_MIX_HOST_SPARK = ("concat('h', cast(CAST(floor(sqrt(doc_id % 144)) "
+                   "AS INT) as string))")
+
+
+def q_domain_mix_docs(spark, sf_dir):
+    """Temperature-based domain mixing (ops/training.py domain_mix —
+    the GPT-3/PaLM size^α corpus-balancing recipe, α=1/2
+    integer-exact): 12 hosts with linearly skewed sizes (∝ odd
+    numbers via floor(sqrt(doc_id % 144))), so the sqrt weighting
+    visibly flattens the mixture and the per-host keep rates differ.
+    The oracle replays isqrt weights, shares, the bounded-intermediate
+    rate formula and the portable md5 keep decisions."""
+    from tuatara_spark.ops import training
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_MIX_HOST_SPARK).alias("host"))
+    return training.domain_mix(docs).orderBy("host")
+
+
+_DOMAIN_MIX_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         'h' || CAST(CAST(floor(sqrt(doc_id % 144)) AS INT) AS VARCHAR)
+           AS host
+  FROM documents),
+per AS (SELECT host, count(*) AS n_docs FROM src GROUP BY 1),
+w AS (SELECT *, CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight FROM per),
+tot AS (SELECT sum(weight) AS tw, sum(n_docs) AS n FROM w),
+rates AS (
+  SELECT host, CAST(n_docs AS BIGINT) AS n_docs, weight,
+         CAST((1000000 * weight) // tw AS BIGINT) AS share_e6,
+         CAST(least(1000000,
+              (500000 * ((1000000 * weight) // tw))
+                // greatest(1, (1000000 * n_docs) // n)) AS BIGINT)
+           AS keep_rate_e6
+  FROM w, tot),
+dec AS (
+  SELECT s.host,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 1000000
+                   < r.keep_rate_e6
+              THEN 1 ELSE 0 END AS k
+  FROM src s JOIN rates r ON s.host = r.host)
+SELECT r.host, r.n_docs, r.weight, r.share_e6, r.keep_rate_e6,
+       CAST(sum(d.k) AS BIGINT) AS n_kept
+FROM rates r JOIN dec d ON r.host = d.host
+GROUP BY 1, 2, 3, 4, 5 ORDER BY r.host
+"""
+
+
 def q_extraction_pr_gate(spark, sf_dir):
     """Extraction-quality gate: corpus-level token precision/recall of
     the JusText extractor against the PLANTED ground truth (the page
@@ -5101,7 +5150,6 @@ REGISTRY: dict[str, tuple] = {
     # -- crawl front end: WARC/WET/WAT, charset, robots, frontier --
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
-    "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
     "warc_revisit_docs": (q_warc_revisit_docs, _WARC_REVISIT_SQL),
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
@@ -5142,6 +5190,7 @@ REGISTRY: dict[str, tuple] = {
     # -- training-data pipeline ops --
     "host_line_dedup_docs": (q_host_line_dedup_docs,
                              _HOST_LINE_DEDUP_SQL),
+    "domain_mix_docs": (q_domain_mix_docs, _DOMAIN_MIX_SQL),
     "chunk_text_docs": (q_chunk_text_docs, _CHUNK_TEXT_SQL),
     "html_tables_docs": (q_html_tables_docs, _HTML_TABLES_SQL),
     "template_cluster_docs": (q_template_cluster_docs,
@@ -5183,6 +5232,7 @@ REGISTRY: dict[str, tuple] = {
     "html_metadata_docs": (q_html_metadata_docs, _HTML_METADATA_SQL),
     "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
+    "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
