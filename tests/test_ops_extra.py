@@ -1997,3 +1997,85 @@ def test_domain_mix_plan_shapes(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals only
+
+
+def test_tier_extract_deterministic_across_partitionings(spark):
+    """Every tie in the pipeline is broken by id (dedup keep-first,
+    rank, train split), so tier_extract is partition-invariant — the
+    local[8]-vs-local[32] determinism the driver's repartition-happy
+    cluster requires."""
+    from tuatara_spark.ops import dedup, tier
+    rows = [(i, "en" if i % 3 else "fr",
+             f"<p>the fine prose of document {i % 6} is here for all "
+             f"of us to read {i}</p>")
+            for i in range(30)]
+    base = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "html string")
+    a = sorted(map(tuple, tier.tier_extract(base.repartition(3))
+                   .collect()))
+    dedup.release_caches()
+    b = sorted(map(tuple, tier.tier_extract(base.repartition(17))
+                   .collect()))
+    dedup.release_caches()
+    assert a == b
+
+
+def test_chunk_text_properties(spark):
+    """Property over random documents: with stride == max_tokens the
+    chunks partition the token stream exactly (concat == normalized
+    text); with overlap, every chunk starts at chunk_idx·stride and
+    the last chunk reaches the final token."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from tuatara_spark.ops import training
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(0, 99), min_size=1, max_size=40),
+           st.integers(1, 8), st.integers(1, 8))
+    def prop(word_ids, max_tokens, stride):
+        text = " ".join(f"w{k}" for k in word_ids)
+        df = spark.createDataFrame([(1, text)],
+                                   "doc_id long, text string")
+        out = sorted(training.chunk_text(
+            df, max_tokens=max_tokens, stride=stride).collect(),
+            key=lambda r: r.chunk_idx)
+        n = len(word_ids)
+        assert [r.start_token for r in out] == \
+            list(range(0, n, stride))
+        assert out[-1].start_token + out[-1].n_chunk_tokens == n \
+            or out[-1].n_chunk_tokens == max_tokens
+        # stride == max_tokens ⇒ exact partition
+        if stride == max_tokens:
+            assert " ".join(r.chunk_text for r in out) == text
+
+    prop()
+
+
+def test_host_line_dedup_idempotent(spark):
+    """Second pass removes nothing: counts of surviving lines are
+    unchanged by the removal (every doc keeps its unique line, so no
+    new shared empty lines appear)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from tuatara_spark.ops import dedup
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.lists(st.integers(0, 4), min_size=0, max_size=4),
+                    min_size=2, max_size=8))
+    def prop(docs):
+        rows = [(i, "h", "\n".join([f"shared{k}" for k in ks]
+                                   + [f"unique{i}"]))
+                for i, ks in enumerate(docs)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, host string, text string")
+        once = {r.doc_id: r for r in dedup.host_line_dedup(df).collect()}
+        again_in = spark.createDataFrame(
+            [(i, "h", once[i].text_clean) for i, _ in enumerate(docs)],
+            "doc_id long, host string, text string")
+        twice = {r.doc_id: r
+                 for r in dedup.host_line_dedup(again_in).collect()}
+        for i in range(len(docs)):
+            assert twice[i].n_removed == 0
+            assert twice[i].text_clean == once[i].text_clean
+
+    prop()

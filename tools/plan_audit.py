@@ -68,6 +68,29 @@ AUDIT = [
     ("anchor_stats_docs",
      "two partial-aggregated groupBys then a window over collapsed "
      "(dst, anchor, count) rows"),
+    # -- round 5 --
+    ("tier_extract_docs",
+     "InMemoryTableScan on the persisted fan-out nodes (JusText runs "
+     "once per action); gates are Filters BEFORE the dedup exchange; "
+     "the dedup shuffle carries (md5, id) only; no Python nodes, no "
+     "CartesianProduct"),
+    ("justext_docs",
+     "ONE url-keyed hashpartitioning feeds both context windows and "
+     "the final aggregation; pure Catalyst"),
+    ("host_line_dedup_docs",
+     "counting stages exchange only xxhash64 keys (text appears in no "
+     "aggregate feeding an exchange); the rebuild is an in-row filter "
+     "after one doc-keyed join"),
+    ("domain_mix_docs",
+     "partial-aggregated groupBy(host); totals as a 1-row "
+     "BroadcastNestedLoopJoin; keep decisions a projection joined to "
+     "the per-host rate table"),
+    ("extraction_pr_gate",
+     "two narrow (doc_id, tok) count shuffles; full outer join of the "
+     "count tables; single-row final aggregate"),
+    ("chunk_text_docs",
+     "shuffle-free Generate (posexplode over in-row start sequence); "
+     "the only Sort is the oracle-determinism ORDER BY"),
 ]
 
 
