@@ -2079,3 +2079,46 @@ def test_host_line_dedup_idempotent(spark):
             assert twice[i].text_clean == once[i].text_clean
 
     prop()
+
+
+def test_wordpiece_hand_computed(spark):
+    """BERT greedy longest-match-first: multi-piece splits, chained
+    single-char continuations, [UNK] on no-match and on over-length
+    words; longest match wins over shorter prefixes."""
+    from tuatara_spark.ops import search
+    vocab = ["the", "un", "##believ", "##able", "play", "##ing",
+             "walk", "##s", "##ed", "jump", "r", "##u", "##n",
+             "walkab"]
+    df = spark.createDataFrame(
+        [(1, "the unbelievable playing"), (2, "walks jumped xyz"),
+         (3, "run"), (4, "a" * 20), (5, "  the   run  ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in search.wordpiece_encode(df, vocab).collect()}
+    assert got[1].tokens_str == "the un ##believ ##able play ##ing"
+    assert got[2].tokens_str == "walk ##s jump ##ed [UNK]"
+    assert (got[2].n_words, got[2].n_tokens) == (3, 5)
+    assert got[3].tokens_str == "r ##u ##n"
+    assert got[4].tokens_str == "[UNK]"       # > MAX_WORD chars
+    assert got[5].n_words == 2                # ws-split robust
+    # longest-first: 'walkab' (6) would beat 'walk' (4) but leaves
+    # 'le' unencodable -> greedy fails -> [UNK] (BERT semantics: no
+    # backtracking)
+    got2 = search.wordpiece_encode(
+        spark.createDataFrame([(1, "walkable")],
+                              "doc_id long, text string"),
+        vocab).collect()[0]
+    assert got2.tokens_str == "[UNK]"
+
+
+def test_wordpiece_plan_is_projection(spark):
+    import contextlib
+    import io
+    from tuatara_spark.ops import search
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search.wordpiece_encode(df, ["x"]).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

@@ -263,3 +263,71 @@ def bpe_encode_arrow(df: DataFrame, merges, col: str = "syms",
         return s.apply(one)
 
     return df.withColumn(out_col, _enc(F.col(col)))
+
+
+# ----------------------------------------------------------- WordPiece ----
+
+WORDPIECE_UNK = "[UNK]"
+WORDPIECE_CONT = "##"
+WORDPIECE_MAX_WORD = 16   # chars; longer words become [UNK] (BERT's
+# max_input_chars_per_word rule, public BERT repo tokenization.py)
+WORDPIECE_MAX_PIECE = 8   # longest vocab piece tried per position
+
+
+def wordpiece_encode(df: DataFrame, vocab: list[str],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """WordPiece greedy encoding — the BERT tokenizer family (Wu et
+    al. 2016; the public BERT repo's greedy longest-match-first over a
+    piece vocabulary, continuation pieces prefixed ``##``), completing
+    the repo's tokenizer coverage next to BPE train/encode.
+
+    Per whitespace word: starting at position 0, take the LONGEST
+    vocab piece matching at the cursor (``##``-prefixed when not
+    word-initial, pieces up to WORDPIECE_MAX_PIECE chars), advance;
+    any position with no match — or a word longer than
+    WORDPIECE_MAX_WORD — encodes as ``[UNK]``. Deterministic and
+    integer-exact by construction.
+
+    → (id_col, n_words, n_tokens, tokens_str — pieces joined by ' ').
+
+    Scale shape: ONE shuffle-free codegen projection — the greedy
+    loop is an in-row bounded ``aggregate`` fold (each step consumes
+    ≥1 char, so WORDPIECE_MAX_WORD steps suffice) nested in a
+    per-word ``transform``; the vocabulary is inlined into the
+    expression (tokenizer vocabs are driver-side files; for 30k-piece
+    production vocabs the same fold applies with the vocab broadcast
+    as a map-side array). Nothing leaves the row.
+    """
+    for v in vocab:
+        if "'" in v or "\\" in v:
+            raise ValueError("vocab pieces must not contain quotes")
+    vlit = "array(" + ", ".join(f"'{v}'" for v in vocab) + ")"
+    maxw, maxp = WORDPIECE_MAX_WORD, WORDPIECE_MAX_PIECE
+    match = (f"filter(sequence(least(length(w) - a.pos, {maxp}), 1, -1), "
+             f"l -> array_contains({vlit}, "
+             f"concat(IF(a.pos = 0, '', '{WORDPIECE_CONT}'), "
+             "substring(w, a.pos + 1, l))))")
+    step = (
+        "IF(a.fail OR a.pos >= length(w), a, "
+        f"IF(size({match}) = 0, "
+        "named_struct('pos', a.pos, 'toks', a.toks, 'fail', true), "
+        f"named_struct('pos', a.pos + element_at({match}, 1), "
+        "'toks', array_append(a.toks, "
+        f"concat(IF(a.pos = 0, '', '{WORDPIECE_CONT}'), "
+        f"substring(w, a.pos + 1, element_at({match}, 1)))), "
+        "'fail', false)))")
+    enc = (
+        f"CASE WHEN length(w) > {maxw} THEN array('{WORDPIECE_UNK}') "
+        f"ELSE aggregate(sequence(1, {maxw}), "
+        "named_struct('pos', 0, "
+        "'toks', cast(array() as array<string>), 'fail', false), "
+        f"(a, i) -> {step}, "
+        f"a -> IF(a.fail, array('{WORDPIECE_UNK}'), a.toks)) END")
+    words = rf"filter(split({text_col}, '\\s+'), x -> x != '')"
+    pieces = f"flatten(transform({words}, w -> {enc}))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"cast(size({words}) as bigint)").alias("n_words"),
+        F.expr(f"cast(size({pieces}) as bigint)").alias("n_tokens"),
+        F.expr(f"array_join({pieces}, ' ')").alias("tokens_str"))

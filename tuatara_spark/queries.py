@@ -2920,6 +2920,89 @@ _PR_CHROME_BLOCK = "buy now deal"   # short, adjacent to good prose →
 # false-positive mechanism, not a synthetic fudge
 
 
+_WP_VOCAB = ["the", "un", "##believ", "##able", "play", "##ing",
+             "walk", "##s", "##ed", "jump", "r", "##u", "##n"]
+_WP_POOL = ["the", "unbelievable", "playing", "walks", "jumped",
+            "run", "zzz", "walkable"]
+_WP_PICKS = ((7, 0), (7, 3), (5, 1), (3, 2))
+
+
+def q_wordpiece_docs(spark, sf_dir):
+    """WordPiece greedy encoding (ops/search.py wordpiece_encode — the
+    BERT tokenizer, longest-match-first with ## continuations): 4-word
+    documents drawn from a pool exercising multi-piece splits
+    (un+##believ+##able, walk+##able), single pieces, chained
+    single-char pieces (r+##u+##n), and the [UNK] path (zzz). The
+    oracle UNROLLS the greedy cursor into WORDPIECE_MAX_WORD generated
+    SQL steps from the same constants — one rule table, zero drift."""
+    from tuatara_spark.ops import search
+    pool = "array(" + ", ".join(f"'{w}'" for w in _WP_POOL) + ")"
+    picks = ", ".join(
+        f"element_at({pool}, 1 + cast(pmod(doc_id * {m} + {c}, "
+        f"{len(_WP_POOL)}) as int))" for m, c in _WP_PICKS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"concat_ws(' ', {picks})").alias("text"))
+    return (search.wordpiece_encode(docs, _WP_VOCAB)
+            .orderBy("doc_id"))
+
+
+def _wordpiece_sql():
+    from tuatara_spark.ops.search import (WORDPIECE_CONT,
+                                          WORDPIECE_MAX_PIECE,
+                                          WORDPIECE_MAX_WORD,
+                                          WORDPIECE_UNK)
+    vlit = "[" + ", ".join(f"'{v}'" for v in _WP_VOCAB) + "]"
+    plit = "[" + ", ".join(f"'{w}'" for w in _WP_POOL) + "]"
+    n = len(_WP_POOL)
+    word_cases = " ".join(
+        f"WHEN {j + 1} THEN lp[1 + CAST((doc_id * {m} + {c}) % {n} "
+        "AS INT)]"
+        for j, (m, c) in enumerate(_WP_PICKS))
+    steps = []
+    prev = "s0"
+    for k in range(1, WORDPIECE_MAX_WORD + 1):
+        steps.append(f"""s{k} AS (
+  SELECT doc_id, widx, w,
+    CASE WHEN fail OR pos >= length(w) OR len(m) = 0 THEN pos
+         ELSE pos + m[1] END AS pos,
+    CASE WHEN fail OR pos >= length(w) OR len(m) = 0 THEN toks
+         ELSE list_append(toks,
+              (CASE WHEN pos = 0 THEN '' ELSE '{WORDPIECE_CONT}' END)
+                || substr(w, pos + 1, m[1])) END AS toks,
+    CASE WHEN fail THEN true WHEN pos >= length(w) THEN false
+         WHEN len(m) = 0 THEN true ELSE false END AS fail
+  FROM (SELECT *, list_filter(
+            range(least(length(w) - pos, {WORDPIECE_MAX_PIECE}), 0, -1),
+            l -> list_contains({vlit},
+                 (CASE WHEN pos = 0 THEN '' ELSE '{WORDPIECE_CONT}' END)
+                   || substr(w, pos + 1, CAST(l AS INT)))) AS m
+        FROM {prev}))""")
+        prev = f"s{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH words AS (
+  SELECT doc_id, j AS widx,
+         CASE j {word_cases} END AS w
+  FROM (SELECT doc_id, {plit} AS lp FROM documents),
+       (SELECT unnest([1, 2, 3, 4]) AS j)),
+s0 AS (
+  SELECT doc_id, widx, w, 0 AS pos,
+         CAST([] AS VARCHAR[]) AS toks, false AS fail
+  FROM words),
+{steps_sql},
+enc AS (
+  SELECT doc_id, widx,
+         CASE WHEN length(w) > {WORDPIECE_MAX_WORD} OR fail
+              THEN ['{WORDPIECE_UNK}'] ELSE toks END AS ftoks
+  FROM {prev})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(ftoks)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(ftoks, ' '), ' ' ORDER BY widx)
+         AS tokens_str
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _MIX_HOST_SPARK = ("concat('h', cast(CAST(floor(sqrt(doc_id % 144)) "
                    "AS INT) as string))")
 
@@ -5150,7 +5233,6 @@ REGISTRY: dict[str, tuple] = {
     # -- crawl front end: WARC/WET/WAT, charset, robots, frontier --
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
-    "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
     "warc_revisit_docs": (q_warc_revisit_docs, _WARC_REVISIT_SQL),
     "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
@@ -5187,6 +5269,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_tier_docs": (q_lm_tier_docs, _LM_TIER_SQL),
     "bpe_train_docs": (q_bpe_train_docs, _BPE_SQL),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
+    "wordpiece_docs": (q_wordpiece_docs, _wordpiece_sql()),
     # -- training-data pipeline ops --
     "host_line_dedup_docs": (q_host_line_dedup_docs,
                              _HOST_LINE_DEDUP_SQL),
@@ -5233,6 +5316,7 @@ REGISTRY: dict[str, tuple] = {
     "html_links_docs": (q_html_links_docs, _HTML_LINKS_SQL),
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
+    "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
