@@ -2122,3 +2122,37 @@ def test_wordpiece_plan_is_projection(spark):
     plan = buf.getvalue()
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_split_sentences_hand_computed(spark):
+    """Boundary = >=2-char lowercase word + terminal punct + space +
+    capital; 'Dr.' and 'e.g.' never match the guard; trailing
+    unterminated text is its own sentence."""
+    from tuatara_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "This is one. And two! Dr. Smith stays. But e.g. not."),
+         (2, "no boundaries here"),
+         (3, "")],
+        "doc_id long, text string")
+    got = {}
+    for r in textstats.split_sentences(df).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence,
+                                             r.n_words))
+    assert [s for _, s, _ in sorted(got[1])] == [
+        "This is one.", "And two!", "Dr. Smith stays.",
+        "But e.g. not."]
+    assert got[2] == [(0, "no boundaries here", 3)]
+    assert got[3] == [(0, "", 0)]
+
+
+def test_split_sentences_plan_is_projection(spark):
+    import contextlib
+    import io
+    from tuatara_spark.ops import textstats
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        textstats.split_sentences(df).explain(mode="simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

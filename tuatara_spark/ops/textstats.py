@@ -570,3 +570,41 @@ def canonical_collapse(df: DataFrame, id_col: str = "doc_id",
             .select("target_url",
                     F.col("_pick.id").alias("kept_id"),
                     "n_aliases"))
+
+
+SENT_BOUNDARY_RE = r"([a-z]{2,}[.!?]+) ([A-Z])"
+SENT_SENTINEL = "\x01"
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Rule-based sentence splitting — the segmentation grain under
+    sentence-level dedup and decontamination (the lookaround-free
+    subset of the Punkt family: a boundary is terminal punctuation
+    after a ≥2-char lowercase word, followed by a space and a
+    capital — single-letter "abbreviation." periods like "e.g." and
+    mid-sentence "Dr." shapes never match the ≥2-lowercase guard).
+
+    The rule is ONE capturing regexp_replace that rewrites each
+    boundary to a sentinel (both capture groups preserved — RE2 has no
+    lookahead, so the rule is expressible identically in Spark's Java
+    regex and DuckDB's RE2), then a split. → (id_col, sent_idx
+    0-based, sentence trimmed, n_words).
+
+    Scale shape: shuffle-free Generate projection (replace → split →
+    posexplode); nothing leaves the row.
+    """
+    marked = F.expr(
+        f"regexp_replace({text_col}, '{SENT_BOUNDARY_RE}', "
+        f"'$1{SENT_SENTINEL}$2')")
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, SENT_SENTINEL))
+        .alias("sent_idx", "_s"))
+    sent = F.trim(F.col("_s"))
+    return sents.select(
+        F.col(id_col),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        sent.alias("sentence"),
+        F.expr("cast(size(filter(split(trim(_s), '\\\\s+'), "
+               "x -> x != '')) as bigint)").alias("n_words"))

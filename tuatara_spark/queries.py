@@ -2920,6 +2920,48 @@ _PR_CHROME_BLOCK = "buy now deal"   # short, adjacent to good prose →
 # false-positive mechanism, not a synthetic fudge
 
 
+def q_split_sentences_docs(spark, sf_dir):
+    """Rule-based sentence splitting (ops/textstats.py split_sentences
+    — the lookaround-free Punkt-subset boundary rule): planted
+    multi-sentence framing around the corpus text (which, being
+    lowercase, never triggers accidental boundaries), exercising both
+    terminal-punctuation kinds and the trailing unterminated sentence.
+    The oracle replays the capturing rewrite (RE2 \\1||chr(1)||\\2),
+    the split and the word counts."""
+    from tuatara_spark.ops import textstats
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('Alpha beta gamma. Delta follows! ', "
+               "substring(text, 1, 30), ' ends. Omega closes')")
+        .alias("text"))
+    return (textstats.split_sentences(docs)
+            .orderBy("doc_id", "sent_idx"))
+
+
+def _split_sentences_sql():
+    from tuatara_spark.ops.textstats import SENT_BOUNDARY_RE
+    return rf"""
+WITH src AS (
+  SELECT doc_id, 'Alpha beta gamma. Delta follows! '
+         || substr(text, 1, 30) || ' ends. Omega closes' AS t
+  FROM documents),
+marked AS (
+  SELECT doc_id, regexp_replace(t, '{SENT_BOUNDARY_RE}',
+                                '\1' || chr(1) || '\2', 'g') AS m
+  FROM src),
+sent AS (
+  SELECT doc_id, i - 1 AS sent_idx,
+         string_split(m, chr(1))[i] AS raw
+  FROM marked, LATERAL (
+    SELECT unnest(range(1, len(string_split(m, chr(1))) + 1)) AS i))
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+       trim(raw) AS sentence,
+       CAST(len(list_filter(regexp_split_to_array(trim(raw), '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_words
+FROM sent ORDER BY doc_id, sent_idx
+"""
+
+
 _WP_VOCAB = ["the", "un", "##believ", "##able", "play", "##ing",
              "walk", "##s", "##ed", "jump", "r", "##u", "##n"]
 _WP_POOL = ["the", "unbelievable", "playing", "walks", "jumped",
@@ -5234,8 +5276,9 @@ REGISTRY: dict[str, tuple] = {
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
     "warc_revisit_docs": (q_warc_revisit_docs, _WARC_REVISIT_SQL),
-    "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
+    "split_sentences_docs": (q_split_sentences_docs,
+                             _split_sentences_sql()),
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     "robots_sitemaps_docs": (q_robots_sitemaps_docs, _ROBOTS_SITEMAPS_SQL),
     "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
@@ -5317,6 +5360,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_eval_docs": (q_robots_eval_docs, _ROBOTS_SQL),
     "warc_to_wet_docs": (q_warc_to_wet_docs, _WARC_TO_WET_SQL),
     "cdx_index_docs": (q_cdx_index_docs, _CDX_SQL),
+    "charset_decode_docs": (q_charset_decode_docs, _CHARSET_SQL),
     "media_meta_docs": (q_media_meta_docs, _media_meta_sql()),
     "segment_dedup_docs": (q_segment_dedup_docs, _SEGMENT_DEDUP_SQL),
     "dedup_cluster_ids": (q_dedup_cluster_ids, _CLUSTER_SQL),
