@@ -2156,3 +2156,86 @@ def test_split_sentences_plan_is_projection(spark):
     plan = buf.getvalue()
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_trustrank_hand_computed(spark):
+    """Seeded trust propagation: teleport mass lands only on the seed,
+    so trust decays geometrically (×0.85) with link distance from it.
+    Hand-run of the integer recurrence on a→b→c with seed {a}:
+    i1: a=0.15e9, b=0.85e9, c=0; i2: b=127500000, c=722500000;
+    i3: a=150000000, b=127500000, c=(85*127500000)//100=108375000."""
+    from tuatara_spark.ops import dedup, linkgraph
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r.node: r.trust for r in
+           linkgraph.trustrank(edges, seeds=["a"], iters=3).collect()}
+    dedup.release_caches()
+    assert got == {"a": 150000000, "b": 127500000, "c": 108375000}
+
+
+def test_generation_diff_classification(spark):
+    from tuatara_spark.sources import cdx
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+        "url string, digest string")
+    new = spark.createDataFrame(
+        [("u2", "d2"), ("u3", "dX"), ("u4", "d4")],
+        "url string, digest string")
+    got = {r.key: (r.status, r.old_digest, r.new_digest)
+           for r in cdx.generation_diff(old, new).collect()}
+    assert got == {"u1": ("removed", "d1", ""),
+                   "u2": ("unchanged", "d2", "d2"),
+                   "u3": ("changed", "d3", "dX"),
+                   "u4": ("added", "", "d4")}
+
+
+def test_c4_filter_rules(spark):
+    """Each C4 §2.2 rule exercised once: short line, unterminated line,
+    javascript line, lorem-ipsum page, curly-brace page, badword page,
+    and the <3-retained-sentences page floor."""
+    from tuatara_spark.ops import textstats
+    good = ("alpha bravo charlie delta echo one.\n"
+            "alpha bravo charlie delta echo two.\n"
+            "alpha bravo charlie delta echo three.")
+    rows = [
+        (1, good + "\ntiny line here.\nno terminal punct at all"),
+        (2, good + "\nplease enable JavaScript in your browser today."),
+        (3, good + "\nlorem ipsum dolor sit amet."),
+        (4, good + "\nif (x) { return y; } is code."),
+        (5, good + "\nwin big at the casino tonight friends."),
+        (6, "alpha bravo charlie delta echo one.\n"
+            "alpha bravo charlie delta echo two."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.c4_filter(df).collect()}
+    # doc 1: the two trailing junk lines drop, the three good ones stay
+    assert (got[1].n_lines, got[1].n_kept, got[1].page_kept) == (5, 3, 1)
+    assert got[1].cleaned == good
+    # doc 2: javascript LINE drops (case-insensitive), page survives
+    assert (got[2].n_kept, got[2].page_kept) == (3, 1)
+    # docs 3-5: page-level kills (lorem ipsum / '{' / badword)
+    assert [got[i].page_kept for i in (3, 4, 5)] == [0, 0, 0]
+    # doc 3's trigger line itself passes the LINE rules (5 words,
+    # terminal period) — the kill is page-level
+    assert got[3].n_kept == 4
+    # doc 6: lines are clean but only 2 sentences remain -> page drops
+    assert (got[6].n_kept, got[6].n_sentences, got[6].page_kept) == (2, 2, 0)
+
+
+def test_readability_hand_computed(spark):
+    """W=9 words, S=3 sentence runs, Y=9 vowel groups:
+    flesch = 206835 - (1015*9)//3 - (84600*9)//9 = 119190;
+    fk = (390*9)//3 + (11800*9)//9 - 15590 = -2620. Empty text clamps
+    both denominators."""
+    from tuatara_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran fast. we go now."), (2, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.readability(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (9, 3, 9)
+    assert r1.flesch_milli == 119190
+    assert r1.fk_grade_milli == -2620
+    r2 = got[2]
+    assert (r2.n_words, r2.n_syllables) == (0, 0)
+    assert r2.flesch_milli == 206835  # no words: both ratio terms 0

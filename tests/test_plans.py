@@ -392,3 +392,35 @@ def test_round5_ops_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in mix_plan  # 1-row totals only
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in mix_plan
+
+
+def test_trustrank_c4_diff_plan_shapes(spark):
+    """Late-round-5 shapes: trustrank's seed table enters as a
+    broadcast join and the iteration never goes cartesian or Python;
+    c4_filter and readability are shuffle-free codegen projections;
+    generation_diff is exactly one join on the key (no window, no
+    Python)."""
+    from tuatara_spark.ops import dedup as dd, linkgraph, textstats
+    from tuatara_spark.sources import cdx
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    tr_plan = _explain(linkgraph.trustrank(edges, seeds=["a"], iters=2),
+                       mode="simple")
+    dd.release_caches()
+    assert "BroadcastHashJoin" in tr_plan       # seed indicator join
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in tr_plan
+
+    docs = spark.createDataFrame([(1, "x y.")], "doc_id long, text string")
+    for df in (textstats.c4_filter(docs), textstats.readability(docs)):
+        plan = _explain(df, mode="simple")
+        for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+
+    caps = spark.createDataFrame([("u", "d")], "url string, digest string")
+    diff_plan = _explain(cdx.generation_diff(caps, caps), mode="simple")
+    assert "FullOuter" in diff_plan or "full_outer" in diff_plan
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                "Window"):
+        assert bad not in diff_plan

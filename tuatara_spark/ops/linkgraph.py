@@ -76,6 +76,65 @@ def pagerank(edges: DataFrame, iters: int = 3,
     return ranks
 
 
+def trustrank(edges: DataFrame, seeds: list[str], iters: int = 3,
+              scale: int = SCALE) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi, Garcia-Molina, Pedersen,
+    VLDB 2004 — "Combating Web Spam with TrustRank") → (node, trust).
+
+    Same fixed-point frame as :func:`pagerank`, but the teleport mass
+    lands ONLY on a hand-vetted seed set: trust flows outward from
+    known-good hosts, so spam farms that manufacture in-links among
+    themselves stay near zero (their only inbound paths start outside
+    the seed neighborhood). Exact recurrence on the 10^9 scale, stated
+    because biasing conventions vary: seeds start at ``scale``,
+    non-seeds at 0; per iteration
+    ``t(v) = d_v + (85 · Σ_{u→v} (t(u) div outdeg(u))) div 100`` with
+    static mass ``d_v = (15·scale) div 100`` for seeds, else 0 (the
+    per-seed form — no division by |S|, so seed trust is comparable
+    across seed-set sizes; documented, mirrored in the oracle).
+    Dangling mass decays, as in :func:`pagerank`.
+
+    Scale shape (10^12 edges): identical to PageRank — per iteration
+    ONE shuffle join of the edge table (pre-partitioned by src, reused
+    every iteration) with the narrow (node, trust) table, then a
+    map-side-combinable groupBy(dst) that collapses mega-host in-degree
+    skew to one partial row per partition. The seed set is driver-side
+    (vetted lists are thousands of hosts, not billions) and enters the
+    plan as a broadcast ``isin``-free join, never a shuffle.
+    """
+    from tuatara_spark.ops.dedup import _persist
+    spark = edges.sparkSession
+    edges = _persist(edges.select("src", "dst").distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    seed_df = F.broadcast(
+        spark.createDataFrame([(s,) for s in sorted(set(seeds))],
+                              "node string")
+        .withColumn("_seed", F.lit(1)))
+    nodes = _persist(edges.select(F.col("src").alias("node"))
+                     .union(edges.select(F.col("dst").alias("node")))
+                     .distinct()
+                     .join(seed_df, "node", "left")
+                     .select("node", F.coalesce("_seed", F.lit(0))
+                             .alias("_seed")))
+    base = (15 * scale) // 100
+    ranks = nodes.select(
+        "node", (F.col("_seed") * scale).cast("long").alias("trust"))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("trust div _deg").alias("_c")))
+        s = contrib.groupBy("node").agg(F.sum("_c").alias("_m"))
+        ranks = _persist(
+            nodes.join(s, "node", "left")
+            .select("node",
+                    (F.col("_seed") * base
+                     + F.expr("(85 * coalesce(_m, 0L)) div 100"))
+                    .cast("long").alias("trust")))
+    return ranks
+
+
 def hits(edges: DataFrame, iters: int = 2,
          scale: int = SCALE) -> DataFrame:
     """Integer-exact HITS hubs/authorities (Kleinberg 1999, the public

@@ -53,6 +53,103 @@ def quality_score(df: DataFrame, text_col: str = "text",
                       + the_cnt / ws_tokens * F.lit(0.3)).alias("quality"))
 
 
+#: Page-level blocklist placeholder — C4 (Raffel et al. 2020 §2.2)
+#: filters on the public "List of Dirty, Naughty, Obscene..." wordlist;
+#: shipping that list adds no engineering content, so a 3-word
+#: deterministic stand-in keeps the rule exercised and the tests stable.
+C4_BADWORDS: tuple[str, ...] = ("casino", "viagra", "nastyword")
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              badwords: tuple[str, ...] = C4_BADWORDS) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, the public JMLR
+    paper) — the line- and page-level filters that turned Common Crawl
+    into C4 (the three-sentence-span dedup is separate:
+    :func:`tuatara_spark.ops.dedup.segment_dedup`).
+
+    Line rules (a line survives iff ALL hold):
+
+    * ends in a terminal punctuation mark (``. ! ?`` or a closing
+      double quote);
+    * has at least 5 space-separated words;
+    * does not mention ``javascript`` (case-insensitive).
+
+    Page rules (page_kept = 0 drops the whole document): contains
+    ``lorem ipsum`` (boilerplate placeholder), contains ``{`` (source
+    code), any blocklist word, or fewer than 3 sentences remaining
+    after the line filters.
+
+    Scale shape: one shuffle-free narrow projection — the line filter
+    is a higher-order array ``filter`` over ``split(text, '\\n')``
+    running entirely inside whole-stage codegen; no UDF, no shuffle,
+    and column pruning ships only (id, text) from the scan.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.trim(x).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(x), " +")) >= 5)
+        & ~F.contains(F.lower(x), F.lit("javascript")))
+    cleaned = F.array_join(kept, "\n")
+    low = F.lower(F.col(text_col))
+    bad = F.lit(False)
+    for wrd in badwords:
+        bad = bad | low.contains(wrd)
+    return (df.select(F.col(id_col), F.size(lines).alias("n_lines"),
+                      F.size(kept).alias("n_kept"),
+                      F.regexp_count(cleaned, F.lit("[.!?]+"))
+                      .cast("long").alias("n_sentences"),
+                      (~(low.contains("lorem ipsum")
+                         | F.col(text_col).contains("{") | bad)).alias("_pg"),
+                      cleaned.alias("cleaned"))
+            .select(id_col, "n_lines", "n_kept", "n_sentences",
+                    (F.col("_pg") & (F.col("n_sentences") >= 3))
+                    .cast("int").alias("page_kept"), "cleaned"))
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Integer-exact readability scoring: Flesch Reading Ease and
+    Flesch–Kincaid grade (Kincaid et al. 1975, the public Navy report)
+    on a ×1000 fixed-point scale — a standard document-quality prior
+    for pretraining-corpus tiering (too-hard and too-trivial pages both
+    correlate with boilerplate/spam).
+
+    Counts are regex-defined and engine-portable: words = runs of
+    ASCII letters; sentences = runs of ``[.!?]``; syllables = vowel
+    GROUPS ``[aeiouy]+`` per lowercased text (the classic cheap
+    heuristic — contiguous vowels count once). With W, S, Y as BIGINTs
+    and floor division (denominators clamped to ≥1):
+
+    * ``flesch_milli = 206835 − 1015·W div S − 84600·Y div W``
+    * ``fk_grade_milli = 390·W div S + 11800·Y div W − 15590``
+
+    Every intermediate is integer, so Spark and the DuckDB oracle agree
+    bit-for-bit. Scale shape: shuffle-free narrow projection; the three
+    regex counts run inside whole-stage codegen over the scan."""
+    low = F.lower(F.col(text_col))
+    w = F.regexp_count(low, F.lit("[a-z]+")).cast("long")
+    s = F.greatest(F.regexp_count(low, F.lit("[.!?]+")).cast("long"),
+                   F.lit(1).cast("long"))
+    y = F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+    # Floor division must be SQL `div` (Column.__truediv__ is float
+    # division), so the score arithmetic is expressed over named
+    # subexpression columns.
+    return (df.select(F.col(id_col), w.alias("_w"), s.alias("_s"),
+                      y.alias("_y"))
+            .select(id_col,
+                    F.col("_w").alias("n_words"),
+                    F.col("_s").alias("n_sentences"),
+                    F.col("_y").alias("n_syllables"),
+                    F.expr("206835 - (1015 * _w) div _s"
+                           " - (84600 * _y) div greatest(_w, 1L)")
+                    .cast("long").alias("flesch_milli"),
+                    F.expr("(390 * _w) div _s"
+                           " + (11800 * _y) div greatest(_w, 1L) - 15590")
+                    .cast("long").alias("fk_grade_milli")))
+
+
 def lang_markers(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Language-ID heuristic: stopword-marker counts per language and the

@@ -4623,6 +4623,212 @@ SELECT node, r AS rank FROM i3 ORDER BY node
 """
 
 
+def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact TrustRank (ops/linkgraph.py trustrank — Gyöngyi et
+    al. VLDB'04) over the same synthesized 50-host graph as
+    ``pagerank_hosts``, seeded at three vetted hosts: teleport mass
+    lands only on seeds, so trust decays with link distance from them —
+    the standard spam-demotion prior when sampling pretraining data.
+    Three fixed-point iterations on the 10^9 scale; the oracle unrolls
+    them as chained CTEs, pinning the seed-mass and dangling-decay
+    semantics value-for-value."""
+    from tuatara_spark.ops import linkgraph
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50)
+                 .cast("string")).alias("dst"))
+        .where(F.col("src") != F.col("dst")))
+    return (linkgraph.trustrank(edges, seeds=["h1", "h8", "h22"], iters=3)
+            .orderBy("node"))
+
+
+def _trustrank_iter_sql(prev: str, name: str) -> str:
+    return f"""
+{name} AS (SELECT n.node, n.s,
+              CAST(n.s * 150000000
+                   + (85 * coalesce(t.m, 0)) // 100 AS BIGINT) AS r
+           FROM seeded n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.r // o.deg) AS m
+             FROM edges e JOIN {prev} p ON e.src = p.node
+             JOIN outdeg o ON e.src = o.node GROUP BY 1) t USING (node))"""
+
+
+_TRUSTRANK_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+                  'h' || CAST((doc_id * 7 + 3) % 50 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 50 != (doc_id * 7 + 3) % 50),
+outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeded AS (SELECT node,
+                  CASE WHEN node IN ('h1', 'h8', 'h22') THEN 1 ELSE 0 END
+                    AS s
+           FROM nodes),
+r0 AS (SELECT node, s, CAST(s * 1000000000 AS BIGINT) AS r FROM seeded),
+{_trustrank_iter_sql('r0', 'i1')},
+{_trustrank_iter_sql('i1', 'i2')},
+{_trustrank_iter_sql('i2', 'i3')}
+SELECT node, r AS trust FROM i3 ORDER BY node
+"""
+
+
+def q_crawl_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl generation diff (sources/cdx.py
+    generation_diff): two synthesized capture generations of the same
+    URL space — generation B misses some old URLs (removed), fetches
+    some new ones (added), and recrawls the rest with content digests
+    that moved for every 7th document (changed) — classified by ONE
+    full-outer join on the key. The oracle replays the identical
+    md5-digest synthesis and FULL OUTER JOIN in SQL."""
+    from tuatara_spark.sources import cdx
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 50)
+                   .cast("string"),
+                   F.lit(".example/p/"), F.col("doc_id").cast("string"))
+    old = (docs.where(F.col("doc_id") % 10 != 0)
+           .select(url.alias("url"),
+                   F.md5(F.col("text").cast("binary")).alias("digest")))
+    new = (docs.where(F.col("doc_id") % 10 != 1)
+           .select(url.alias("url"),
+                   F.md5(F.concat(
+                       F.col("text"),
+                       F.when(F.col("doc_id") % 7 == 0, F.lit("v2"))
+                       .otherwise(F.lit(""))).cast("binary"))
+                   .alias("digest")))
+    return cdx.generation_diff(old, new).orderBy("key")
+
+
+_CRAWL_DIFF_SQL = """
+WITH o AS (
+  SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS key,
+         md5(text) AS old_digest
+  FROM documents WHERE doc_id % 10 != 0),
+n AS (
+  SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS key,
+         md5(text || CASE WHEN doc_id % 7 = 0 THEN 'v2' ELSE '' END)
+           AS new_digest
+  FROM documents WHERE doc_id % 10 != 1)
+SELECT coalesce(o.key, n.key) AS key,
+       CASE WHEN o.key IS NULL THEN 'added'
+            WHEN n.key IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       coalesce(old_digest, '') AS old_digest,
+       coalesce(new_digest, '') AS new_digest
+FROM o FULL OUTER JOIN n ON o.key = n.key
+ORDER BY 1
+"""
+
+# Shared C4 plant: sentence/line structure synthesized deterministically
+# from documents.text (the fixture corpus has no newlines), plus one
+# always-dropped short line and doc_id-keyed trigger lines for each
+# page rule. The Spark and DuckDB expressions below are the same
+# transform (Java `$1` vs RE2 `\\1` rewrite syntax; both scan
+# left-to-right non-overlapping).
+_C4_WORD6 = "([a-z]+ [a-z]+ [a-z]+ [a-z]+ [a-z]+ [a-z]+) "
+_C4_PLANTS = [
+    (7, "enable javascript to view this page."),
+    (11, "lorem ipsum dolor sit amet placeholder."),
+    (13, "function() { return malformed; }"),
+    (17, "best casino bonus offers await you here."),
+]
+
+
+def q_c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+page cleaning rules (ops/textstats.py c4_filter — Raffel
+    et al. 2020 §2.2): terminal-punctuation / ≥5-word / no-javascript
+    line filters and lorem-ipsum / curly-brace / badword / <3-sentence
+    page filters, exercised by planted trigger lines. The oracle runs
+    the identical higher-order list_filter in DuckDB."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plant = F.regexp_replace(F.col("text"), _C4_WORD6, "$1.\n")
+    parts = [plant, F.lit("\nclick here now")]
+    for mod, line in _C4_PLANTS:
+        parts.append(F.when(F.col("doc_id") % mod == 0,
+                            F.lit("\n" + line)).otherwise(F.lit("")))
+    return (textstats.c4_filter(
+        docs.select("doc_id", F.concat(*parts).alias("text")))
+        .orderBy("doc_id"))
+
+
+_C4_PLANT_SQL = (
+    f"regexp_replace(text, '{_C4_WORD6}', '\\1.' || chr(10), 'g')"
+    " || chr(10) || 'click here now'"
+    + "".join(
+        f" || CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}'"
+        " ELSE '' END"
+        for mod, line in _C4_PLANTS))
+
+_C4_FILTER_SQL = f"""
+WITH src AS (SELECT doc_id, {_C4_PLANT_SQL} AS t FROM documents),
+s AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM src),
+k AS (SELECT doc_id, t, len(ls) AS n_lines,
+             list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')
+               AND len(string_split_regex(trim(x), ' +')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM s),
+f AS (SELECT doc_id, n_lines, len(kept) AS n_kept,
+             array_to_string(kept, chr(10)) AS cleaned,
+             len(regexp_extract_all(array_to_string(kept, chr(10)),
+                 '[.!?]+')) AS n_sentences,
+             CASE WHEN contains(lower(t), 'lorem ipsum')
+                   OR contains(t, '{{')
+                   OR contains(lower(t), 'casino')
+                   OR contains(lower(t), 'viagra')
+                   OR contains(lower(t), 'nastyword')
+                  THEN 0 ELSE 1 END AS pg
+      FROM k)
+SELECT doc_id, n_lines, n_kept, n_sentences,
+       CASE WHEN pg = 1 AND n_sentences >= 3 THEN 1 ELSE 0 END
+         AS page_kept,
+       cleaned
+FROM f ORDER BY doc_id
+"""
+
+_READ_WORD4 = "([a-z]+ [a-z]+ [a-z]+ [a-z]+) "
+
+
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Flesch / Flesch–Kincaid readability
+    (ops/textstats.py readability — Kincaid et al. 1975) over documents
+    with planted sentence boundaries (every 4th word-gap becomes a
+    period, so sentence counts vary with length). All arithmetic is
+    BIGINT floor division on a ×1000 scale; the oracle computes the
+    identical counts with regexp_extract_all."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plant = F.regexp_replace(F.col("text"), _READ_WORD4, "$1. ")
+    return (textstats.readability(
+        docs.select("doc_id", plant.alias("text")))
+        .orderBy("doc_id"))
+
+
+_READABILITY_SQL = f"""
+WITH src AS (SELECT doc_id,
+                    regexp_replace(text, '{_READ_WORD4}', '\\1. ', 'g')
+                      AS t
+             FROM documents),
+c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(t), '[a-z]+')) AS BIGINT)
+               AS w,
+             greatest(CAST(len(regexp_extract_all(lower(t), '[.!?]+'))
+                           AS BIGINT), 1) AS s,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                  AS BIGINT) AS y
+      FROM src)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       206835 - (1015 * w) // s - (84600 * y) // greatest(w, 1)
+         AS flesch_milli,
+       (390 * w) // s + (11800 * y) // greatest(w, 1) - 15590
+         AS fk_grade_milli
+FROM c ORDER BY doc_id
+"""
+
+
 def q_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact BM25-family ranking (ops/search.py): four query
     terms scored over the documents table with rational k1/b cleared
@@ -5270,19 +5476,16 @@ REGISTRY: dict[str, tuple] = {
     #
     # -- extraction engine (the headline) --
     "ocr_extract_docs": (q_ocr_extract_docs, _OCR_ORACLE),
-    "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
-    "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
     # -- crawl front end: WARC/WET/WAT, charset, robots, frontier --
     "warc_ingest_docs": (q_warc_ingest_docs, _WARC_INGEST_SQL),
     "crawl_pipeline_docs": (q_crawl_pipeline_docs, _crawl_pipeline_sql()),
     "warc_revisit_docs": (q_warc_revisit_docs, _WARC_REVISIT_SQL),
+    "crawl_diff_docs": (q_crawl_diff_docs, _CRAWL_DIFF_SQL),
     "normalize_nfc_docs": (q_normalize_nfc_docs, _NFC_SQL),
     "split_sentences_docs": (q_split_sentences_docs,
                              _split_sentences_sql()),
     "robots_wildcard_docs": (q_robots_wildcard_docs, _ROBOTS_WILDCARD_SQL),
     "robots_sitemaps_docs": (q_robots_sitemaps_docs, _ROBOTS_SITEMAPS_SQL),
-    "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
-                                _ROBOTS_DELAY_SQL),
     "sitemap_parse_docs": (q_sitemap_parse_docs, _SITEMAP_SQL),
     "feed_parse_docs": (q_feed_parse_docs, _FEED_PARSE_SQL),
     "frontier_schedule_docs": (q_frontier_schedule_docs, _FRONTIER_SQL),
@@ -5294,14 +5497,13 @@ REGISTRY: dict[str, tuple] = {
     "canonical_collapse_docs": (q_canonical_collapse_docs,
                                 _CANONICAL_COLLAPSE_SQL),
     # -- HTML extraction --
-    "html_main_chain_docs": (q_html_main_chain_docs,
-                             _html_main_chain_sql()),
     "html_markdown_docs": (q_html_markdown_docs, _html_markdown_sql()),
     "justext_docs": (q_justext_docs, _justext_sql()),
     "extraction_pr_gate": (q_extraction_pr_gate, _extraction_pr_sql()),
     "tier_extract_docs": (q_tier_extract_docs, _tier_sql()),
     # -- link graph / search --
     "hits_hosts": (q_hits_hosts, _HITS_SQL),
+    "trustrank_hosts": (q_trustrank_hosts, _TRUSTRANK_SQL),
     "anchor_stats_docs": (q_anchor_stats_docs, _ANCHOR_SQL),
     "inverted_index_docs": (q_inverted_index_docs, _INVIDX_SQL),
     # -- language / LM / tokenizer --
@@ -5322,6 +5524,8 @@ REGISTRY: dict[str, tuple] = {
     "template_cluster_docs": (q_template_cluster_docs,
                               _TEMPLATE_CLUSTER_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
+    "c4_filter_docs": (q_c4_filter_docs, _C4_FILTER_SQL),
+    "readability_docs": (q_readability_docs, _READABILITY_SQL),
     # -- multimodal + lineage --
     "phash_recall_gate": (q_phash_recall_gate, _PHASH_GATE_SQL),
     # -- dedup + gates --
@@ -5343,7 +5547,17 @@ REGISTRY: dict[str, tuple] = {
     # round and stays covered by pytest + tools/verifier.py every
     # round. (Rotated below in round 5, each driver-green in rounds 3
     # AND 4: the two streaming queries, decontaminate, sequence-pack
-    # and the lineage counters — making room for the round-5 ops.)
+    # and the lineage counters — making room for the round-5 ops.
+    # Late round 5: ocr_extract_jpeg / pdf_extract / html_main_chain
+    # (all driver-green in r04) and robots_crawl_delay (16 of the 17
+    # round-4 rotations stay in-window) moved below the boundary to
+    # make room for trustrank / crawl-diff / C4 / readability.)
+    "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
+    "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
+    "html_main_chain_docs": (q_html_main_chain_docs,
+                             _html_main_chain_sql()),
+    "robots_crawl_delay_docs": (q_robots_crawl_delay_docs,
+                                _ROBOTS_DELAY_SQL),
     "streaming_lang_counters": (q_streaming_lang_counters,
                                 _STREAMING_COUNTERS_SQL),
     "streaming_windowed_counts": (q_streaming_windowed_counts,

@@ -85,3 +85,41 @@ def cdx_index(df: DataFrame, url_col: str = "url",
         F.lit('"}'))
     return (out.withColumn("cdxj_line", line)
             .orderBy("surt", "ts14"))
+
+
+def generation_diff(old: DataFrame, new: DataFrame,
+                    key_col: str = "url",
+                    digest_col: str = "digest") -> DataFrame:
+    """Incremental-crawl delta between two crawl generations' capture
+    indexes → (key, status, old_digest, new_digest) with status in
+    {added, removed, changed, unchanged}.
+
+    This is the index-level comparison every recurring crawl runs
+    before scheduling: ``added``/``changed`` keys go back to the fetch
+    frontier, ``unchanged`` keys feed revisit records
+    (sources/warc.py ``revisit_records`` — WARC 1.1 §6.7.2) instead of
+    re-storing payloads, and ``removed`` keys age out of the index.
+    Inputs are one row per key per generation (dedupe upstream with the
+    latest capture per key, e.g. via :func:`cdx_index`'s (surt, ts14)
+    order); digests compare content, so a recrawl that returns
+    byte-identical HTML is ``unchanged`` even when timestamps moved.
+
+    Scale shape (10^12-key indexes): ONE full-outer shuffle join on the
+    key — both sides hash-partition on the same key, so co-partitioned
+    or bucketed-by-url generations join with zero extra exchange; no
+    window, no driver state. Output classification is a narrow
+    projection inside codegen.
+    """
+    o = old.select(F.col(key_col).alias("key"),
+                   F.col(digest_col).alias("old_digest"))
+    n = new.select(F.col(key_col).alias("key"),
+                   F.col(digest_col).alias("new_digest"))
+    j = o.join(n, "key", "full_outer")
+    status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
+              .when(F.col("new_digest").isNull(), F.lit("removed"))
+              .when(F.col("old_digest") == F.col("new_digest"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("key", status.alias("status"),
+                    F.coalesce("old_digest", F.lit("")).alias("old_digest"),
+                    F.coalesce("new_digest", F.lit("")).alias("new_digest"))
