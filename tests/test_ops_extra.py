@@ -2239,3 +2239,45 @@ def test_readability_hand_computed(spark):
     r2 = got[2]
     assert (r2.n_words, r2.n_syllables) == (0, 0)
     assert r2.flesch_milli == 206835  # no words: both ratio terms 0
+
+
+def test_fix_mojibake_inverts_cp1252_misdecode(spark):
+    """The semantic pin the driver oracle can't give (it replays the
+    same chain): corruptions built independently with Python's codecs
+    — clean.encode('utf-8').decode('windows-1252') — are exactly
+    inverted, a second pass is a no-op, and untouched text reports
+    changed=0."""
+    from tuatara_spark.ops import encoding
+    # every char here is in MOJIBAKE_TARGETS (cp1252-mappable UTF-8
+    # bytes; U+201D ” is deliberately absent — its 0x9D byte is
+    # unmapped in cp1252 and would not round-trip)
+    clean = "don’t say «café» at 20° — it’s “fine‘…"
+    corrupted = clean.encode("utf-8").decode("windows-1252")
+    assert corrupted != clean
+    df = spark.createDataFrame(
+        [(1, corrupted), (2, "plain ascii stays."), (3, clean)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding.fix_mojibake(df).collect()}
+    assert got[1].text_fixed == clean and got[1].changed == 1
+    assert got[2].text_fixed == "plain ascii stays." and got[2].changed == 0
+    # already-clean text: no rule's corruption appears in any target,
+    # so the pass is idempotent
+    assert got[3].text_fixed == clean and got[3].changed == 0
+
+
+def test_host_components_chains_and_singleton_star(spark):
+    """A 3-chain, a star, and lexicographic (not numeric) min labels:
+    h10 < h2 in binary collation — pinned so the oracle's collation
+    assumption is explicit."""
+    from tuatara_spark.ops import dedup, linkgraph
+    edges = spark.createDataFrame(
+        [("h2", "h10"),            # lexicographic min is h10, not h2
+         ("a", "b"), ("b", "c"),   # chain -> all 'a'
+         ("s", "t")],
+        "src string, dst string")
+    got = {r.host: r.component_id
+           for r in linkgraph.host_components(edges).collect()}
+    dedup.release_caches()
+    assert got == {"h2": "h10", "h10": "h10",
+                   "a": "a", "b": "a", "c": "a",
+                   "s": "s", "t": "s"}

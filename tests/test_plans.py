@@ -424,3 +424,11 @@ def test_trustrank_c4_diff_plan_shapes(spark):
     for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                 "Window"):
         assert bad not in diff_plan
+
+
+def test_mojibake_plan_is_shuffle_free_projection(spark):
+    from tuatara_spark.ops import encoding
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = _explain(encoding.fix_mojibake(df), mode="simple")
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

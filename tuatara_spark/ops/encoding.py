@@ -136,3 +136,47 @@ def normalize_nfc(df, text_col: str = "text",
     out = df.withColumn(out_col, _nfc(F.col(text_col)))
     return out.withColumn("nfc_changed",
                           F.col(out_col) != F.col(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (the ftfy problem family, public write-ups by R. Speer):
+# UTF-8 bytes decoded once through windows-1252 — the single most common
+# web-text corruption ("donâ€™t", "cafÃ©"). The repair table is GENERATED
+# at import from the codec pair itself (encode the true character to
+# UTF-8, mis-decode through cp1252), so the rule list can never drift
+# from the corruption it undoes; the DuckDB oracle chain is generated
+# from the same table. One pass, longest corruption first (a shorter rule
+# can never pre-empt a longer one); re-running is a no-op on fixed text
+# because no target character appears in any corruption string.
+# ---------------------------------------------------------------------------
+
+#: Characters whose UTF-8 encodings are fully cp1252-mappable (no 0x81/
+#: 0x8D/0x8F/0x90/0x9D bytes) — the deterministic, round-trippable core
+#: of the mojibake family. Curly quotes/dashes/ellipsis, the common
+#: Latin-1 letters, guillemets and the degree sign.
+MOJIBAKE_TARGETS = "’‘“–—…" \
+    "éèäöüñç«»°"
+
+
+def _cp1252_mojibake(ch: str) -> str:
+    return ch.encode("utf-8").decode("windows-1252")
+
+
+MOJIBAKE_STEPS: tuple[tuple[str, str], ...] = tuple(
+    sorted(((_cp1252_mojibake(c), c) for c in MOJIBAKE_TARGETS),
+           key=lambda bg: (-len(bg[0]), bg[0])))
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, text_fixed, changed) — undo one layer of UTF-8-as-cp1252
+    mojibake via the generated rule chain. Pure Catalyst: a chain of
+    LITERAL ``replace`` calls (no regex), shuffle-free, entirely inside
+    whole-stage codegen; at 10^12 rows this is a projection on the scan.
+    Double-encoded text (two cp1252 layers) needs a second application;
+    one pass is one layer, documented."""
+    fixed = F.col(text_col)
+    for bad, good in MOJIBAKE_STEPS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.select(id_col, fixed.alias("text_fixed"),
+                     (fixed != F.col(text_col)).cast("int").alias("changed"))

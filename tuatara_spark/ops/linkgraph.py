@@ -227,3 +227,28 @@ def anchor_stats(links: DataFrame, dst_col: str = "href",
                     F.coalesce("anchor", F.lit("")).alias("anchor"),
                     F.coalesce("anchor_n", F.lit(0)).cast("long")
                     .alias("anchor_n")))
+
+
+def host_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(host, component_id) — connected components over the UNDIRECTED
+    host graph; component_id is the lexicographically smallest host
+    reachable from each node. The mirror/site-family detector: hosts
+    serving the same content link densely among themselves (www/m/cdn
+    variants, country mirrors), and collapsing a component to one
+    representative prevents a single site family from dominating a
+    training corpus beyond the per-host caps.
+
+    Reuses the dedup layer's min-label propagation
+    (ops/dedup.py cluster_ids — Rastogi et al. ICDE'13 family), which
+    is id-type-agnostic: one narrow (node, label) join + map-side
+    groupBy per round, O(component diameter) rounds; host graphs are
+    shallow (families are near-cliques), so rounds stay single-digit.
+    """
+    from tuatara_spark.ops.dedup import cluster_ids
+    nodes = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    pairs = edges.select(F.col("src").alias("id_a"),
+                         F.col("dst").alias("id_b"))
+    out = cluster_ids(nodes, pairs, id_col="host", max_iters=max_iters)
+    return out.withColumnRenamed("cluster_id", "component_id")
