@@ -225,6 +225,9 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         ("justext_docs", Q.q_justext_docs),
         ("tier_extract_docs", Q.q_tier_extract_docs),
         ("host_line_dedup_docs", Q.q_host_line_dedup_docs),
+        # the higher-order array-filter plan shape (C4 line rules):
+        # scan-wide lambda filter + page verdicts, zero shuffle
+        ("c4_filter_docs", Q.q_c4_filter_docs),
     ]
     from tuatara_spark.ops import dedup as _dd
 

@@ -2281,3 +2281,21 @@ def test_host_components_chains_and_singleton_star(spark):
     assert got == {"h2": "h10", "h10": "h10",
                    "a": "a", "b": "a", "c": "a",
                    "s": "s", "t": "s"}
+
+
+def test_kn_score_hand_computed(spark):
+    """Train on {a b a b, a c}: pairs (a,b):2 (b,a):1 (a,c):1, T=3;
+    lefts a:(c1=3,f1=2) b:(1,1); rights a/b/c f2=1. Scoring 'a b x a':
+    (a,b) -> (1e6*(max(8-3,0)*3+3*2*1))//(4*3*3) = 583333;
+    (b,x) -> discount-only with f2(x)=0 -> 0 (counts as OOV);
+    (x,a) -> unseen left context backs off to f2(a)/T -> 333333.
+    Mean: 916666 // 3 = 305555."""
+    from tuatara_spark.ops import dedup, lm
+    train = spark.createDataFrame([(0, "a b a b"), (2, "a c")],
+                                  "doc_id long, text string")
+    model = lm.train_kn_bigram_lm(train)
+    to_score = spark.createDataFrame([(7, "a b x a")],
+                                     "doc_id long, text string")
+    got = lm.score_kn_bigram_lm(to_score, model).collect()[0]
+    dedup.release_caches()
+    assert (got.n_bigrams, got.n_oov, got.kn_score_e6) == (3, 2, 305555)

@@ -432,3 +432,17 @@ def test_mojibake_plan_is_shuffle_free_projection(spark):
     plan = _explain(encoding.fix_mojibake(df), mode="simple")
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_kn_plan_broadcasts_model(spark):
+    """KN scoring joins all three model tables + the 1-row T by
+    broadcast — the document stream never shuffles into a join."""
+    from tuatara_spark.ops import dedup as dd, lm
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    model = lm.train_kn_bigram_lm(docs)
+    plan = _explain(lm.score_kn_bigram_lm(docs, model), mode="simple")
+    dd.release_caches()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                "SortMergeJoin"):
+        assert bad not in plan

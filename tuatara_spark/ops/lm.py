@@ -132,3 +132,81 @@ def tier_by_score(scored: DataFrame, score_col: str = "score_e6",
                         (F.expr(f"(_rank * {k}) div _n") + 1)
                         .cast("int"))
             .drop("_negscore", "_rank", "_n"))
+
+
+def train_kn_bigram_lm(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Interpolated Kneser–Ney bigram statistics (Kneser & Ney 1995;
+    Chen & Goodman 1998, the public TR-10-98 formulation) →
+    ``(pairs, lefts, rights)``:
+
+    * ``pairs``  — (w1, w2, c12): bigram counts;
+    * ``lefts``  — (w1, c1, f1): left totals and N1+(w1·), the distinct
+      continuations of w1 (the discount mass recipients);
+    * ``rights`` — (w2, f2): N1+(·w2), how many distinct contexts w2
+      follows — KN's signature statistic ("Francisco" is frequent but
+      only ever follows "San", so its continuation probability is low).
+
+    Same scale shape as :func:`train_bigram_lm`: bigrams from an
+    in-row array transform, ONE shuffle at bigram-vocabulary width,
+    and both marginal tables re-aggregate the already-reduced pair
+    table — the token stream never shuffles twice.
+    """
+    from tuatara_spark.ops.dedup import _persist
+    bg = _bigrams(df, text_col, id_col)
+    pairs = _persist(bg.groupBy("w1", "w2")
+                     .agg(F.count("*").alias("c12")))
+    lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                    F.count("*").alias("f1"))
+    rights = pairs.groupBy("w2").agg(F.count("*").alias("f2"))
+    return pairs, lefts, rights
+
+
+def score_kn_bigram_lm(df: DataFrame, model, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       broadcast: bool = True) -> DataFrame:
+    """→ (id, n_bigrams, n_oov, kn_score_e6): mean interpolated
+    Kneser–Ney transition probability per document, integer-exact.
+
+    With discount D = 3/4 (Chen & Goodman's default 0.75 as an exact
+    rational) the interpolated form
+
+        P(w2|w1) = max(c12 − D, 0)/c1 + (D·f1/c1) · (f2/T)
+
+    clears to one BIGINT fraction — numerator
+    ``max(4·c12 − 3, 0)·T + 3·f1·f2`` over denominator ``4·c1·T`` —
+    scaled by 10^6 with floor division, so Spark and the oracle agree
+    bit-for-bit (KenLM's float log-probs would drift in ulps).
+    Documented edges: an UNSEEN left context backs off entirely to the
+    continuation distribution ``f2/T``; both-unseen scores 0. T =
+    distinct training bigram types. BIGINT headroom: 10^6·4·c12·T needs
+    c12·T < 2.3·10^12 — at web scale shrink the 10^6 scale or pre-divide
+    T, a knob not a design constraint.
+
+    Scale shape: the three model tables are pruned-LM-sized →
+    broadcast (default); T is a 1-row broadcast cross join; the only
+    shuffle is the final per-document partial-aggregated groupBy.
+    """
+    pairs, lefts, rights = model
+    b = (lambda d: F.broadcast(d)) if broadcast else (lambda d: d)
+    t_df = pairs.agg(F.count("*").alias("_T"))
+    bg = _bigrams(df, text_col, id_col)
+    j = (bg.join(b(pairs), ["w1", "w2"], "left")
+         .join(b(lefts), ["w1"], "left")
+         .join(b(rights), ["w2"], "left")
+         .crossJoin(F.broadcast(t_df)))
+    contrib = F.expr(
+        f"CASE WHEN c1 IS NULL THEN"
+        f" ({PROB_SCALE} * coalesce(f2, 0L)) div _T"
+        f" ELSE ({PROB_SCALE} * (greatest(4 * coalesce(c12, 0L) - 3, 0L)"
+        f" * _T + 3 * f1 * coalesce(f2, 0L))) div (4 * c1 * _T) END")
+    per = (j.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0))
+        .alias("n_oov"),
+        F.sum(contrib).alias("_tot")))
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.expr("_tot div n_bigrams").cast("long").alias("kn_score_e6"))

@@ -4213,6 +4213,55 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
+def q_lm_kn_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney fluency scoring (ops/lm.py
+    train_kn_bigram_lm + score_kn_bigram_lm — the smoothing family
+    KenLM/CCNet actually uses, made integer-exact with D = 3/4 as a
+    rational): model statistics from the even-doc_id half, every
+    document scored, top 50 by (kn_score_e6 DESC, doc_id). The oracle
+    re-derives the pair/left/right/continuation statistics and the
+    single-fraction arithmetic in ANSI SQL."""
+    from tuatara_spark.ops import lm
+    docs = _docs(spark, sf_dir)
+    model = lm.train_kn_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    return (lm.score_kn_bigram_lm(docs, model)
+            .orderBy(F.col("kn_score_e6").desc(), "doc_id").limit(50))
+
+
+_LM_KN_SQL = r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+    t -> t != '') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM lt, unnest(range(1, len(ws))) AS u(i)),
+pc AS (SELECT w1, w2, count(*) AS c12 FROM bg
+       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+lc AS (SELECT w1, sum(c12) AS c1, count(*) AS f1 FROM pc GROUP BY 1),
+rc AS (SELECT w2, count(*) AS f2 FROM pc GROUP BY 1),
+tt AS (SELECT count(*) AS bt FROM pc),
+s AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         count(*) FILTER (WHERE pc.c12 IS NULL) AS n_oov,
+         coalesce(sum(CASE WHEN lc.c1 IS NULL
+             THEN (1000000 * coalesce(rc.f2, 0)) // tt.bt
+             ELSE (1000000 * (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                   * tt.bt + 3 * lc.f1 * coalesce(rc.f2, 0)))
+                  // (4 * lc.c1 * tt.bt) END), 0) AS tot
+  FROM bg LEFT JOIN pc USING (w1, w2)
+          LEFT JOIN lc ON bg.w1 = lc.w1
+          LEFT JOIN rc ON bg.w2 = rc.w2
+          CROSS JOIN tt
+  GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(tot // n_bigrams AS BIGINT) AS kn_score_e6
+FROM s ORDER BY kn_score_e6 DESC, doc_id LIMIT 50
+"""
+
+
 def q_lm_tier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (ops/lm.py tier_by_score):
     LM-score every document (model trained on the even half), then
@@ -5652,6 +5701,7 @@ REGISTRY: dict[str, tuple] = {
     # higher-risk plan shape; mojibake is a literal-replace projection
     # whose semantics pytest pins against Python's own codecs.)
     "mojibake_fix_docs": (q_mojibake_fix_docs, _mojibake_sql()),
+    "lm_kn_score_docs": (q_lm_kn_score_docs, _LM_KN_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
