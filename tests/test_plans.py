@@ -446,3 +446,19 @@ def test_kn_plan_broadcasts_model(spark):
     for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                 "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_frontier_pipeline_plan_shapes(spark):
+    """The composed frontier pipeline's candidate stream reaches the
+    politeness window through broadcast joins only (blocklist, bloom
+    bitmap, probe result) — no cartesian, no Python; exactly one
+    Window (the per-host politeness queue)."""
+    from tuatara_spark.queries import q_frontier_pipeline_docs
+    from tuatara_spark.ops import dedup as dd
+    out = q_frontier_pipeline_docs(spark, "/root/testdata/sf0.001")
+    plan = _explain(out, mode="simple")
+    dd.release_caches()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") >= 1
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

@@ -5013,13 +5013,10 @@ FROM s ORDER BY score_e6 DESC, doc_id LIMIT 50
 """
 
 
-def q_sitemap_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap parsing (ops/frontier.py parse_sitemaps): every 4th doc
-    carries a <sitemapindex> (child-sitemap rows flagged is_index), the
-    rest two-entry <urlset> documents with optional lastmod/priority
-    fields; whitespace inside tags exercises the trim. The oracle
-    re-runs the same block + field extraction with positional unnest."""
-    from tuatara_spark.ops import frontier
+def _sitemap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sitemap synthesis: every 4th doc a <sitemapindex>, the
+    rest two-entry <urlset> documents (used by the parse query and the
+    composed frontier pipeline)."""
     m = F.col("doc_id") % 4
     did = F.col("doc_id").cast("string")
     k = (F.col("doc_id") % 6).cast("string")
@@ -5036,15 +5033,23 @@ def q_sitemap_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10).cast("string"),
         F.lit("</priority></url><url><loc>https://"), host,
         F.lit("/q/"), did, F.lit("</loc></url></urlset>"))
-    docs = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         host.alias("host"),
         F.when(m == 0, idx_xml).otherwise(set_xml).alias("sitemap_xml"))
-    return (frontier.parse_sitemaps(docs)
+
+
+def q_sitemap_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (ops/frontier.py parse_sitemaps): every 4th doc
+    carries a <sitemapindex> (child-sitemap rows flagged is_index), the
+    rest two-entry <urlset> documents with optional lastmod/priority
+    fields; whitespace inside tags exercises the trim. The oracle
+    re-runs the same block + field extraction with positional unnest."""
+    from tuatara_spark.ops import frontier
+    return (frontier.parse_sitemaps(_sitemap_docs(spark, sf_dir))
             .orderBy("host", "loc", "doc_pos"))
 
 
-_SITEMAP_SQL = r"""
-WITH src AS (
+_SITEMAP_CTES = r"""src AS (
   SELECT 's' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS host,
          CASE WHEN doc_id % 4 = 0 THEN
            '<?xml version="1.0"?><sitemapindex><sitemap><loc> https://s'
@@ -5085,9 +5090,90 @@ f AS (
            AS changefreq,
          regexp_extract(b, '(?s)<priority[^>]*>\s*(.*?)\s*</priority>', 1)
            AS priority
-  FROM e)
+  FROM e)"""
+
+_SITEMAP_SQL = ("WITH " + _SITEMAP_CTES + r"""
 SELECT * FROM f WHERE loc != '' ORDER BY host, loc, doc_pos
-"""
+""")
+
+
+def q_frontier_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-frontier pipeline — the scheduling counterpart of
+    ``crawl_pipeline_docs``: sitemap DISCOVERY (urlset entries only;
+    sitemapindex rows are child sitemaps, not pages) → domain BLOCKLIST
+    (label-boundary suffix match, broadcast) → Bloom SEEN-SET probe
+    (already-crawled /p/ URLs of every 3rd document; deterministic
+    false positives replayed by the oracle) → POLITENESS schedule
+    (per-host priority-desc ranks, 500 ms spacing, 4 hash slots). Each
+    stage is individually oracled elsewhere; this pins their
+    composition end-to-end.
+
+    Scale shape: discovery/blocklist/probe are broadcast-joined
+    projections of the candidate stream (it never shuffles before the
+    schedule); the one per-host window IS the politeness queue."""
+    from tuatara_spark.ops import frontier, training
+    parsed = frontier.parse_sitemaps(_sitemap_docs(spark, sf_dir))
+    cand = (parsed.where(~F.col("is_index"))
+            .select("host", "loc",
+                    F.expr("coalesce(try_cast(substring(priority, 3, 1)"
+                           " AS INT), 0)").alias("pri")))
+    blocked = spark.createDataFrame(
+        [("s3.example.com",), ("example.net",)], "domain string")
+    bl = training.url_blocklist(cand, blocked, url_col="loc")
+    clean = bl.where(~F.col("blocked")).select("host", "loc", "pri")
+    seen = (_docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+            .select(F.concat(F.lit("https://s"),
+                             (F.col("doc_id") % 6).cast("string"),
+                             F.lit(".example.com/p/"),
+                             F.col("doc_id").cast("string")).alias("url")))
+    bloom = frontier.bloom_build(seen, col="url", m_bits=4096, k=4)
+    probe = frontier.bloom_might_contain(clean.select("loc"), bloom,
+                                         col="loc", m_bits=4096, k=4)
+    surv = clean.join(probe.where(~F.col("possibly_seen")).select("loc"),
+                      "loc")
+    return (frontier.schedule(surv, host_col="host", url_col="loc",
+                              priority_col="pri", delay_ms=500, n_slots=4)
+            .orderBy("host", "fetch_rank"))
+
+
+_FRONTIER_PIPELINE_SQL = ("WITH " + _SITEMAP_CTES + r""",
+cand AS (
+  SELECT host, loc,
+         coalesce(try_cast(substr(priority, 3, 1) AS INTEGER), 0) AS pri
+  FROM f WHERE NOT is_index AND loc != ''),
+keep AS (
+  SELECT * FROM cand
+  WHERE NOT (host = 's3.example.com' OR host LIKE '%.s3.example.com'
+             OR host = 'example.net' OR host LIKE '%.example.net')),
+seen AS (
+  SELECT 'https://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 3 = 0),
+pos AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(url || ':' || CAST(i AS VARCHAR)), 1, 8))
+         AS BIGINT) % 4096 AS p
+  FROM seen CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)),
+cp AS (
+  SELECT loc,
+    CAST(('0x' || substr(md5(loc || ':' || CAST(i AS VARCHAR)), 1, 8))
+         AS BIGINT) % 4096 AS p
+  FROM keep CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)),
+probe AS (SELECT cp.loc, bool_and(pos.p IS NOT NULL) AS seen_flag
+          FROM cp LEFT JOIN pos ON cp.p = pos.p GROUP BY cp.loc),
+surv AS (SELECT k.host, k.loc, k.pri
+         FROM keep k JOIN probe ON k.loc = probe.loc
+         WHERE NOT probe.seen_flag),
+r AS (SELECT host, loc AS url,
+             CAST(row_number() OVER (PARTITION BY host
+                    ORDER BY pri DESC, loc ASC) AS INTEGER) AS fetch_rank
+      FROM surv)
+SELECT host, url, fetch_rank,
+       CAST((fetch_rank - 1) * 500 AS BIGINT) AS fetch_offset_ms,
+       CAST(CAST(('0x' || substr(md5(host || 's1'), 1, 8)) AS BIGINT) % 4
+            AS INTEGER) AS slot
+FROM r ORDER BY host, fetch_rank
+""")
 
 
 def q_url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5702,6 +5788,8 @@ REGISTRY: dict[str, tuple] = {
     # whose semantics pytest pins against Python's own codecs.)
     "mojibake_fix_docs": (q_mojibake_fix_docs, _mojibake_sql()),
     "lm_kn_score_docs": (q_lm_kn_score_docs, _LM_KN_SQL),
+    "frontier_pipeline_docs": (q_frontier_pipeline_docs,
+                               _FRONTIER_PIPELINE_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
