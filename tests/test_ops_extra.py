@@ -2299,3 +2299,25 @@ def test_kn_score_hand_computed(spark):
     got = lm.score_kn_bigram_lm(to_score, model).collect()[0]
     dedup.release_caches()
     assert (got.n_bigrams, got.n_oov, got.kn_score_e6) == (3, 2, 305555)
+
+
+def test_fold_accents_semantics_vs_duckdb(spark):
+    """Generated-table folding agrees with DuckDB's independent
+    strip_accents on the 1:1 range, and the curated expansions handle
+    what NFD can't (ß, Æ, Ø have no decomposition)."""
+    import duckdb
+    from tuatara_spark.ops import encoding
+    s_single = "café crème brûlée São ñandú Ångström"
+    df = spark.createDataFrame(
+        [(1, s_single), (2, "Łódź große Æon ØRE Þing ĳs"), (3, "plain")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding.fold_accents(df).collect()}
+    duck = duckdb.connect().execute(
+        "select strip_accents(?)", [s_single]).fetchone()[0]
+    assert got[1].text_folded == duck  # independent implementation
+    assert got[2].text_folded == "Lodz grosse AEon ORE THing ijs"
+    assert (got[3].text_folded, got[3].changed) == ("plain", 0)
+    # idempotent: folding folded text is a no-op
+    refold = encoding.fold_accents(spark.createDataFrame(
+        [(9, got[2].text_folded)], "doc_id long, text string")).collect()[0]
+    assert refold.changed == 0

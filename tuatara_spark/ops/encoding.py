@@ -180,3 +180,54 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
         fixed = F.replace(fixed, F.lit(bad), F.lit(good))
     return df.select(id_col, fixed.alias("text_fixed"),
                      (fixed != F.col(text_col)).cast("int").alias("changed"))
+
+
+# ---------------------------------------------------------------------------
+# Accent folding (diacritic stripping) — the search/dedup normalization
+# that maps café→cafe so accent variants hash and match together. The
+# 1:1 table is GENERATED at import from Unicode's own decomposition
+# data (NFD, drop Mn combining marks — the canonical public algorithm),
+# covering Latin-1 Supplement + Latin Extended-A; characters with no
+# decomposition but a conventional ASCII expansion (UTR #30's examples:
+# ß→ss, Æ→AE, Ø→O …) ride a small curated replace chain first.
+# ---------------------------------------------------------------------------
+
+FOLD_SPECIALS: tuple[tuple[str, str], ...] = (
+    ("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+    ("Ø", "O"), ("ø", "o"), ("Ð", "D"), ("ð", "d"), ("Þ", "TH"),
+    ("þ", "th"), ("Đ", "D"), ("đ", "d"), ("Ħ", "H"), ("ħ", "h"),
+    ("ı", "i"), ("Ĳ", "IJ"), ("ĳ", "ij"), ("ĸ", "k"), ("Ł", "L"),
+    ("ł", "l"), ("Ŋ", "N"), ("ŋ", "n"), ("Ŧ", "T"), ("ŧ", "t"),
+)
+
+
+def _fold_tables() -> tuple[str, str]:
+    import unicodedata
+    frm, to = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        s = "".join(c for c in d if unicodedata.category(c) != "Mn")
+        if s != ch and len(s) == 1 and s.isascii():
+            frm.append(ch)
+            to.append(s)
+    return "".join(frm), "".join(to)
+
+
+FOLD_FROM, FOLD_TO = _fold_tables()
+
+
+def fold_accents(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, text_folded, changed) — strip diacritics via the generated
+    1:1 ``translate`` table, after the curated multi-char expansions.
+    Pure Catalyst (one translate + a short literal-replace chain),
+    shuffle-free, idempotent (no output char appears in either table's
+    domain). At 10^12 rows: a codegen projection on the scan."""
+    folded = F.col(text_col)
+    for bad, good in FOLD_SPECIALS:
+        folded = F.replace(folded, F.lit(bad), F.lit(good))
+    folded = F.translate(folded, FOLD_FROM, FOLD_TO)
+    return df.select(id_col, folded.alias("text_folded"),
+                     (folded != F.col(text_col)).cast("int")
+                     .alias("changed"))

@@ -4923,6 +4923,47 @@ FROM src ORDER BY doc_id
 """
 
 
+_FOLD_PLANTS = [(3, " café crème brûlée"), (4, " Łódź große Æon"),
+                (5, " SØREN Þing ĳs")]
+
+
+def q_fold_accents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (ops/encoding.py fold_accents): diacritic
+    stripping via the translate table generated from Unicode NFD data,
+    plus the curated multi-char expansions (ß→ss, Æ→AE, Ø→O …) —
+    planted accent snippets exercise both paths. The oracle replays the
+    identical replace chain + translate in DuckDB; pytest additionally
+    cross-checks singles against DuckDB's independent strip_accents."""
+    from tuatara_spark.ops import encoding
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = [F.col("text")]
+    for mod, snippet in _FOLD_PLANTS:
+        parts.append(F.when(F.col("doc_id") % mod == 0,
+                            F.lit(snippet)).otherwise(F.lit("")))
+    return (encoding.fold_accents(
+        docs.select("doc_id", F.concat(*parts).alias("text")))
+        .orderBy("doc_id"))
+
+
+def _fold_accents_sql() -> str:
+    from tuatara_spark.ops.encoding import (FOLD_FROM, FOLD_SPECIALS,
+                                            FOLD_TO)
+    plant = "text" + "".join(
+        f" || CASE WHEN doc_id % {mod} = 0 THEN '{snippet}'"
+        " ELSE '' END"
+        for mod, snippet in _FOLD_PLANTS)
+    expr = "t"
+    for b, g in FOLD_SPECIALS:
+        expr = f"replace({expr}, '{b}', '{g}')"
+    expr = f"translate({expr}, '{FOLD_FROM}', '{FOLD_TO}')"
+    return f"""
+WITH src AS (SELECT doc_id, {plant} AS t FROM documents)
+SELECT doc_id, {expr} AS text_folded,
+       CASE WHEN {expr} != t THEN 1 ELSE 0 END AS changed
+FROM src ORDER BY doc_id
+"""
+
+
 def q_host_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph connected components (ops/linkgraph.py
     host_components — the mirror/site-family detector) over a
@@ -5790,6 +5831,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_kn_score_docs": (q_lm_kn_score_docs, _LM_KN_SQL),
     "frontier_pipeline_docs": (q_frontier_pipeline_docs,
                                _FRONTIER_PIPELINE_SQL),
+    "fold_accents_docs": (q_fold_accents_docs, _fold_accents_sql()),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
