@@ -2321,3 +2321,14 @@ def test_fold_accents_semantics_vs_duckdb(spark):
     refold = encoding.fold_accents(spark.createDataFrame(
         [(9, got[2].text_folded)], "doc_id long, text string")).collect()[0]
     assert refold.changed == 0
+
+
+def test_exact_percentiles_nearest_rank(spark):
+    """Lower nearest-rank rule on [10,20,30,40]: rank_p=((n-1)*p)//100
+    -> p25:rank0=10, p50:rank1=20, p75:rank2=30, p95:rank2=30."""
+    from tuatara_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, 20), (2, 40), (3, 10), (4, 30)], "doc_id long, v int")
+    got = {r.pctl: r.value
+           for r in textstats.exact_percentiles(df, "v").collect()}
+    assert got == {25: 10, 50: 20, 75: 30, 95: 30}

@@ -705,3 +705,35 @@ def split_sentences(df: DataFrame, text_col: str = "text",
         sent.alias("sentence"),
         F.expr("cast(size(filter(split(trim(_s), '\\\\s+'), "
                "x -> x != '')) as bigint)").alias("n_words"))
+
+
+def exact_percentiles(df: DataFrame, value_col: str,
+                      ps: tuple[int, ...] = (25, 50, 75, 95),
+                      tiebreak_col: str = "doc_id") -> DataFrame:
+    """(pctl, value) — EXACT corpus percentiles by the lower
+    nearest-rank rule ``rank_p = ((n−1)·p) div 100`` over the total
+    order (value, tiebreak): deterministic across engines and cluster
+    sizes, unlike approx_percentile sketches or engine-specific
+    interpolation. The corpus-card statistic (token-length quartiles,
+    quality-score p95 …) every dataset release publishes.
+
+    Scale shape: the global rank is the two-level prefix sum
+    (:func:`tuatara_spark.ops.training.with_order_rank` — range
+    partition + per-partition window + broadcast offsets; NO
+    single-partition window), n is a 1-row broadcast, and the target
+    ranks are a tiny broadcast join — at 10^12 rows: one range
+    shuffle, everything else map-side."""
+    from tuatara_spark.ops.training import with_order_rank
+    spark = df.sparkSession
+    ranked = with_order_rank(df.select(value_col, tiebreak_col),
+                             value_col, rank_col="_rank",
+                             tiebreak_col=tiebreak_col)
+    n = df.agg(F.count("*").alias("_n"))
+    targets = (spark.createDataFrame([(p,) for p in sorted(set(ps))],
+                                     "pctl int")
+               .crossJoin(F.broadcast(n))
+               .select("pctl", F.expr("((_n - 1) * pctl) div 100")
+                       .alias("_rank")))
+    return (ranked.join(F.broadcast(targets), "_rank")
+            .select("pctl", F.col(value_col).alias("value"))
+            .orderBy("pctl"))

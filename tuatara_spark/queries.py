@@ -510,6 +510,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_token_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus percentiles (ops/textstats.py exact_percentiles):
+    token-length p25/p50/p75/p95 by the lower nearest-rank rule
+    ``rank_p = ((n−1)·p) div 100`` over (value, doc_id) — the dataset-
+    card statistic, computed with the two-level prefix-sum rank (no
+    single-partition window) and pinned against a plain row_number
+    oracle: two different rank machineries must select the identical
+    rows."""
+    from tuatara_spark.ops import textstats as ts
+    tc = (ts.token_count(_docs(spark, sf_dir))
+          .select("doc_id", "ws_tokens"))
+    return ts.exact_percentiles(tc, "ws_tokens", ps=(25, 50, 75, 95),
+                                tiebreak_col="doc_id")
+
+
+_TOKEN_QUANTILES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS v
+  FROM documents),
+r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) - 1 AS rk FROM t),
+n AS (SELECT count(*) AS n FROM t)
+SELECT p.pctl, CAST(r.v AS INT) AS value
+FROM unnest([25, 50, 75, 95]) AS p(pctl), n, r
+WHERE r.rk = ((n.n - 1) * p.pctl) // 100
+ORDER BY p.pctl
+"""
+
+
 def q_token_count_regex(spark, sf_dir):
     """BPE-ish pre-tokenization count: alnum runs + single punctuation."""
     return (textstats.token_count(_docs(spark, sf_dir))
@@ -5832,6 +5861,7 @@ REGISTRY: dict[str, tuple] = {
     "frontier_pipeline_docs": (q_frontier_pipeline_docs,
                                _FRONTIER_PIPELINE_SQL),
     "fold_accents_docs": (q_fold_accents_docs, _fold_accents_sql()),
+    "token_quantiles_docs": (q_token_quantiles_docs, _TOKEN_QUANTILES_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
