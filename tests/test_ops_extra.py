@@ -2332,3 +2332,90 @@ def test_exact_percentiles_nearest_rank(spark):
     got = {r.pctl: r.value
            for r in textstats.exact_percentiles(df, "v").collect()}
     assert got == {25: 10, 50: 20, 75: 30, 95: 30}
+
+
+def test_mojibake_randomized_inversion(spark):
+    """200 seeded random strings over the target alphabet + ASCII:
+    corrupt with Python's codecs (the independent reference), fix with
+    the op, expect the original back — one Spark job, per-row check."""
+    import random
+    from tuatara_spark.ops import encoding
+    rng = random.Random(1234)
+    alpha = list(encoding.MOJIBAKE_TARGETS) + list(
+        "abc XYZ 09.,!?-/()")
+    rows = []
+    for i in range(200):
+        clean = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        rows.append((i, clean.encode("utf-8").decode("windows-1252"), clean))
+    df = spark.createDataFrame(rows, "doc_id long, text string, want string")
+    got = encoding.fix_mojibake(df).collect()
+    want = {r[0]: r[2] for r in rows}
+    assert all(r.text_fixed == want[r.doc_id] for r in got)
+
+
+def test_fold_accents_randomized_vs_python(spark):
+    """300 seeded random strings over the fold domain + ASCII: the op
+    must equal the Python reference built directly from the same
+    tables (replace chain then str.translate)."""
+    import random
+    from tuatara_spark.ops import encoding
+    rng = random.Random(99)
+    alpha = (list(encoding.FOLD_FROM)
+             + [b for b, _ in encoding.FOLD_SPECIALS]
+             + list("plain text 123 !?"))
+    tr = str.maketrans(encoding.FOLD_FROM, encoding.FOLD_TO)
+
+    def ref(s: str) -> str:
+        for b, g in encoding.FOLD_SPECIALS:
+            s = s.replace(b, g)
+        return s.translate(tr)
+
+    rows = [(i, "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(0, 30))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = encoding.fold_accents(df).collect()
+    want = {i: ref(s) for i, s in rows}
+    assert all(r.text_folded == want[r.doc_id] for r in got)
+
+
+def test_c4_filter_randomized_vs_python(spark):
+    """150 seeded random multi-line pages (word soup with planted
+    javascript/brace/lorem/badword/short/unterminated lines): every
+    output column must equal a from-scratch Python reference of the
+    documented rules."""
+    import random
+    import re
+    from tuatara_spark.ops import textstats
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "code", "data", "echo", "javascript",
+             "lorem", "ipsum", "casino", "x{y", "end"]
+
+    def mk_line():
+        n = rng.randint(1, 8)
+        line = " ".join(rng.choice(words) for _ in range(n))
+        return line + rng.choice([".", "!", "?", '"', "", " ", "x"])
+
+    def ref(text):
+        lines = text.split("\n")
+        kept = [ln for ln in lines
+                if re.search(r'[.!?"]$', ln.strip(" "))
+                and len(re.split(" +", ln.strip(" "))) >= 5
+                and "javascript" not in ln.lower()]
+        cleaned = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]+", cleaned))
+        low = text.lower()
+        pg = not ("lorem ipsum" in low or "{" in text
+                  or any(b in low for b in textstats.C4_BADWORDS))
+        return (len(lines), len(kept), n_sent,
+                int(pg and n_sent >= 3), cleaned)
+
+    rows = [(i, "\n".join(mk_line() for _ in range(rng.randint(1, 8))))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.n_sentences, r.page_kept,
+                      r.cleaned)
+           for r in textstats.c4_filter(df).collect()}
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
