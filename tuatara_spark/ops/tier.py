@@ -18,10 +18,14 @@ value-pinned against a SQL oracle.
 
 Scale shape (100 TB):
 
+* the language gate is a shuffle-free scan filter applied BEFORE
+  extraction — a per-language pipeline never pays JusText's string
+  work for documents it is about to drop (dropped_lang rows come
+  straight from the scan);
 * main-content extraction is the JusText classifier's single url-keyed
-  exchange (ops/htmlx.py);
-* the language + quality gates are shuffle-free projections applied
-  BEFORE the dedup shuffle, so dropped documents never move;
+  exchange (ops/htmlx.py), over the kept language only;
+* the quality gate is a shuffle-free projection applied BEFORE the
+  dedup shuffle, so dropped documents never move;
 * exact dedup shuffles only ``(md5(main_text), id)`` — 16-byte hash
   plus key, never the text — and survivors rejoin id-keyed, reusing
   the extraction partitioning;
@@ -50,12 +54,18 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
 
     Stages, in order (a document stops at its first failing gate):
 
-    1. **extract** — JusText main-content classification of
-       ``html_col`` (one url-keyed exchange); documents whose page has
-       no non-empty block produce no row, like the extractor itself.
-    2. **language gate** — keep ``lang_col == keep_lang`` (the CCNet
+    1. **language gate** — keep ``lang_col == keep_lang`` (the CCNet
        per-language pipeline split; the crawl table carries the lang
-       column per input_hint).
+       column per input_hint). The gate runs BEFORE extraction: at
+       10^12 rows a per-language pipeline must never pay JusText's
+       string work for documents it is about to drop, so
+       ``dropped_lang`` rows come straight from the scan with
+       ``n_words = -1`` (not extracted — extraction cost for them is
+       exactly zero).
+    2. **extract** — JusText main-content classification of
+       ``html_col`` (one url-keyed exchange) over the kept language
+       only; documents whose page has no non-empty block produce no
+       row, like the extractor itself.
     3. **quality gate** — keep ``n_words >= min_words`` words of
        extracted main text. ``min_words`` must be >= 2 so every
        survivor carries at least one bigram for stage 5.
@@ -68,14 +78,17 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
        head/middle/tail by pure rank arithmetic (ops/lm.py
        tier_by_score).
 
-    → (id, n_words, score_e6, tier) for every extracted document;
-    ``score_e6`` is -1 for dropped documents, ``tier`` one of
-    dropped_lang / dropped_quality / dropped_dup / head / middle /
-    tail.
+    → (id, n_words, score_e6, tier): one row per kept-language
+    document that extracts a non-empty page, plus one row per
+    other-language document (unconditionally — they are never
+    extracted). ``score_e6``/``n_words`` are -1 where not computed;
+    ``tier`` is dropped_lang / dropped_quality / dropped_dup / head /
+    middle / tail.
     """
     if min_words < 2:
         raise ValueError("min_words must be >= 2 (survivors need a bigram)")
-    main = justext_extract(docs.select(id_col, html_col), col=html_col,
+    kept_in = docs.where(F.col(lang_col) == keep_lang)
+    main = justext_extract(kept_in.select(id_col, html_col), col=html_col,
                            key_col=id_col, stop_pct=stop_pct)
     n_words = F.size(F.expr("filter(split(main_text, ' '), x -> x != '')"))
     # base fans out into four branches (dedup hashing, the survivor
@@ -85,12 +98,11 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
     # dedup.release_caches) so the JusText extraction runs one time,
     # not once per branch
     base = _persist(
-        docs.select(id_col, lang_col)
+        kept_in.select(id_col)
         .join(main.select(id_col, "main_text"), id_col)
         .withColumn("n_words", n_words.cast("long"))
-        .withColumn("_lang_ok", F.col(lang_col) == keep_lang)
         .withColumn("_quality_ok", F.col("n_words") >= min_words))
-    surv0 = base.where(F.col("_lang_ok") & F.col("_quality_ok"))
+    surv0 = base.where(F.col("_quality_ok"))
     # dedup moves only (hash, id): the text stays put and survivors
     # rejoin on the id key
     hashed = surv0.select(F.col(id_col),
@@ -117,14 +129,20 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
              .select(F.col(id_col), F.col("score_e6"),
                      F.element_at(labels, F.col("tier"))
                      .alias("_tier_label")))
-    return (base
-            .join(dup_flags, id_col, "left")
-            .join(tiers, id_col, "left")
-            .select(
-                F.col(id_col), F.col("n_words"),
-                F.coalesce(F.col("score_e6"), F.lit(-1)).cast("long")
-                .alias("score_e6"),
-                F.when(~F.col("_lang_ok"), F.lit("dropped_lang"))
-                .when(~F.col("_quality_ok"), F.lit("dropped_quality"))
-                .when(F.col("_is_dup"), F.lit("dropped_dup"))
-                .otherwise(F.col("_tier_label")).alias("tier")))
+    kept_rows = (base
+                 .join(dup_flags, id_col, "left")
+                 .join(tiers, id_col, "left")
+                 .select(
+                     F.col(id_col), F.col("n_words"),
+                     F.coalesce(F.col("score_e6"), F.lit(-1)).cast("long")
+                     .alias("score_e6"),
+                     F.when(~F.col("_quality_ok"),
+                            F.lit("dropped_quality"))
+                     .when(F.col("_is_dup"), F.lit("dropped_dup"))
+                     .otherwise(F.col("_tier_label")).alias("tier")))
+    lang_rows = (docs.where(F.col(lang_col) != keep_lang)
+                 .select(F.col(id_col),
+                         F.lit(-1).cast("long").alias("n_words"),
+                         F.lit(-1).cast("long").alias("score_e6"),
+                         F.lit("dropped_lang").alias("tier")))
+    return kept_rows.unionByName(lang_rows)

@@ -2201,18 +2201,19 @@ jt AS (
                              ORDER BY block_idx), '') AS main_text
   FROM flagged GROUP BY doc_id),
 base AS (
-  SELECT d.doc_id, d.lang, jt.main_text,
+  SELECT d.doc_id, jt.main_text,
          len(list_filter(string_split(jt.main_text, ' '),
                          x -> x <> '')) AS n_words
-  FROM documents d JOIN jt USING (doc_id)),
+  FROM documents d JOIN jt USING (doc_id)
+  WHERE d.lang = 'en'),
 gated AS (
-  SELECT *, (lang = 'en') AS lang_ok, (n_words >= 2) AS quality_ok
+  SELECT *, (n_words >= 2) AS quality_ok
   FROM base),
 keep AS (
   SELECT doc_id,
          doc_id <> min(doc_id) OVER (PARTITION BY md5(main_text))
            AS is_dup
-  FROM gated WHERE lang_ok AND quality_ok),
+  FROM gated WHERE quality_ok),
 surv AS (
   SELECT g.doc_id, g.main_text
   FROM gated g JOIN keep k USING (doc_id) WHERE NOT k.is_dup),
@@ -2243,15 +2244,18 @@ tiers AS (
          CASE (rk * 3) // n + 1 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
               ELSE 'tail' END AS tlabel
   FROM r)
-SELECT g.doc_id, CAST(g.n_words AS BIGINT) AS n_words,
-       CAST(coalesce(t.score_e6, -1) AS BIGINT) AS score_e6,
-       CASE WHEN NOT g.lang_ok THEN 'dropped_lang'
-            WHEN NOT g.quality_ok THEN 'dropped_quality'
-            WHEN k.is_dup THEN 'dropped_dup'
-            ELSE t.tlabel END AS tier
-FROM gated g LEFT JOIN keep k USING (doc_id)
-LEFT JOIN tiers t USING (doc_id)
-ORDER BY g.doc_id
+SELECT doc_id, n_words, score_e6, tier FROM (
+  SELECT g.doc_id, CAST(g.n_words AS BIGINT) AS n_words,
+         CAST(coalesce(t.score_e6, -1) AS BIGINT) AS score_e6,
+         CASE WHEN NOT g.quality_ok THEN 'dropped_quality'
+              WHEN k.is_dup THEN 'dropped_dup'
+              ELSE t.tlabel END AS tier
+  FROM gated g LEFT JOIN keep k USING (doc_id)
+  LEFT JOIN tiers t USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 'dropped_lang'
+  FROM documents WHERE lang != 'en')
+ORDER BY doc_id
 """
 
 
