@@ -91,6 +91,33 @@ AUDIT = [
     ("chunk_text_docs",
      "shuffle-free Generate (posexplode over in-row start sequence); "
      "the only Sort is the oracle-determinism ORDER BY"),
+    # -- late round 5 --
+    ("trustrank_hosts",
+     "seed indicator enters as a BroadcastHashJoin; per-iteration "
+     "src-keyed edge join + partial-aggregated groupBy(dst); no "
+     "CartesianProduct, no Python nodes"),
+    ("crawl_diff_docs",
+     "ONE full-outer SortMergeJoin on the key; classification is a "
+     "codegen projection; no window"),
+    ("c4_filter_docs",
+     "higher-order array filter + page verdicts entirely inside "
+     "WholeStageCodegen; zero Exchange before the oracle ORDER BY"),
+    ("host_components_docs",
+     "per-round narrow (node, label) join + partial-aggregated "
+     "groupBy; InMemoryTableScan on the persisted label table"),
+    ("lm_kn_score_docs",
+     "three broadcast model joins + 1-row T broadcast; the only data "
+     "shuffle is the per-document groupBy; no SortMergeJoin"),
+    ("frontier_pipeline_docs",
+     "candidate stream reaches the per-host politeness window through "
+     "broadcast joins only (blocklist, bloom bitmap, probe result)"),
+    ("token_quantiles_docs",
+     "range-partitioned two-level rank; n and target ranks are "
+     "broadcasts; no single-partition window over the data"),
+    ("fold_accents_docs",
+     "literal-replace chain + one translate, shuffle-free projection"),
+    ("mojibake_fix_docs",
+     "generated literal-replace chain, shuffle-free projection"),
 ]
 
 
