@@ -2419,3 +2419,48 @@ def test_c4_filter_randomized_vs_python(spark):
            for r in textstats.c4_filter(df).collect()}
     want = {i: ref(t) for i, t in rows}
     assert got == want
+
+
+def test_cross_corpus_prefix_filter_lossless(spark):
+    """The asymmetric (new-side-only) prefix filter must be byte-equal
+    to the brute-force new×old quadratic join at every threshold —
+    seeded random word-soup corpora with planted cross-corpus
+    near-dups."""
+    import random
+    from pyspark.sql import functions as F
+    from tuatara_spark.ops import dedup
+    rng = random.Random(42)
+    words = ["spark", "scan", "merge", "sort", "join", "row", "data"]
+
+    def txt():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(3, 12)))
+
+    old_rows = [(i, txt()) for i in range(40)]
+    # plant: half the new docs are light edits of old docs
+    new_rows = []
+    for i in range(100, 120):
+        if i % 2 == 0:
+            base_txt = old_rows[(i * 7) % 40][1]
+            new_rows.append((i, base_txt + " tail"))
+        else:
+            new_rows.append((i, txt()))
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    for t in (0.4, 0.6, 0.8):
+        got = {(r.id_new, r.id_old, round(r.jaccard, 9)) for r in
+               dedup.cross_corpus_jaccard_pairs(old, new, k=3,
+                                                threshold=t).collect()}
+        dedup.release_caches()
+
+        def grams(s):
+            s = s.lower()
+            return ({s} if len(s) < 3
+                    else {s[i:i + 3] for i in range(len(s) - 2)})
+        want = set()
+        for ni, nt in new_rows:
+            for oi, ot in old_rows:
+                a, b = grams(nt), grams(ot)
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    want.add((ni, oi, round(j, 9)))
+        assert got == want, f"threshold {t}"

@@ -697,3 +697,68 @@ def host_line_dedup(df: DataFrame, text_col: str = "text",
         (F.expr(f"cast(size({nl_lines}) as bigint)")
          - F.size(kept).cast("long")).alias("n_removed"),
         F.array_join(kept, "\n").alias("text_clean"))
+
+
+def cross_corpus_jaccard_pairs(old: DataFrame, new: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 3,
+                               threshold: float = 0.5,
+                               verify_partitions: int | None = None
+                               ) -> DataFrame:
+    """INCREMENTAL near-dup join: exact k-gram Jaccard pairs between a
+    NEW document batch and an EXISTING corpus → (id_new, id_old,
+    jaccard) — no self-join on either side. This is the nightly 100 TB
+    workflow: the crawl delta dedups against the standing corpus
+    without re-pairing the corpus against itself.
+
+    Lossless by the single-sided prefix argument (AllPairs family,
+    Bayardo et al. WWW'07): only the NEW side is prefix-filtered — a
+    new doc with n distinct grams probes the old gram index with its
+    first ``n − ceil(t·n) + 1`` grams under a fixed total order. If a
+    pair with J ≥ t shared none of them, the intersection would fit in
+    the remaining ``ceil(t·n) − 1`` grams, i.e. |A∩B| < t·n ≤ t·|A∪B|
+    — contradiction. Any prefix of that size works, so the order is a
+    pure performance choice: OLD-corpus document frequency ascending
+    (rarest first), with grams UNSEEN in the old corpus sorting first —
+    they generate zero candidates, so novel content eliminates itself
+    from the probe immediately.
+
+    Scale shape: the old corpus compiles ONCE into a gram-keyed index
+    (tok_old — persisted across nightly batches in production); each
+    batch shuffles only its prefix rows against it. Verification joins
+    gram sets per candidate on the id keys; no cartesian anywhere.
+    """
+    vp = _wide(new, verify_partitions)
+    tok_old = _persist(shingle_tokens(old, text_col, id_col, k, vp)
+                       .select("_id", F.col("_s").alias("_g"))
+                       .dropDuplicates(["_id", "_g"]))
+    tok_new = _persist(shingle_tokens(new, text_col, id_col, k, vp)
+                       .select("_id", F.col("_s").alias("_g"))
+                       .dropDuplicates(["_id", "_g"]))
+    freq_old = tok_old.groupBy("_g").agg(F.count("*").alias("_df"))
+    ranked = (tok_new.join(freq_old, "_g", "left")
+              .withColumn("_df", F.coalesce("_df", F.lit(0)))
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_id").orderBy("_df", "_g")))
+              .withColumn("_n",
+                          F.count("*").over(Window.partitionBy("_id"))))
+    pref = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1)
+    cand = (pref.select(F.col("_id").alias("id_new"), "_g")
+            .join(tok_old.select(F.col("_id").alias("id_old"), "_g"),
+                  "_g")
+            .select("id_new", "id_old").distinct()
+            .repartition(vp))
+    so = tok_old.groupBy("_id").agg(F.collect_set("_g").alias("sh_o"))
+    sn = tok_new.groupBy("_id").agg(F.collect_set("_g").alias("sh_n"))
+    cand = (cand.join(sn.select(F.col("_id").alias("id_new"), "sh_n"),
+                      "id_new")
+            .join(so.select(F.col("_id").alias("id_old"), "sh_o"),
+                  "id_old"))
+    i = F.size(F.array_intersect("sh_n", "sh_o"))
+    jac = (i.cast("double")
+           / (F.size("sh_n") + F.size("sh_o") - i))
+    return (cand.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_new", "id_old", "jaccard"))

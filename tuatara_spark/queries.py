@@ -682,6 +682,50 @@ FROM p WHERE j >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def q_cross_corpus_jaccard_pairs(spark, sf_dir):
+    """Incremental near-dup join (ops/dedup.py
+    cross_corpus_jaccard_pairs): the new-batch fifth of the corpus
+    (doc_id % 5 == 0) dedups against the standing four-fifths — exact
+    3-gram Jaccard at t ≥ 0.6, NEW-side prefix filter probing the old
+    gram index, no self-join on either side. Byte-equal to the
+    oracle's quadratic new×old join (the filter is lossless)."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return (dedup.cross_corpus_jaccard_pairs(old, new, k=3,
+                                             threshold=0.6)
+            .select("id_new", "id_old",
+                    F.floor(F.col("jaccard") * 1e4 + F.lit(0.5))
+                    .cast("long").alias("jaccard_e4"))
+            .orderBy("id_new", "id_old"))
+
+
+_CROSS_JACCARD_SQL = """
+WITH go AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) < 3 THEN [lower(text)]
+              ELSE list_distinct([substr(lower(text), i, 3)
+                                  for i in range(1, length(lower(text)) - 1)])
+         END AS grams
+  FROM documents WHERE doc_id % 5 != 0),
+gn AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) < 3 THEN [lower(text)]
+              ELSE list_distinct([substr(lower(text), i, 3)
+                                  for i in range(1, length(lower(text)) - 1)])
+         END AS grams
+  FROM documents WHERE doc_id % 5 = 0),
+p AS (
+  SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+         len(list_intersect(n.grams, o.grams)) * 1.0
+           / len(list_distinct(n.grams || o.grams)) AS j
+  FROM gn n, go o)
+SELECT id_new, id_old,
+       CAST(floor(j * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+FROM p WHERE j >= 0.6 ORDER BY id_new, id_old
+"""
+
+
 def q_corpus_clean_ids(spark, sf_dir):
     """Composed training-data pipeline (the dedup/quality ops chained the
     way a corpus build actually uses them): exact dedup keep-first →
@@ -5866,6 +5910,8 @@ REGISTRY: dict[str, tuple] = {
                                _FRONTIER_PIPELINE_SQL),
     "fold_accents_docs": (q_fold_accents_docs, _fold_accents_sql()),
     "token_quantiles_docs": (q_token_quantiles_docs, _TOKEN_QUANTILES_SQL),
+    "cross_corpus_jaccard_pairs": (q_cross_corpus_jaccard_pairs,
+                                   _CROSS_JACCARD_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
