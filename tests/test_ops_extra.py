@@ -2464,3 +2464,48 @@ def test_cross_corpus_prefix_filter_lossless(spark):
                 if j >= t:
                     want.add((ni, oi, round(j, 9)))
         assert got == want, f"threshold {t}"
+
+
+def test_opic_hand_computed(spark):
+    """Synchronous OPIC on a<->b, a->c (init 10^9//3 = 333333333):
+    r1: cash a=333333333 (from b), b=c=166666666; history all
+    333333333. r2: cash a,b,c = 166666666; history a=666666666,
+    b=c=499999999. r3: cash a=166666666, b=c=83333333; history
+    a=833333332, b=c=666666665. Dangling c banks but sends nothing."""
+    from tuatara_spark.ops import dedup, linkgraph
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string")
+    got = {r.node: (r.cash, r.history) for r in
+           linkgraph.opic(edges, iters=3).collect()}
+    dedup.release_caches()
+    assert got == {"a": (166666666, 833333332),
+                   "b": (83333333, 666666665),
+                   "c": (83333333, 666666665)}
+
+
+def test_spam_features_hand_computed(spark):
+    """Link-farm vs prose page: anchor fraction near 1000 for the
+    farm; title words counted; visible fraction = len(visible) over
+    raw length with floor division."""
+    from tuatara_spark.ops import htmlx
+    farm = ('<html><head><title>buy cheap stuff now</title></head><body>'
+            '<a href="/1">cheap pills</a> <a href="/2">fast money</a>'
+            '</body></html>')
+    prose = ('<html><head><title>essay</title></head><body><p>'
+             'a plain essay about nothing with words</p></body></html>')
+    df = spark.createDataFrame([(1, farm), (2, prose)],
+                               "doc_id long, html string")
+    got = {r.doc_id: r for r in
+           htmlx.spam_features(df, key_col="doc_id").collect()}
+    f = got[1]
+    # visible text includes the title (head/title are not boilerplate
+    # blocks): 4 title words + 4 anchor words
+    assert f.n_words == 8 and f.title_words == 4
+    assert f.anchor_word_fraction_milli == 1000 * 4 // 8
+    p = got[2]
+    assert p.n_words == 8 and p.title_words == 1
+    assert p.anchor_word_fraction_milli == 0
+    vis = "essay a plain essay about nothing with words"
+    assert p.visible_fraction_milli == 1000 * len(vis) // len(prose)
+    wc = len(vis.replace(" ", ""))
+    assert p.avg_word_len_milli == 1000 * wc // 8

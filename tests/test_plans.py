@@ -462,3 +462,23 @@ def test_frontier_pipeline_plan_shapes(spark):
     assert plan.count("Window") >= 1
     for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_opic_spam_plan_shapes(spark):
+    """OPIC mirrors PageRank's per-round join + partial-agg shape (the
+    only nested-loop is the 1-row n broadcast); spam_features is a
+    shuffle-free codegen projection."""
+    from tuatara_spark.ops import dedup as dd, htmlx, linkgraph
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    plan = _explain(linkgraph.opic(edges, iters=2), mode="simple")
+    dd.release_caches()
+    # every nested-loop join in the lineage is the 1-row n broadcast
+    # (it repeats per pre-materialization branch; after the first
+    # action the persisted state collapses them to InMemoryTableScans)
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    sp = _explain(htmlx.spam_features(df, key_col="doc_id"), mode="simple")
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in sp

@@ -533,3 +533,59 @@ def template_fingerprint(df: DataFrame, col: str = "html",
         F.col(key_col),
         F.size(tags).cast("long").alias("n_tags"),
         F.md5(F.array_join(tags, ",")).alias("template_md5"))
+
+
+def spam_features(df: DataFrame, col: str = "html",
+                  key_col: str = "url") -> DataFrame:
+    """Content-spam feature vector (Ntoulas, Najork, Manasse,
+    Fetterly, WWW 2006 — "Detecting Spam Web Pages through Content
+    Analysis", the public paper): the per-page signals their study
+    found most discriminative, minus the ones needing a compressor.
+    All integers (×1000 fixed-point fractions, floor division):
+
+    * ``n_words`` — visible-text word count (spam pages cluster at
+      extreme lengths);
+    * ``avg_word_len_milli`` — 1000·chars div words (keyword-stuffed
+      pages skew long);
+    * ``anchor_word_fraction_milli`` — words inside ``<a>`` elements
+      over all visible words (link farms approach 1000);
+    * ``visible_fraction_milli`` — visible-text chars over raw HTML
+      bytes (spam hides little markup: high fraction ≈ machine-
+      generated text walls);
+    * ``title_words`` — ``<title>`` word count (stuffed titles).
+
+    Scale shape: shuffle-free codegen projection over the scan —
+    regex strips + length/count arithmetic per row; no UDF, no
+    exchange. Classification thresholds belong downstream (the paper
+    trains a tree; the features are the operator)."""
+    stripped = strip_boilerplate(df.select(key_col, col), col=col,
+                                 out_col="_v")
+    vis = F.col("_v")
+    words = F.size(F.filter(F.split(F.trim(vis), " +"),
+                            lambda x: x != ""))
+    wchars = F.length(F.regexp_replace(vis, " ", ""))
+    anchors = F.array_join(
+        F.expr(f"regexp_extract_all({col}, '(?is)<a\\\\b[^>]*>(.*?)</a>',"
+               " 1)"), " ")
+    avis = F.trim(F.regexp_replace(
+        F.regexp_replace(anchors, "<[^>]*>", " "), r"\s+", " "))
+    awords = F.size(F.filter(F.split(avis, " +"), lambda x: x != ""))
+    title = F.regexp_extract(F.col(col), r"(?is)<title[^>]*>(.*?)</title>",
+                             1)
+    twords = F.size(F.filter(F.split(F.trim(title), r"\s+"),
+                             lambda x: x != ""))
+    raw_len = F.length(F.col(col))
+    base = stripped.select(
+        F.col(key_col), vis, words.alias("_w"),
+        wchars.alias("_wc"), awords.alias("_aw"),
+        twords.alias("_tw"), raw_len.alias("_raw"))
+    return base.select(
+        key_col,
+        F.col("_w").cast("long").alias("n_words"),
+        F.expr("(1000 * _wc) div greatest(_w, 1)").cast("long")
+        .alias("avg_word_len_milli"),
+        F.expr("(1000 * _aw) div greatest(_w, 1)").cast("long")
+        .alias("anchor_word_fraction_milli"),
+        F.expr("(1000 * length(_v)) div greatest(_raw, 1)").cast("long")
+        .alias("visible_fraction_milli"),
+        F.col("_tw").cast("long").alias("title_words"))

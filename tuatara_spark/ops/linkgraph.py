@@ -252,3 +252,59 @@ def host_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                          F.col("dst").alias("id_b"))
     out = cluster_ids(nodes, pairs, id_col="host", max_iters=max_iters)
     return out.withColumnRenamed("cluster_id", "component_id")
+
+
+def opic(edges: DataFrame, iters: int = 3,
+         scale: int = SCALE) -> DataFrame:
+    """Integer-exact OPIC — Adaptive On-line Page Importance
+    Computation (Abiteboul, Preda, Cobena, WWW 2003, the public
+    paper) → (node, cash, history). The crawl-ordering importance
+    estimate that needs NO convergence wait: each node starts with an
+    equal cash share; a "visit" banks the node's cash into its history
+    and distributes it equally to its successors. Importance ≈
+    history; pages can be prioritized after any number of rounds (the
+    on-line property PageRank lacks).
+
+    Exact recurrence (synchronous variant — every node visited each
+    round, stated because visit policies vary): with outdeg(u) > 0,
+    ``cash_{t+1}(v) = Σ_{u→v} (cash_t(u) div outdeg(u))``;
+    ``history_{t+1}(v) = history_t(v) + cash_t(v)``. Dangling nodes
+    bank their cash but distribute to no one (mass decays, as in
+    :func:`pagerank`; documented, mirrored in the oracle). Initial
+    cash = ``scale div n_nodes``; all arithmetic BIGINT floor division
+    — bit-identical across engines.
+
+    Scale shape: identical per-round plan to :func:`pagerank` — one
+    src-keyed edge join (partitioning reusable every round) + a
+    map-side-combinable groupBy(dst); history rides the narrow
+    (node, cash, history) table. The on-line property matters at
+    10^12 URLs: the frontier can consume importance estimates after
+    round 1 while later rounds refine them.
+    """
+    from tuatara_spark.ops.dedup import _persist
+    edges = _persist(edges.select("src", "dst").distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    nodes = _persist(edges.select(F.col("src").alias("node"))
+                     .union(edges.select(F.col("dst").alias("node")))
+                     .distinct())
+    n_df = nodes.agg(F.count("*").alias("_n"))
+    state = (nodes.crossJoin(F.broadcast(n_df))
+             .select("node",
+                     F.expr(f"{scale}L div _n").cast("long").alias("cash"),
+                     F.lit(0).cast("long").alias("history")))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(state.withColumnRenamed("node", "src")
+                         .select("src", "cash"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("cash div _deg").alias("_c")))
+        inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
+        state = _persist(
+            state.join(inflow, "node", "left")
+            .select("node",
+                    F.coalesce("_in", F.lit(0).cast("long"))
+                    .cast("long").alias("cash"),
+                    (F.col("history") + F.col("cash")).cast("long")
+                    .alias("history")))
+    return state

@@ -1966,6 +1966,62 @@ def _html_strip_sql():
             "ORDER BY doc_id")
 
 
+def q_spam_features_docs(spark, sf_dir):
+    """Content-spam feature vector (ops/htmlx.py spam_features —
+    Ntoulas et al. WWW'06) over the synthesized pages: visible word
+    count, ×1000 average word length, anchor-word fraction (the nav +
+    footer links), visible-to-raw fraction, and title word count — all
+    integer floor-division arithmetic, replayed verbatim by the
+    oracle."""
+    from tuatara_spark.ops import htmlx
+    return (htmlx.spam_features(_docs_html(spark, sf_dir),
+                                key_col="doc_id")
+            .orderBy("doc_id"))
+
+
+def _spam_features_sql():
+    from tuatara_spark.ops import htmlx
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    v = "html"
+    for tag in htmlx.BOILER_BLOCKS:
+        v = f"regexp_replace({v}, '(?is)<{tag}\\b.*?</{tag}>', ' ', 'g')"
+    v = f"regexp_replace({v}, '<!--.*?-->', ' ', 'g')"
+    v = f"regexp_replace({v}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in htmlx.ENTITIES:
+        v = (f"replace({v}, '{ent.replace(chr(39), chr(39) * 2)}', "
+             f"'{rep.replace(chr(39), chr(39) * 2)}')")
+    v = rf"trim(regexp_replace({v}, '\s+', ' ', 'g'))"
+    return f"""
+WITH pages AS (
+  SELECT doc_id, '{pre}' || text || '{post}' AS html FROM documents),
+s AS (
+  SELECT doc_id, html, {v} AS v,
+         trim(regexp_replace(regexp_replace(array_to_string(
+             regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+             ' '), '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS av,
+         regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS ti
+  FROM pages),
+c AS (
+  SELECT doc_id, v, length(html) AS raw_len,
+         len(list_filter(string_split_regex(trim(v), ' +'),
+                         x -> x != '')) AS w,
+         length(replace(v, ' ', '')) AS wc,
+         len(list_filter(string_split_regex(av, ' +'),
+                         x -> x != '')) AS aw,
+         len(list_filter(string_split_regex(trim(ti), '\\s+'),
+                         x -> x != '')) AS tw
+  FROM s)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       (1000 * wc) // greatest(w, 1) AS avg_word_len_milli,
+       (1000 * aw) // greatest(w, 1) AS anchor_word_fraction_milli,
+       (1000 * length(v)) // greatest(raw_len, 1)
+         AS visible_fraction_milli,
+       CAST(tw AS BIGINT) AS title_words
+FROM c ORDER BY doc_id
+"""
+
+
 def q_html_main_block_docs(spark, sf_dir):
     """DOM-heuristic main-content pick over synthesized pages: split into
     block-level chunks, score = text length − 10·links (the text/link
@@ -4801,6 +4857,55 @@ SELECT node, r AS trust FROM i3 ORDER BY node
 """
 
 
+def q_opic_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact OPIC (ops/linkgraph.py opic — Abiteboul et al.
+    WWW'03) over the 50-host graph: three synchronous cash-diffusion
+    rounds; importance = banked history, usable by the frontier after
+    ANY round (the on-line property PageRank lacks). The oracle unrolls
+    the cash/history recurrence as chained CTEs, pinning the equal-
+    split floor division, initial cash = scale div n, and
+    dangling-decay semantics value-for-value."""
+    from tuatara_spark.ops import linkgraph
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50)
+                 .cast("string")).alias("dst"))
+        .where(F.col("src") != F.col("dst")))
+    return linkgraph.opic(edges, iters=3).orderBy("node")
+
+
+def _opic_iter_sql(prev: str, name: str) -> str:
+    return f"""
+{name} AS (SELECT p.node,
+              CAST(coalesce(t.m, 0) AS BIGINT) AS cash,
+              CAST(p.history + p.cash AS BIGINT) AS history
+           FROM {prev} p LEFT JOIN (
+             SELECT e.dst AS node, sum(q.cash // o.deg) AS m
+             FROM edges e JOIN {prev} q ON e.src = q.node
+             JOIN outdeg o ON e.src = o.node GROUP BY 1) t USING (node))"""
+
+
+_OPIC_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+                  'h' || CAST((doc_id * 7 + 3) % 50 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 50 != (doc_id * 7 + 3) % 50),
+outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+s0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS history
+       FROM nodes, nn),
+{_opic_iter_sql('s0', 's1')},
+{_opic_iter_sql('s1', 's2')},
+{_opic_iter_sql('s2', 's3')}
+SELECT node, cash, history FROM s3 ORDER BY node
+"""
+
+
 def q_crawl_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl generation diff (sources/cdx.py
     generation_diff): two synthesized capture generations of the same
@@ -5912,6 +6017,8 @@ REGISTRY: dict[str, tuple] = {
     "token_quantiles_docs": (q_token_quantiles_docs, _TOKEN_QUANTILES_SQL),
     "cross_corpus_jaccard_pairs": (q_cross_corpus_jaccard_pairs,
                                    _CROSS_JACCARD_SQL),
+    "opic_hosts": (q_opic_hosts, _OPIC_SQL),
+    "spam_features_docs": (q_spam_features_docs, _spam_features_sql()),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
