@@ -2509,3 +2509,44 @@ def test_spam_features_hand_computed(spark):
     assert p.visible_fraction_milli == 1000 * len(vis) // len(prose)
     wc = len(vis.replace(" ", ""))
     assert p.avg_word_len_milli == 1000 * wc // 8
+
+
+def test_winnow_matches_reference_and_guarantee(spark):
+    """Exact (pos, fp) set equality against a from-scratch Python
+    winnowing (same md5-prefix hash, rightmost-min tie rule), plus the
+    paper's guarantee: two documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint."""
+    import hashlib
+    import random
+    from tuatara_spark.ops import textstats
+
+    def ref(s, k=8, w=8):
+        lc = s.lower()
+        n = max(len(lc) - k + 1, 1)
+        hs = [int(hashlib.md5(lc[p:p + k].encode()).hexdigest()[:8], 16)
+              for p in range(n)]
+        sel = set()
+        for t in range(max(len(hs) - w + 1, 1)):
+            sl = hs[t:t + w]
+            m = min(sl)
+            j = len(sl) - 1 - sl[::-1].index(m)   # rightmost min
+            sel.add((t + j + 1, m))
+        return sel
+
+    rng = random.Random(5)
+    shared = "the quick brown fox jumps over"     # 30 >= w + k - 1 = 15
+
+    def noise(n):
+        return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+    rows = [(1, noise(40) + shared + noise(30)),
+            (2, noise(25) + shared + noise(45)),
+            (3, "tiny"),                           # shorter than k
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in textstats.winnow_fingerprints(df, k=8, w=8).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in rows:
+        assert got[i] == ref(t), f"doc {i}"
+    assert {fp for _, fp in got[1]} & {fp for _, fp in got[2]}

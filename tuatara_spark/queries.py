@@ -539,6 +539,38 @@ ORDER BY p.pctl
 """
 
 
+def q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (ops/textstats.py winnow_fingerprints —
+    the MOSS algorithm): 8-gram md5-prefix hashes, window-8 minima with
+    the rightmost tie rule, one (pos, fp) row per selected fingerprint.
+    The oracle recomputes the identical hashes, window slices, minima
+    and tie-breaks with DuckDB list functions — bit-equal selection."""
+    from tuatara_spark.ops import textstats as ts
+    return (ts.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=8)
+            .orderBy("doc_id", "pos", "fp"))
+
+
+_WINNOW_SQL = """
+WITH lt AS (SELECT doc_id, lower(text) AS lc FROM documents),
+hs AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(substr(lc, p, 8)), 1, 8)) AS BIGINT)
+          for p in range(1, greatest(length(lc) - 8 + 1, 1) + 1)] AS h
+  FROM lt),
+w AS (
+  SELECT doc_id, t, h[t:t + 7] AS sl
+  FROM hs, unnest(range(1, greatest(len(h) - 8 + 1, 1) + 1)) AS u(t)),
+sel AS (
+  SELECT DISTINCT doc_id,
+         t + len(sl) - list_position(list_reverse(sl),
+                                     list_aggregate(sl, 'min')) AS pos,
+         list_aggregate(sl, 'min') AS fp
+  FROM w)
+SELECT doc_id, CAST(pos AS INT) AS pos, fp
+FROM sel ORDER BY doc_id, pos, fp
+"""
+
+
 def q_token_count_regex(spark, sf_dir):
     """BPE-ish pre-tokenization count: alnum runs + single punctuation."""
     return (textstats.token_count(_docs(spark, sf_dir))
@@ -6019,6 +6051,7 @@ REGISTRY: dict[str, tuple] = {
                                    _CROSS_JACCARD_SQL),
     "opic_hosts": (q_opic_hosts, _OPIC_SQL),
     "spam_features_docs": (q_spam_features_docs, _spam_features_sql()),
+    "winnow_docs": (q_winnow_docs, _WINNOW_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
