@@ -228,6 +228,13 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
         # the higher-order array-filter plan shape (C4 line rules):
         # scan-wide lambda filter + page verdicts, zero shuffle
         ("c4_filter_docs", Q.q_c4_filter_docs),
+        # scan-wide in-row hashing + window minima, one distinct shuffle
+        ("winnow_docs", Q.q_winnow_docs),
+        # NOT benched: cross_corpus_jaccard_pairs — like its symmetric
+        # sibling ngram_jaccard_pairs it is the EXACT near-dup path
+        # (~34 s at sf0.1: the fixture's word-soup docs really are
+        # near-dups of each other, the prefix filter's worst case);
+        # the bench-scale near-dup path is minhash/simhash above.
     ]
     from tuatara_spark.ops import dedup as _dd
 
