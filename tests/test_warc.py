@@ -225,3 +225,27 @@ def test_cdx_index_sorted_and_line_format(spark):
         f'{r0.surt} {r0.ts14} {{"url": "{r0.url}", "mime": "text/html", '
         f'"digest": "{r0.digest}", "length": "2"}}')
     assert len(r0.digest) == 64          # sha256 hex
+
+
+def test_jsonl_shards_roundtrip_determinism_unicode(spark, tmp_path):
+    """JSONL sink: byte-identical re-runs (sorted keys, compact
+    separators, mtime=0 gzip), unicode and JSON-escaping round trip,
+    manifest row counts."""
+    import glob
+
+    from tuatara_spark.sources import jsonl as J
+    df = spark.createDataFrame(
+        [("u1", "héllo — wörld", 3), ("u2", 'quote " and \\ back', -1)],
+        "url string, text string, n int").repartition(2, "url")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m = J.write_jsonl_shards(df, d1).collect()
+    J.write_jsonl_shards(df, d2).collect()
+    blobs = lambda d: [open(f, "rb").read() for f in
+                       sorted(glob.glob(d + "/part-*.jsonl.gz"))]
+    assert blobs(d1) == blobs(d2)       # deterministic bytes
+    back = {r.url: (r.text, r.n) for r in J.read_jsonl_shards(
+        spark, d1, schema="n long, text string, url string").collect()}
+    assert back == {"u1": ("héllo — wörld", 3),
+                    "u2": ('quote " and \\ back', -1)}
+    assert sum(r.n_records for r in m) == 2
+    assert all(r.n_bytes > 0 and r.file.endswith(".jsonl.gz") for r in m)

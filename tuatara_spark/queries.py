@@ -4147,6 +4147,36 @@ ORDER BY url
 """
 
 
+def q_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL training-shard egress round trip (sources/jsonl.py): write
+    48 curated documents as deterministic url-hash-sharded
+    .jsonl.gz files (sorted-key compact JSON, mtime=0 gzip, tmp+rename
+    commit + manifest) and read them back through Spark's json source
+    with an explicit schema. The oracle is the input itself — any
+    loss, reorder, type drift or encoding corruption in the sink/reader
+    hash-mismatches."""
+    import tempfile
+
+    from tuatara_spark.sources import jsonl as J
+    docs = (_docs(spark, sf_dir).orderBy("doc_id").limit(48)
+            .selectExpr("cast(doc_id as string) AS url",
+                        f"{CLEAN_SPARK} AS text", "lang")
+            .repartition(4, "url"))
+    out_dir = tempfile.mkdtemp(prefix="jsonl_q_")
+    J.write_jsonl_shards(docs, out_dir).collect()  # materialize the sink
+    back = J.read_jsonl_shards(
+        spark, out_dir, schema="lang string, text string, url string")
+    return back.select("url", "text", "lang").orderBy("url")
+
+
+_JSONL_SQL = f"""
+SELECT url, text, lang FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS url, {CLEAN_DUCK} AS text, lang
+  FROM documents ORDER BY doc_id LIMIT 48)
+ORDER BY url
+"""
+
+
 def q_robots_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse + URL evaluation (ops/robots.py): 8 synthesized
     per-host robots files (a ``*`` group with a Disallow and a longer
@@ -6052,6 +6082,7 @@ REGISTRY: dict[str, tuple] = {
     "opic_hosts": (q_opic_hosts, _OPIC_SQL),
     "spam_features_docs": (q_spam_features_docs, _spam_features_sql()),
     "winnow_docs": (q_winnow_docs, _WINNOW_SQL),
+    "jsonl_roundtrip_docs": (q_jsonl_roundtrip_docs, _JSONL_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
