@@ -205,3 +205,27 @@ def test_url_blocklist_suffix_semantics(spark):
     # longest (most specific) rule wins; port stripped before matching
     assert got["https://ads.bad.com:8080/d"] == (True, "ads.bad.com")
     assert got["https://good.org/e"] == (False, "")
+
+
+def test_assign_splits_partition_and_stability(spark):
+    """Splits partition the corpus (every row exactly one label), are
+    stable under corpus growth (a key's split never changes when other
+    rows arrive), and reject fractions that don't sum to 1."""
+    import pytest as _pt
+    from tuatara_spark.ops import training
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split
+          for r in training.assign_splits(small).collect()}
+    s2 = {r.doc_id: r.split
+          for r in training.assign_splits(big).collect()}
+    assert len(s1) == 100 and set(s1.values()) <= {"train", "valid",
+                                                   "test"}
+    assert all(s2[k] == v for k, v in s1.items())   # growth-stable
+    counts = {}
+    for v in s2.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts["valid"] and \
+        counts["train"] > counts["test"]
+    with _pt.raises(ValueError):
+        training.assign_splits(small, fractions={"a": 0.5, "b": 0.2})

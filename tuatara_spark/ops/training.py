@@ -367,3 +367,38 @@ def domain_mix(df: DataFrame, host_col: str = "host",
                         < F.col("keep_rate_e6")).cast("long"))
                  .alias("n_kept")))
     return rates.join(kept, "host")
+
+
+def assign_splits(df: DataFrame,
+                  fractions: dict[str, float] | None = None,
+                  key_col: str = "doc_id", salt: str = "s1") -> DataFrame:
+    """Deterministic train/valid/test assignment: every row gets a
+    ``split`` label by where md5(key||salt) lands among cumulative
+    fraction thresholds (insertion order of ``fractions``; fractions
+    must sum to 1). The corpus-release primitive sampling can't give —
+    a PARTITION of the corpus, reproducible across runs, engines,
+    retries and cluster sizes, stable under corpus growth (a document's
+    split never changes when other documents arrive), and safe against
+    leakage (the same key always lands in the same split, so a
+    re-crawled duplicate cannot drift from train into test).
+
+    Scale shape: one shuffle-free codegen projection (an md5 + a CASE
+    chain); composes with the decontamination and dedup ops upstream.
+    """
+    fractions = fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    unit = _md5_unit(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = int(cum * 16 ** 8)
+        branch = F.when(unit < F.lit(thr), F.lit(name))
+        expr = branch if expr is None else expr.when(unit < F.lit(thr),
+                                                     F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -5729,6 +5729,30 @@ FROM r ORDER BY host, fetch_rank
 """
 
 
+def q_split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test partition (ops/training.py
+    assign_splits): every document labeled by where md5(doc_id||salt)
+    lands among cumulative 90/5/5 thresholds — stable under corpus
+    growth and leak-proof (a key's split never changes). The oracle
+    recomputes the md5-prefix integer and the CASE chain verbatim."""
+    from tuatara_spark.ops import training
+    return (training.assign_splits(_docs(spark, sf_dir).select("doc_id"))
+            .orderBy("doc_id"))
+
+
+_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN u < {int(0.9 * 16 ** 8)} THEN 'train'
+            WHEN u < {int(0.95 * 16 ** 8)} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'),
+                   1, 8)) AS BIGINT) AS u
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (ops/training.py): language
     rebalancing at fixed per-stratum rates, keyed on md5(doc_id||salt) so
@@ -6083,6 +6107,7 @@ REGISTRY: dict[str, tuple] = {
     "spam_features_docs": (q_spam_features_docs, _spam_features_sql()),
     "winnow_docs": (q_winnow_docs, _WINNOW_SQL),
     "jsonl_roundtrip_docs": (q_jsonl_roundtrip_docs, _JSONL_SQL),
+    "split_assign_docs": (q_split_assign_docs, _SPLIT_ASSIGN_SQL),
     "dup_ngram_docs": (q_dup_ngram_docs, _DUP_NGRAM_SQL),
     "ocr_extract_jpeg_docs": (q_ocr_extract_jpeg_docs, _OCR_ORACLE),
     "pdf_extract_docs": (q_pdf_extract_docs, _OCR_ORACLE),
