@@ -2550,3 +2550,63 @@ def test_winnow_matches_reference_and_guarantee(spark):
     for i, t in rows:
         assert got[i] == ref(t), f"doc {i}"
     assert {fp for _, fp in got[1]} & {fp for _, fp in got[2]}
+
+
+def test_winnow_long_document_bounded(spark):
+    """Long-document stress (round-6): a ~50k-position document runs
+    through winnowing with narrow rows (no O(n·w) array plan) and
+    matches the from-scratch reference exactly."""
+    import hashlib
+    import random
+    from tuatara_spark.ops import textstats
+
+    rng = random.Random(11)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(50_000))
+
+    def ref(s, k=8, w=8):
+        lc = s.lower()
+        n = max(len(lc) - k + 1, 1)
+        hs = [int(hashlib.md5(lc[p:p + k].encode()).hexdigest()[:8], 16)
+              for p in range(n)]
+        sel = set()
+        for t in range(max(len(hs) - w + 1, 1)):
+            sl = hs[t:t + w]
+            m = min(sl)
+            j = len(sl) - 1 - sl[::-1].index(m)
+            sel.add((t + j + 1, m))
+        return sel
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r.pos, r.fp)
+           for r in textstats.winnow_fingerprints(df, k=8, w=8).collect()}
+    assert got == ref(text)
+
+
+def test_bpe_encode_replace_equivalence(spark):
+    """bpe_encode_replace (the codegen'd double-delimiter replace
+    chain) is bit-equivalent to the Catalyst fold bpe_encode over
+    random corpora — same rank order, same leftmost-first
+    non-overlapping pass — including empty docs, and rejects rules
+    containing the delimiter."""
+    import random
+
+    import pytest as _pytest
+
+    from tuatara_spark.ops import search
+
+    rng = random.Random(7)
+    alpha = "abcd "
+    rows = [(i, [rng.choice(alpha) for _ in range(rng.randint(0, 30))])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, syms array<string>")
+    merges = [(1, "a", "a", "aa"), (2, "aa", "a", "aaa"),
+              (3, "b", "c", "bc"), (4, "aa", "aa", "aaaa"),
+              (5, "bc", "d", "bcd"), (6, " ", "a", " a"),
+              (7, "d", "d", "dd"), (8, "aaa", "b", "aaab")]
+    a = sorted((r.doc_id, tuple(r.tokens))
+               for r in search.bpe_encode(df, merges).collect())
+    b = sorted((r.doc_id, tuple(r.tokens))
+               for r in search.bpe_encode_replace(df, merges).collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        search.bpe_encode_replace(df, [(1, "a|", "b", "a|b")])

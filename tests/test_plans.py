@@ -482,3 +482,22 @@ def test_opic_spam_plan_shapes(spark):
     sp = _explain(htmlx.spam_features(df, key_col="doc_id"), mode="simple")
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in sp
+
+
+def test_winnow_plan_no_hash_array_no_hof(spark):
+    """Round-6 winnowing shape: gram hashes come from a COMPILED
+    explode (no interpreted transform lambda anywhere in the plan) and
+    no per-document hash ARRAY rides the Generate — sliding minima are
+    a rows-between window over narrow (id, pos, hash) rows, and the
+    only exchanges are the id repartition (reused by the window) and
+    the DISTINCT."""
+    from tuatara_spark.ops import textstats
+    df = spark.createDataFrame([(1, "some text for winnowing here")],
+                               "doc_id long, text string")
+    out = textstats.winnow_fingerprints(df, k=8, w=8)
+    plan = _explain(out)
+    assert "lambdafunction" not in plan, plan     # no interpreted HOF
+    assert "_hs" not in plan, plan                # no per-row hash array
+    assert "Window" in plan, plan
+    gen = [ln for ln in plan.splitlines() if "explode" in ln]
+    assert gen and all("array<" not in ln for ln in gen), plan

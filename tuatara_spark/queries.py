@@ -5618,7 +5618,9 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.expr("filter(split(_clean, ''), x -> x != '')")
                     .alias("syms")))
-    enc = search.bpe_encode(docs, _BPE_ENCODE_MERGES)
+    # the replace-chain path: same semantics (equivalence pytest), all
+    # codegen'd — the alphabet here is [a-z ], provably '|'-free
+    enc = search.bpe_encode_replace(docs, _BPE_ENCODE_MERGES)
     return (enc.select("doc_id",
                        F.size("tokens").cast("long").alias("n_tokens"),
                        F.array_join("tokens", "|").alias("encoded"))

@@ -56,6 +56,17 @@ def get_spark(app: str = "tuatara-spark", cores: int | str | None = None,
         .config("spark.sql.files.minPartitionNum", str(2 * n_for_shuffle))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # generated-class cache (static conf, default 100 entries): a
+        # session that runs many distinct queries cycles far more than
+        # 100 codegen units, so every re-invocation re-Janino-compiles
+        # its whole-stage code — the per-invocation JIT floor pinned in
+        # BENCH/minhash_residual.md. 8192 entries lets repeated plans
+        # hit the cache (A/B at sf0.1: minhash 5.18→4.16 s, langid
+        # 4.29→3.74 s, hits 3.51→3.29 s, tier 6.83→6.32 s at matched
+        # regimes; HOF-interpreted queries unchanged). Scale-neutral:
+        # compiled-class cache sizing, not a local[32] tune.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )
