@@ -342,10 +342,12 @@ def test_langid_plan_shapes(spark):
     # exactly one nested-loop join: the 1-row default-language scalar
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "partial_sum" in plan
-    # the doc-profile count window reuses the rank window's per-doc
-    # partitioning: only one exchange hashes on _id alone
-    assert len(re.findall(r"hashpartitioning\(_id#\d+L, \d+\)",
+    # round-6 shape: ONE id-keyed exchange total — the up-front
+    # widening repartition on the raw doc rows; every downstream
+    # grouping/window keys on the id, so no _id exchange ever appears
+    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L, \d+\)",
                           plan)) == 1
+    assert not re.search(r"hashpartitioning\(_id#\d+L, \d+\)", plan)
 
 
 def test_to_markdown_plan_is_shuffle_free_projection(spark):

@@ -451,13 +451,23 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
     k = int(seg_tokens)
     toks = F.split(F.col(text_col), " ")
     nseg = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    # guard: sequence(0, -1) would generate a DESCENDING range
-    segs = F.when(F.size(toks) > 0, F.transform(
-        F.sequence(F.lit(0), nseg - F.lit(1)),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.posexplode(segs)
-                         .alias("seg_idx", "seg"))
+    # id-keyed widening repartition (shingle_tokens pattern) + COMPILED
+    # segment explode: one row per segment index, array_join(slice(..))
+    # per row in codegen — not an interpreted transform lambda building
+    # a per-row segment array; the rebuild groupBy(id) reuses the id
+    # partitioning. Guard: sequence(0, -1) would step DOWN, hence the
+    # size > 0 filter before the explode (empty docs emit no segment
+    # row, exactly as the old empty-array branch).
+    pre = (df.repartition(_wide(df, None), F.col(id_col))
+           .select(F.col(id_col), toks.alias("_tk"), nseg.alias("_ns"))
+           .where(F.size("_tk") > 0))
+    exploded = (pre.select(
+        id_col, "_tk",
+        F.posexplode(F.expr("sequence(0, _ns - 1)"))
+        .alias("seg_idx", "_i"))
+        .select(id_col, "seg_idx",
+                F.expr(f"array_join(slice(_tk, _i * {k} + 1, {k}), ' ')")
+                .alias("seg")))
     drop = (exploded.groupBy("seg").agg(F.count("*").alias("cnt"))
             .where(F.col("cnt") >= min_count).select("seg"))
     if broadcast_drop:
@@ -577,7 +587,10 @@ def exact_substr_spans(df: DataFrame, min_tokens: int = 50,
     L = int(min_tokens)
     if key_of is None:
         key_of = F.xxhash64
-    toks = df.select(
+    # id-keyed widening repartition (shingle_tokens pattern): narrow
+    # doc rows move once, the tokenize + shingle explode + hash run at
+    # full width even off a one-row-group scan
+    toks = df.repartition(_wide(df, None), F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
                "x -> x != '')").alias("_toks"))
@@ -624,7 +637,7 @@ def exact_substr_dedup(df: DataFrame, min_tokens: int = 50,
     spans = exact_substr_spans(df, min_tokens=min_tokens,
                                text_col=text_col, id_col=id_col,
                                key_of=key_of)
-    toks = df.select(
+    toks = df.repartition(_wide(df, None), F.col(id_col)).select(
         F.col(id_col),
         F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
                "x -> x != '')").alias("_toks"))

@@ -189,10 +189,21 @@ def main_block(df: DataFrame, col: str = "html", key_col: str = "url",
 def _scored_blocks(df: DataFrame, col: str, key_col: str,
                    link_penalty: int) -> DataFrame:
     """Shared block splitter + integer text/link-density scorer (the
-    exploded first half of main_block)."""
+    exploded first half of main_block).
+
+    The input repartitions BY THE KEY before the explode (the
+    shingle_tokens pattern): the narrow page rows move once, the
+    regex-heavy block scoring runs at full width even when the scan is
+    one unsplittable file/row-group, and every downstream keyed
+    window/groupBy (main_chain, justext) is already clustered by the
+    key — hashpartitioning(key) satisfies their distribution — so NO
+    additional exchange appears: same single keyed shuffle as before,
+    moved ahead of the heavy work instead of after it."""
+    from tuatara_spark.ops.dedup import _wide
     blocks = F.split(F.col(col), r"(?i)</(?:p|div|td|li|article|section)>")
-    exploded = (df.select(F.col(key_col),
-                          F.posexplode(blocks).alias("block_idx", "_raw")))
+    exploded = (df.repartition(_wide(df, None), F.col(key_col))
+                .select(F.col(key_col),
+                        F.posexplode(blocks).alias("block_idx", "_raw")))
     txt = F.col("_raw")
     for tag in BOILER_BLOCKS:
         txt = F.regexp_replace(txt, _block_re(tag), " ")

@@ -57,24 +57,34 @@ DOC_TOP_M = 20
 
 
 def _grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """One row per character n-gram occurrence, built in-row from the
-    normalized text (no per-doc window, no Python)."""
+    """One row per character n-gram occurrence — COMPILED explode of a
+    position sequence followed by one substring per row (whole-stage
+    codegen keeps explode+substring in one pipeline), not an
+    interpreted ``transform`` lambda building a per-row gram array
+    (the same compiled-explode-beats-HOF lesson as
+    dedup.shingle_tokens; texts shorter than one gram emit no row, as
+    before)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
                             r"\s+", " ")
-    t = df.withColumn("_t", norm)
-    grams = F.expr(
-        f"if(length(_t) < {n}, cast(array() as array<string>), "
-        f"transform(sequence(1, length(_t) - {n - 1}), "
-        f"i -> substring(_t, i, {n})))")
-    return t.withColumn("_g", F.explode(grams)).drop("_t")
+    t = df.withColumn("_t", norm).where(F.length("_t") >= n)
+    pos = F.explode(F.expr(f"sequence(1, length(_t) - {n - 1})")).alias("_p")
+    return (t.select("*", pos)
+            .withColumn("_g", F.col("_t").substr(F.col("_p"), F.lit(n)))
+            .drop("_t", "_p"))
 
 
 def train_charngram_profiles(df: DataFrame, lang_col: str = "lang",
                              text_col: str = "text", n: int = 3,
                              top_k: int = TOP_K) -> DataFrame:
     """→ (lang, gram, rank): each language's top_k character n-grams
-    ranked 1..top_k by (count DESC, gram ASC)."""
-    counts = (_grams(df, text_col, n)
+    ranked 1..top_k by (count DESC, gram ASC).
+
+    The labeled corpus repartitions (round-robin, narrow rows) before
+    the gram explode so the explode + partial count run at full width
+    even off a one-row-group scan; the (lang, gram) exchange still
+    moves only collapsed count rows."""
+    from tuatara_spark.ops.dedup import _wide
+    counts = (_grams(df.repartition(_wide(df, None)), text_col, n)
               .groupBy(F.col(lang_col).alias("lang"),
                        F.col("_g").alias("gram"))
               .agg(F.count("*").alias("_c")))
@@ -91,8 +101,18 @@ def classify_charngram(df: DataFrame, profiles: DataFrame,
                        top_m: int = DOC_TOP_M) -> DataFrame:
     """→ (id, pred_lang, distance): the out-of-place argmin language
     per document. Documents shorter than one n-gram have no profile and
-    are absent (gate upstream if they need a row)."""
-    counts = (_grams(df, text_col, n)
+    are absent (gate upstream if they need a row).
+
+    One id-keyed repartition of the narrow doc rows up front, then the
+    WHOLE classify pipeline — gram explode, (id, gram) count, per-doc
+    rank windows, per-(id, lang) distance, argmin — stays clustered by
+    the id (hashpartitioning(id) satisfies every downstream
+    distribution, all of whose keys include it): zero further
+    exchanges, and the explode runs at full width even off a
+    one-row-group scan."""
+    from tuatara_spark.ops.dedup import _wide
+    counts = (_grams(df.repartition(_wide(df, None), F.col(id_col)),
+                     text_col, n)
               .groupBy(F.col(id_col).alias("_id"),
                        F.col("_g").alias("gram"))
               .agg(F.count("*").alias("_c")))

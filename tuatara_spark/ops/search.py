@@ -103,7 +103,11 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     token rows. The final per-term gather moves exactly the postings
     content — the index itself — and nothing else.
     """
-    toks = df.select(
+    from tuatara_spark.ops.dedup import _wide
+    # id-keyed widening repartition (shingle_tokens pattern): the
+    # tokenize + position explode and the (term, doc) partial
+    # aggregation run at full width even off a one-row-group scan
+    toks = df.repartition(_wide(df, None), F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.expr(
             rf"filter(split(lower(trim({text_col})), '\\s+'), "

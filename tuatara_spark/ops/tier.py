@@ -119,11 +119,13 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
         surv0.select(id_col, "main_text")
         .join(dup_flags.where(~F.col("_is_dup")).select(id_col),
               id_col))
+    # surv is cached and already wide/id-clustered from its join —
+    # skip the LM ops' scan-widening repartition
     model = _lm.train_bigram_lm(
         surv.where(F.col(id_col) % train_mod == 0),
-        text_col="main_text", id_col=id_col)
+        text_col="main_text", id_col=id_col, repartition_input=False)
     scored = _lm.score_bigram_lm(surv, model, text_col="main_text",
-                                 id_col=id_col)
+                                 id_col=id_col, repartition_input=False)
     labels = F.array(*[F.lit(x) for x in TIER_LABELS])
     tiers = (_lm.tier_by_score(scored, k=len(TIER_LABELS), id_col=id_col)
              .select(F.col(id_col), F.col("score_e6"),
