@@ -306,8 +306,11 @@ def test_hits_invidx_tier_plan_shapes(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
-    # renormalizing max / corpus count are 1-row broadcasts
-    assert "BroadcastNestedLoopJoin" in plans["hits"]
+    # round-6: HITS renormalizes by a driver-collected SCALAR literal
+    # (one 1-row round-trip per half-iteration — the bpe_train
+    # precedent), so no nested-loop broadcast remains in its plan;
+    # tiering's corpus count is still a 1-row broadcast
+    assert "BroadcastNestedLoopJoin" not in plans["hits"]
     assert "BroadcastNestedLoopJoin" in plans["tier"]
     # df count partial-aggregates map-side before its shuffle
     assert "partial_count" in plans["invidx"]

@@ -145,11 +145,18 @@ def tier_by_score(scored: DataFrame, score_col: str = "score_e6",
     the plan is: one range shuffle, per-partition windows, two
     broadcasts.
     """
+    from tuatara_spark.ops.dedup import _persist
     from tuatara_spark.ops.training import with_order_rank
-    neg = scored.withColumn("_negscore", -F.col(score_col))
+    # persist the (narrow) scored input: THREE passes read it — the
+    # range partitioner's sampler, the rank pass and the corpus count.
+    # Un-persisted, each pass recomputed the whole upstream scoring
+    # pipeline (bigram explode + LM join + aggregate) — the dominant
+    # share of tier_extract's fixed cost. Callers release via
+    # dedup.release_caches().
+    neg = _persist(scored.withColumn("_negscore", -F.col(score_col)))
     ranked = with_order_rank(neg, "_negscore", rank_col="_rank",
                              tiebreak_col=id_col)
-    n = scored.agg(F.count("*").alias("_n"))
+    n = neg.agg(F.count("*").alias("_n"))
     return (ranked.crossJoin(F.broadcast(n))
             .withColumn(tier_col,
                         (F.expr(f"(_rank * {k}) div _n") + 1)

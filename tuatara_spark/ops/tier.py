@@ -92,42 +92,47 @@ def tier_extract(docs: DataFrame, html_col: str = "html",
                            key_col=id_col, stop_pct=stop_pct)
     n_words = F.size(F.expr("filter(split(main_text, ' '), x -> x != '')"))
     # base fans out into four branches (dedup hashing, the survivor
-    # rejoin, LM training/scoring and the final disposition select) and
-    # with_order_rank's range sampler rescans its input — persist it
-    # once (dedup._persist registry; callers release via
+    # selection, LM training/scoring and the final disposition select)
+    # — persist it once (dedup._persist registry; callers release via
     # dedup.release_caches) so the JusText extraction runs one time,
-    # not once per branch
+    # not once per branch. main's keys are a subset of kept_in's by
+    # construction, so no membership join back to kept_in is needed.
     base = _persist(
-        kept_in.select(id_col)
-        .join(main.select(id_col, "main_text"), id_col)
+        main.select(id_col, "main_text")
         .withColumn("n_words", n_words.cast("long"))
         .withColumn("_quality_ok", F.col("n_words") >= min_words))
     surv0 = base.where(F.col("_quality_ok"))
-    # dedup moves only (hash, id): the text stays put and survivors
-    # rejoin on the id key
-    hashed = surv0.select(F.col(id_col),
-                          F.md5("main_text").alias("_h"))
-    keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
-    dup_flags = (hashed.join(keepers, "_h")
+    # dedup moves only (hash, id) — the text stays put — and the
+    # keep-first winner comes from ONE unordered window min over the
+    # hash partitioning (the groupBy+join-back formulation paid a
+    # second pass plus a broadcast build for the same answer)
+    from pyspark.sql import Window
+    dup_flags = (surv0.select(F.col(id_col),
+                              F.md5("main_text").alias("_h"))
+                 .withColumn("_keep_id",
+                             F.min(id_col).over(Window.partitionBy("_h")))
                  .select(F.col(id_col),
                          (F.col(id_col) != F.col("_keep_id"))
                          .alias("_is_dup")))
-    # surv feeds LM training, scoring AND the range-partitioned tier
-    # rank (whose sampler makes an extra pass); cached it is one
-    # narrow join over the cached base
-    surv = _persist(
-        surv0.select(id_col, "main_text")
-        .join(dup_flags.where(~F.col("_is_dup")).select(id_col),
-              id_col))
-    # surv is cached and already wide/id-clustered from its join —
-    # skip the LM ops' scan-widening repartition
+    # survivors = quality-ok minus the (small) duplicate set: a
+    # broadcast anti-join keeps the cached base partitioning intact,
+    # so scoring's final groupBy(id) needs NO further exchange
+    dup_ids = dup_flags.where(F.col("_is_dup")).select(id_col)
+    surv = surv0.select(id_col, "main_text").join(dup_ids, id_col,
+                                                  "left_anti")
+    # surv reads straight off the cached base (narrow anti-join) —
+    # LM train and score each consume it without re-extracting; skip
+    # the LM ops' scan-widening repartition (already wide)
     model = _lm.train_bigram_lm(
         surv.where(F.col(id_col) % train_mod == 0),
         text_col="main_text", id_col=id_col, repartition_input=False)
     scored = _lm.score_bigram_lm(surv, model, text_col="main_text",
                                  id_col=id_col, repartition_input=False)
     labels = F.array(*[F.lit(x) for x in TIER_LABELS])
-    tiers = (_lm.tier_by_score(scored, k=len(TIER_LABELS), id_col=id_col)
+    # tier_by_score persists its (narrow) scored input, so the range
+    # sampler / rank / count passes never recompute the scoring
+    tiers = (_lm.tier_by_score(scored.select(id_col, "score_e6"),
+                               k=len(TIER_LABELS), id_col=id_col)
              .select(F.col(id_col), F.col("score_e6"),
                      F.element_at(labels, F.col("tier"))
                      .alias("_tier_label")))
