@@ -92,6 +92,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _range_by(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Range-partition the NARROW input by the final output-order key
+    before a shuffle-free projection. Two wins over projecting first
+    and ``.orderBy(key)`` last (pair with ``.sortWithinPartitions``):
+    the global sort's range-sampling pass scans the input instead of
+    re-executing the whole projection (a sort's sampler runs its child
+    plan; with no intervening shuffle stage that is the full pipeline,
+    twice), and the projection runs at full width even when the scan
+    is one unsplittable file/row-group. Output rows and global order
+    are identical: range partitions are ordered, so
+    range-partition → project → sortWithinPartitions IS orderBy's own
+    execution strategy with the exchange moved below the projection."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartitionByRange(n, F.col(key))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1063,11 +1079,11 @@ SELECT (SELECT count(*) FROM corpus a JOIN corpus b
 
 
 def q_quality_score_documents(spark, sf_dir):
-    q = textstats.quality_score(_docs(spark, sf_dir))
+    q = textstats.quality_score(_range_by(_docs(spark, sf_dir)))
     return (q.select("doc_id", "n_bytes", "ws_tokens",
                      F.floor(F.col("alpha_ratio") * 1e4 + F.lit(0.5))
                      .cast("long").alias("alpha_e4"))
-            .orderBy("doc_id"))
+            .sortWithinPartitions("doc_id"))
 
 
 _QUALITY_SQL = r"""
@@ -1187,8 +1203,8 @@ def q_gopher_quality_docs(spark, sf_dir):
     ops/textstats.py): raw-string regexp counts + cross-multiplied
     integer ratio tests — no explode, no shuffle, no floats. The oracle
     recomputes every counter and flag in RE2/ANSI SQL."""
-    return (textstats.gopher_quality(_docs(spark, sf_dir))
-            .orderBy("doc_id"))
+    return (textstats.gopher_quality(_range_by(_docs(spark, sf_dir)))
+            .sortWithinPartitions("doc_id"))
 
 
 _GOPHER_SQL = r"""
@@ -5038,7 +5054,7 @@ def q_c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     line filters and lorem-ipsum / curly-brace / badword / <3-sentence
     page filters, exercised by planted trigger lines. The oracle runs
     the identical higher-order list_filter in DuckDB."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _range_by(_docs(spark, sf_dir).select("doc_id", "text"))
     plant = F.regexp_replace(F.col("text"), _C4_WORD6, "$1.\n")
     parts = [plant, F.lit("\nclick here now")]
     for mod, line in _C4_PLANTS:
@@ -5046,7 +5062,7 @@ def q_c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit("\n" + line)).otherwise(F.lit("")))
     return (textstats.c4_filter(
         docs.select("doc_id", F.concat(*parts).alias("text")))
-        .orderBy("doc_id"))
+        .sortWithinPartitions("doc_id"))
 
 
 _C4_PLANT_SQL = (
@@ -5093,11 +5109,11 @@ def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     period, so sentence counts vary with length). All arithmetic is
     BIGINT floor division on a ×1000 scale; the oracle computes the
     identical counts with regexp_extract_all."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _range_by(_docs(spark, sf_dir).select("doc_id", "text"))
     plant = F.regexp_replace(F.col("text"), _READ_WORD4, "$1. ")
     return (textstats.readability(
         docs.select("doc_id", plant.alias("text")))
-        .orderBy("doc_id"))
+        .sortWithinPartitions("doc_id"))
 
 
 _READABILITY_SQL = f"""
