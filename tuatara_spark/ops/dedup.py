@@ -546,9 +546,20 @@ def hamming_pairs64(sig_df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------- exact substring ----
 
+def _substr_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _toks) whitespace-token arrays behind an id-keyed widening
+    repartition (shingle_tokens pattern): narrow doc rows move once,
+    the tokenize + shingle explode + hash run at full width even off a
+    one-row-group scan."""
+    return df.repartition(_wide(df, None), F.col(id_col)).select(
+        F.col(id_col).alias("_id"),
+        F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
+               "x -> x != '')").alias("_toks"))
+
+
 def exact_substr_spans(df: DataFrame, min_tokens: int = 50,
                        text_col: str = "text", id_col: str = "doc_id",
-                       key_of=None) -> DataFrame:
+                       key_of=None, pre_tokenized=None) -> DataFrame:
     """Cross-document exact-substring duplicate spans — the ExactSubstr
     method of Lee et al. 2021 ("Deduplicating Training Data Makes
     Language Models Better", public arXiv 2107.06499), re-expressed for
@@ -590,13 +601,8 @@ def exact_substr_spans(df: DataFrame, min_tokens: int = 50,
     L = int(min_tokens)
     if key_of is None:
         key_of = F.xxhash64
-    # id-keyed widening repartition (shingle_tokens pattern): narrow
-    # doc rows move once, the tokenize + shingle explode + hash run at
-    # full width even off a one-row-group scan
-    toks = df.repartition(_wide(df, None), F.col(id_col)).select(
-        F.col(id_col).alias("_id"),
-        F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
-               "x -> x != '')").alias("_toks"))
+    toks = (_substr_tokens(df, text_col, id_col)
+            if pre_tokenized is None else pre_tokenized)
     sh = toks.select(
         "_id",
         F.posexplode(F.expr(
@@ -637,13 +643,17 @@ def exact_substr_dedup(df: DataFrame, min_tokens: int = 50,
     tokenization both the spans and the rebuild are defined over).
     Cost of the trim filter is O(n_tokens × n_spans) per row in one
     projection; n_spans is small by construction (spans are maximal)."""
+    # NOT shared/persisted: caching the tokenized corpus for the two
+    # consumers (span finder + rebuild) was measured ~0.1 s SLOWER at
+    # bench scale than tokenizing twice — columnar cache
+    # materialization of token arrays costs more than the repeated
+    # narrow repartition + split. pre_tokenized exists for callers
+    # that already hold a token table.
     spans = exact_substr_spans(df, min_tokens=min_tokens,
                                text_col=text_col, id_col=id_col,
                                key_of=key_of)
-    toks = df.repartition(_wide(df, None), F.col(id_col)).select(
-        F.col(id_col),
-        F.expr(rf"filter(split(trim({text_col}), '\\s+'), "
-               "x -> x != '')").alias("_toks"))
+    toks = (_substr_tokens(df, text_col, id_col)
+            .select(F.col("_id").alias(id_col), "_toks"))
     j = toks.join(spans, id_col, "left").withColumn(
         "spans", F.coalesce(
             F.col("spans"),

@@ -209,26 +209,38 @@ def with_order_rank(df: DataFrame, order_col: str,
     order_col='rank')``. Ties broken by the column's total order only if
     keys are unique — duplicate keys get arbitrary but stable-in-run
     rank order within the key."""
+    from tuatara_spark.ops.dedup import _persist
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     order_keys = [F.col(order_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else [])
-    ranged = df.repartitionByRange(n_parts, *order_keys)
-    part = ranged.withColumn("_pid", F.spark_partition_id())
+    # Persist the ranged table: the partition-id → offset contract must
+    # hold across the counts pass and the rank pass (one
+    # materialization pins it), and callers' downstream passes reuse
+    # the cache. The per-partition counts come back as ONE driver
+    # round-trip (n_parts rows — the hits/bpe_train scalar precedent)
+    # and the offsets enter the plan as an array LITERAL indexed by
+    # partition id, replacing the old counts exchange + offsets window
+    # + per-row broadcast join. Release via dedup.release_caches().
+    part = _persist(df.repartitionByRange(n_parts, *order_keys)
+                    .withColumn("_pid", F.spark_partition_id()))
+    counts = {r["_pid"]: r["_n"] for r in
+              part.groupBy("_pid").agg(F.count("*").alias("_n"))
+              .collect()}
+    offs, acc = [], 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offs.append(acc)
+        acc += counts.get(pid, 0)
     w_in = (Window.partitionBy("_pid").orderBy(*order_keys)
             .rowsBetween(Window.unboundedPreceding, -1))
-    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
-    w_off = (Window.orderBy("_pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-        .alias("_off"))
+    off_expr = (F.element_at(F.array(*[F.lit(o) for o in offs]),
+                             F.col("_pid") + 1)
+                if offs else F.lit(0))
     return (part
             .withColumn("_in", F.coalesce(F.count("*").over(w_in),
                                           F.lit(0)))
-            .join(F.broadcast(offsets), "_pid")
-            .withColumn(rank_col, (F.col("_off") + F.col("_in"))
+            .withColumn(rank_col, (off_expr + F.col("_in"))
                         .cast("long"))
-            .drop("_pid", "_in", "_off"))
+            .drop("_pid", "_in"))
 
 
 def url_blocklist(df: DataFrame, blocked: DataFrame,
