@@ -4,7 +4,7 @@ Delegates to tuatara_spark.queries — one entry per implemented operator
 (SURVEY.md §2 pipeline-stage mirrors, the flagship end-to-end extraction
 query, the crawl front end — WARC/WET/WAT, charset decode, robots — and
 the training-data ops: dedup/similarity/text-analysis/multimodal/
-streaming/sampling/packing). 127 of 130 queries carry an exact DuckDB
+streaming/sampling/packing). 129 of 132 queries carry an exact DuckDB
 oracle —
 including analytic first-principles oracles for the multimodal decode
 queries and recall+precision gates for the approximate ANN/MinHash/SimHash

@@ -2610,3 +2610,18 @@ def test_bpe_encode_replace_equivalence(spark):
     assert a == b
     with _pytest.raises(ValueError):
         search.bpe_encode_replace(df, [(1, "a|", "b", "a|b")])
+
+
+def test_classify_charngram_rejects_deep_doc_profiles(spark):
+    """top_m > top_k would silently change predictions vs the
+    documented out-of-place semantics (the gram-only join's zero-match
+    elimination needs |dr - rank| < top_k) — guarded with ValueError."""
+    import pytest as _pytest
+
+    from tuatara_spark.ops import langid
+
+    docs = spark.createDataFrame([(1, "en", "abcdef")],
+                                 "doc_id long, lang string, text string")
+    prof = langid.train_charngram_profiles(docs)
+    with _pytest.raises(ValueError):
+        langid.classify_charngram(docs, prof, top_k=10, top_m=11)

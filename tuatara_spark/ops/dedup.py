@@ -749,6 +749,15 @@ def cross_corpus_jaccard_pairs(old: DataFrame, new: DataFrame,
     they generate zero candidates, so novel content eliminates itself
     from the probe immediately.
 
+    Threshold caveat (documented restriction): the prefix bound is
+    computed with FLOAT ``ceil(t·n)``. For thresholds whose float
+    representation sits above the intended rational (0.1, 0.3, …),
+    ceil can land one above the exact ceiling for some n, shrinking
+    the prefix by one gram and potentially dropping boundary-exact
+    pairs (J == t). Use thresholds whose float sits at or below the
+    rational (0.5, 0.6 = the shipped default family), or widen the
+    prefix yourself for exact boundary semantics at other thresholds.
+
     Scale shape: the old corpus compiles ONCE into a gram-keyed index
     (tok_old — persisted across nightly batches in production); each
     batch shuffles only its prefix rows against it. Verification joins

@@ -146,8 +146,13 @@ def normalize_nfc(df, text_col: str = "text",
 # UTF-8, mis-decode through cp1252), so the rule list can never drift
 # from the corruption it undoes; the DuckDB oracle chain is generated
 # from the same table. One pass, longest corruption first (a shorter rule
-# can never pre-empt a longer one); re-running is a no-op on fixed text
-# because no target character appears in any corruption string.
+# can never pre-empt a longer one). Semantics are ONE-PASS/ONE-LAYER:
+# the op undoes exactly one decode-through-cp1252 layer. It is NOT
+# idempotent in general — several corruption strings themselves contain
+# other targets (the corruption of « is 'Â«'; of – is 'â€“', which
+# contains '€'-family targets), so feeding already-repaired text with
+# degenerate residue through a second pass can rewrite further. Run it
+# once per suspected layer, as ftfy does.
 # ---------------------------------------------------------------------------
 
 #: Characters whose UTF-8 encodings are fully cp1252-mappable (no 0x81/

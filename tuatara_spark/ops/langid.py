@@ -103,6 +103,12 @@ def classify_charngram(df: DataFrame, profiles: DataFrame,
     per document. Documents shorter than one n-gram have no profile and
     are absent (gate upstream if they need a row).
 
+    Invariant (checked): ``top_m <= top_k``. The gram-only join is
+    equivalent to the all-languages argmin because a language matching
+    ≥1 gram strictly beats every zero-match language, which needs
+    ``|dr − rank| < top_k`` — guaranteed only when the document
+    profile is no deeper than the language profiles.
+
     One id-keyed repartition of the narrow doc rows up front, then the
     WHOLE classify pipeline — gram explode, (id, gram) count, per-doc
     rank windows, per-(id, lang) distance, argmin — stays clustered by
@@ -110,6 +116,10 @@ def classify_charngram(df: DataFrame, profiles: DataFrame,
     distribution, all of whose keys include it): zero further
     exchanges, and the explode runs at full width even off a
     one-row-group scan."""
+    if top_m > top_k:
+        raise ValueError(
+            f"top_m ({top_m}) must be <= top_k ({top_k}): the gram-only "
+            "join's zero-match elimination needs |dr - rank| < top_k")
     from tuatara_spark.ops.dedup import _wide
     counts = (_grams(df.repartition(_wide(df, None), F.col(id_col)),
                      text_col, n)
