@@ -45,8 +45,10 @@ AUDIT = [
      "shuffle-free shingling (transform over token arrays), broadcast "
      "eval-shingle join, partial aggregation on the per-doc count"),
     ("sequence_pack_urls",
-     "range-partition rank (no single-partition sort on the data side), "
-     "broadcast offset joins at both levels"),
+     "range-partition rank (no single-partition sort on the data side) "
+     "with per-partition offsets baked as literals from one driver "
+     "round-trip (round 6); the pack level's block-offset rollup is "
+     "still a broadcast"),
     ("minhash_lsh_pairs",
      "narrow (id, band) shuffle for candidates, no CartesianProduct"),
     ("ann_cosine_topk",
