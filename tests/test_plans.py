@@ -268,11 +268,17 @@ def test_lm_plan_shapes(spark):
     docs = spark.createDataFrame(
         [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5}") for i in range(30)],
         "doc_id long, text string")
+    import re
     model = lm.train_bigram_lm(docs)
     plan = _explain(lm.score_bigram_lm(docs, model))
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
-                "Window"):
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan
+    # round 6: the ONLY window is training's unordered left-total sum
+    # over the collapsed pair table, partitioned by w1 — never a
+    # per-document window over the token/bigram stream
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "w1#" in m.group(1) and "doc_id" not in m.group(1), plan
+    assert "row_number" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan  # map-side combine on the doc agg
 

@@ -36,7 +36,7 @@ bigram repeats 9·10^12 times; shrink the scale for larger corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 PROB_SCALE = 10 ** 6
 N_TIERS = 3
@@ -83,10 +83,17 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
     pairs = (_bigrams(df, text_col, id_col)
              .groupBy("w1", "w2")
              .agg(F.count("*").alias("pair_count")))
-    lefts = pairs.groupBy("w1").agg(
-        F.sum("pair_count").alias("left_count"))
-    return (pairs.where(F.col("pair_count") >= min_count)
-            .join(lefts, "w1")
+    # left totals via ONE unordered sum-window over the w1 partitioning
+    # of the already-collapsed pair table (guide §2.4: the re-aggregate
+    # + join-back formulation paid a second exchange plus a join for
+    # the same answer); the window runs BEFORE pruning so left_count
+    # still sums the unpruned counts. A hot left context holds its
+    # vocabulary-bounded w2 fan-out in one partition — the same
+    # placement the join's shuffle produced.
+    lw = Window.partitionBy("w1")
+    return (pairs.withColumn("left_count",
+                             F.sum("pair_count").over(lw))
+            .where(F.col("pair_count") >= min_count)
             .select("w1", "w2", "pair_count", "left_count"))
 
 
