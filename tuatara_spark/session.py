@@ -67,6 +67,20 @@ def get_spark(app: str = "tuatara-spark", cores: int | str | None = None,
         # compiled-class cache sizing, not a local[32] tune.
         .config("spark.sql.codegen.cache.maxEntries",
                 os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+        # Always use the sort-based shuffle writer, never bypass-merge.
+        # Bypass-merge (default for <=200 reduce partitions) opens one
+        # spill file + serializer/compression stream PER REDUCE
+        # PARTITION per map task; at this engine's shuffle width that
+        # is 64 maps x 64 sub-files = 4096 stream setups + a merge per
+        # exchange, measured 27 s CPU / 8 s blocked-write for a 964 KB
+        # band-table shuffle vs 0.6 s CPU with the sort writer
+        # (identical bytes, identical results; full A/B in
+        # OPTIMIZATION_r06.md). Scale-uniform, not a local[32] tune:
+        # production-width shuffles (>200 partitions) already take the
+        # sort-writer path, so this pins small shuffles to the same
+        # code path the engine uses at scale.
+        .config("spark.shuffle.sort.bypassMergeThreshold",
+                os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "0"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )
