@@ -143,12 +143,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     table) would serialize the whole stage."""
     tok = (shingle_tokens(df, text_col, id_col, k, compute_partitions)
            .withColumn("_hs", F.xxhash64("_s")))
-    aggs = [F.min(F.xxhash64("_hs", F.lit(j))).alias(f"_m{j}")
+    # expression strings, not per-column builders: the num_perm min
+    # aggregates built via F.min(F.xxhash64(...)).alias(...) cost ~4
+    # py4j round-trips EACH, ~0.45 s of driver time per invocation;
+    # one F.expr per aggregate parses JVM-side in a single call
+    # (measured 0.57 -> 0.13 s build, output bit-identical)
+    aggs = [F.expr(f"min(xxhash64(_hs, {j})) AS _m{j}")
             for j in range(num_perm)]
     g = tok.groupBy("_id").agg(F.collect_set("_hs").alias("shingles"), *aggs)
-    return g.select("_id", "shingles",
-                    F.array(*[F.col(f"_m{j}")
-                              for j in range(num_perm)]).alias("sig"))
+    arr = ", ".join(f"_m{j}" for j in range(num_perm))
+    return g.select("_id", "shingles", F.expr(f"array({arr}) AS sig"))
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str],
@@ -198,10 +202,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # Persist once: the self-join would otherwise recompute the whole
     # signature pipeline on BOTH sides (shingling is the expensive part).
     sig = _persist(minhash_signature(df, text_col, id_col, num_perm, k))
-    band_cols = F.array(*[
-        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                   F.lit(b)).alias(f"b{b}")
-        for b in range(bands)])
+    band_cols = F.expr("array(" + ", ".join(
+        f"xxhash64(slice(sig, {b * rows_per_band + 1}, {rows_per_band}), {b})"
+        for b in range(bands)) + ")")
     # Band join carries ONLY (id, band) — narrow shuffle rows; shingle
     # arrays join back after the distinct-pair reduction.
     banded = sig.select(
@@ -278,17 +281,19 @@ def _simhash_sigs(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("_tok")).withColumn("_h", F.xxhash64("_tok"))
-    aggs = [
-        F.sum(F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_b{i}")
-        for i in range(64)]
+    # expression strings, not per-column builders: the 64 conditional-sum
+    # aggregates plus the 64-way OR fold cost ~900 py4j round-trips when
+    # assembled Column-by-Column — ~1.3 s of DRIVER time per invocation,
+    # paid on every bench pass. One F.expr string per aggregate (and one
+    # for the whole OR fold) parses JVM-side in a single call each
+    # (measured 1.49 -> 0.23 s build, output bit-identical).
+    aggs = [F.expr(f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1 "
+                   f"THEN 1 ELSE -1 END) AS _b{i}") for i in range(64)]
     g = tok.groupBy(id_col).agg(*aggs)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"_b{i}") > 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return g.select(id_col, sim.alias("simhash"))
+    bits = " | ".join(
+        f"(CASE WHEN _b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(64))
+    return g.select(F.col(id_col), F.expr(f"({bits}) AS simhash"))
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
