@@ -183,7 +183,12 @@ def hits(edges: DataFrame, iters: int = 2,
     # nodes-keyed select.
     def _norm(raw: DataFrame, col: str) -> DataFrame:
         raw = _persist(raw)
-        mx = raw.agg(F.max(col).alias("_mx")).first()[0]
+        # collect(), not first(): .first() takes the limit/head path,
+        # which a micro-probe measures ~120 ms slower per call on a
+        # 1-row aggregate (in-context A/B at bench scale the difference
+        # washes into regime noise — kept because it is never worse and
+        # this runs once per half-iteration)
+        mx = raw.agg(F.max(col).alias("_mx")).collect()[0][0]
         if mx is None:      # empty graph: raw has no rows to rescale
             mx = 1
         return raw.select("node",
