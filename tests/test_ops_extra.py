@@ -112,7 +112,7 @@ def test_ngram_prefix_filter_lossless_vs_bruteforce(spark):
             for _ in range(n)])
 
     for texts in corpora:
-        for thr in (0.3, 0.5, 0.8):
+        for thr in (0.1, 0.3, 0.5, 0.55, 0.8):
             pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
             df = spark.createDataFrame(pdf)
             got = {(r.id_a, r.id_b): round(r.jaccard, 9)
@@ -2446,7 +2446,7 @@ def test_cross_corpus_prefix_filter_lossless(spark):
             new_rows.append((i, txt()))
     old = spark.createDataFrame(old_rows, "doc_id long, text string")
     new = spark.createDataFrame(new_rows, "doc_id long, text string")
-    for t in (0.4, 0.6, 0.8):
+    for t in (0.1, 0.3, 0.4, 0.55, 0.6, 0.8):
         got = {(r.id_new, r.id_old, round(r.jaccard, 9)) for r in
                dedup.cross_corpus_jaccard_pairs(old, new, k=3,
                                                 threshold=t).collect()}
@@ -2625,3 +2625,40 @@ def test_classify_charngram_rejects_deep_doc_profiles(spark):
     prof = langid.train_charngram_profiles(docs)
     with _pytest.raises(ValueError):
         langid.classify_charngram(docs, prof, top_k=10, top_m=11)
+
+
+def test_prefix_bound_integer_exact(spark):
+    """The lossless-prefix size must use the exact ceiling of the
+    DECIMAL rational the caller wrote. The float formulation
+    ceil(t * n) overshoots the true ceiling where n*t rounds just
+    above an integer — concretely t=0.55, n=100: 100*0.55 ==
+    55.000000000000007, float ceil 56 vs exact 55 — shrinking the
+    prefix by one gram and risking dropped J == t pairs;
+    _prefix_bound must not. For the shipped thresholds (0.5, 0.6)
+    the integer bound must agree with the old float bound for every
+    n — the declared queries' candidate sets are unchanged."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from tuatara_spark.ops.dedup import _prefix_bound
+
+    ns = spark.range(1, 1001).select(F.col("id").cast("long").alias("_n"))
+    for t in (0.1, 0.3, 0.5, 0.55, 0.6, 0.8):
+        fr = Fraction(t).limit_denominator(10 ** 6)
+        got = {r["_n"]: r["b"] for r in
+               ns.select("_n", _prefix_bound(t).alias("b")).collect()}
+        for n in range(1, 1001):
+            exact = n - (-(-n * fr.numerator // fr.denominator)) + 1
+            assert got[n] == exact, (t, n, got[n], exact)
+    # the demonstrating case: the old float ceil shrinks the t=0.55
+    # prefix at n=100 (and would have dropped boundary candidates)...
+    assert math.ceil(100 * 0.55) == 56 and -(-100 * 11 // 20) == 55
+    # ...while at the shipped thresholds both formulations agree for
+    # every n, so declared-query candidate sets are unchanged
+    for t in (0.5, 0.6):
+        fr = Fraction(t).limit_denominator(10 ** 6)
+        for n in range(1, 1001):
+            assert (n - math.ceil(n * t) + 1
+                    == n - (-(-n * fr.numerator // fr.denominator)) + 1), (t, n)

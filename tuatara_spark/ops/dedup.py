@@ -369,6 +369,31 @@ def cluster_ids(df: DataFrame, pairs: DataFrame,
 
 # ------------------------------------------------------- n-gram Jaccard ----
 
+def _prefix_bound(threshold: float):
+    """Lossless prefix size ``n − ceil(t·n) + 1`` as an INTEGER-exact
+    expression over the per-doc distinct-gram count column ``_n``.
+
+    ``threshold`` is interpreted as the decimal rational the caller
+    wrote — ``Fraction(threshold).limit_denominator(10**6)``, so the
+    float 0.1 means 1/10, not its binary neighbor above it — and
+    ``ceil(t·n)`` is computed as ``(n·num + den − 1) div den`` in
+    exact integer arithmetic. The previous float ``ceil(t·n)`` could
+    overshoot the true ceiling by 1 where ``t·n`` rounds just above an
+    integer (measured: t=0.55 at n=100 — 55.000000000000007, ceil 56
+    vs exact 55; t=0.667 at n=49000), shrinking the prefix and
+    silently dropping boundary-exact pairs (J == t); for the shipped
+    thresholds (0.5, 0.6) the two formulations agree for every n
+    (checked exhaustively to n=2·10⁶; pytest re-checks to n=1000), so
+    declared-query output is unchanged — and a wider-than-minimal
+    prefix only ever adds candidates that exact verification removes.
+    """
+    from fractions import Fraction
+    fr = Fraction(threshold).limit_denominator(10 ** 6)
+    num, den = fr.numerator, fr.denominator
+    return (F.col("_n")
+            - F.expr(f"(_n * {num}L + {den - 1}L) div {den}L") + 1)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
@@ -404,9 +429,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("_id").orderBy("_df", "_g")))
               .withColumn("_n", F.count("*").over(Window.partitionBy("_id"))))
-    pref = ranked.filter(
-        F.col("_rn")
-        <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1)
+    pref = ranked.filter(F.col("_rn") <= _prefix_bound(threshold))
     left = pref.select(F.col("_id").alias("id_a"), "_g")
     right = pref.select(F.col("_id").alias("id_b"), "_g")
     cand = (left.join(right, "_g")
@@ -754,14 +777,14 @@ def cross_corpus_jaccard_pairs(old: DataFrame, new: DataFrame,
     they generate zero candidates, so novel content eliminates itself
     from the probe immediately.
 
-    Threshold caveat (documented restriction): the prefix bound is
-    computed with FLOAT ``ceil(t·n)``. For thresholds whose float
-    representation sits above the intended rational (0.1, 0.3, …),
-    ceil can land one above the exact ceiling for some n, shrinking
-    the prefix by one gram and potentially dropping boundary-exact
-    pairs (J == t). Use thresholds whose float sits at or below the
-    rational (0.5, 0.6 = the shipped default family), or widen the
-    prefix yourself for exact boundary semantics at other thresholds.
+    Threshold semantics: the prefix bound is computed in EXACT integer
+    arithmetic over the decimal rational the caller wrote
+    (:func:`_prefix_bound` — ``Fraction(t).limit_denominator(10**6)``,
+    then ``ceil(t·n) = (n·num + den − 1) div den``), so boundary-exact
+    pairs (J == t) are inside the guarantee for EVERY threshold —
+    including ones like 0.55 where the float-ceil formulation
+    overshoots the exact ceiling for some n (100·0.55 float-ceils
+    to 56, not 55) and would silently shrink the prefix.
 
     Scale shape: the old corpus compiles ONCE into a gram-keyed index
     (tok_old — persisted across nightly batches in production); each
@@ -782,9 +805,7 @@ def cross_corpus_jaccard_pairs(old: DataFrame, new: DataFrame,
                   Window.partitionBy("_id").orderBy("_df", "_g")))
               .withColumn("_n",
                           F.count("*").over(Window.partitionBy("_id"))))
-    pref = ranked.filter(
-        F.col("_rn")
-        <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1)
+    pref = ranked.filter(F.col("_rn") <= _prefix_bound(threshold))
     cand = (pref.select(F.col("_id").alias("id_new"), "_g")
             .join(tok_old.select(F.col("_id").alias("id_old"), "_g"),
                   "_g")
